@@ -1,0 +1,80 @@
+"""Checksum column functions.
+
+NMEA XOR checksum is a pure Catalyst expression (fold over the char
+array — stays in codegen). CRC16/modbus needs byte-level loops, so it
+ships as an Arrow-batched pandas UDF computed with a precomputed
+256-entry table (vectorized per byte, not per bit).
+
+Parity targets in the reference: `src/util/math/MathUtils.java:
+1206-1235` (NMEA), `:1258-1297` (CRC16 modbus, poly 0xA001 reflected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _xor_fold(body: Column) -> Column:
+    # XOR-fold char codes; aggregate() keeps this inside Catalyst.
+    chars = F.split(body, "")
+    return F.aggregate(
+        chars,
+        F.lit(0),
+        lambda acc, ch: F.when(F.length(ch) > 0, acc.bitwiseXOR(F.ascii(ch))).otherwise(acc),
+    )
+
+
+def nmea_checksum(sentence: Column) -> Column:
+    """Two-hex-digit XOR checksum of everything between '$' and '*'
+    (exclusive). If no '*' present, checksums everything after '$'."""
+    body = F.regexp_extract(sentence, r"^\$?([^*]*)", 1)
+    return F.lpad(F.upper(F.hex(_xor_fold(body))), 2, "0")
+
+
+def nmea_checksum_ok(sentence: Column) -> Column:
+    """True when the sentence's trailing *HH matches its computed
+    checksum (reference rejects rows failing this in FilterForward's
+    `nmea` rule, FilterForward.java:347)."""
+    claimed = F.upper(F.regexp_extract(sentence, r"\*([0-9a-fA-F]{2})\s*$", 1))
+    return (claimed != "") & (claimed == nmea_checksum(sentence))
+
+
+_CRC16_TABLE: list[int] | None = None
+
+
+def _crc16_table() -> list[int]:
+    global _CRC16_TABLE
+    if _CRC16_TABLE is None:
+        table = []
+        for byte in range(256):
+            crc = byte
+            for _ in range(8):
+                crc = (crc >> 1) ^ 0xA001 if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC16_TABLE = table
+    return _CRC16_TABLE
+
+
+def crc16_modbus(data: Column) -> Column:
+    """CRC16 (modbus poly 0xA001, init 0xFFFF) of a binary column,
+    returned as an int. Pandas UDF (byte loops aren't expressible as
+    Catalyst exprs); table-driven so the inner loop is per byte."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _crc(col: "pandas.Series") -> "pandas.Series":
+        table = _crc16_table()
+
+        def one(buf) -> int:
+            if buf is None:
+                return 0
+            crc = 0xFFFF
+            for b in bytes(buf):
+                crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
+            return crc
+
+        return col.map(one)
+
+    _crc.__annotations__ = {"col": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_crc, "int")(data)

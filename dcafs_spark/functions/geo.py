@@ -1,0 +1,101 @@
+"""GIS column functions (haversine, bearing, NMEA degrees, UTM).
+
+Parity targets: reference `src/util/gis/GisTools.java` (distance/
+bearing :117-213, GDC↔UTM :214-352 — standard WGS-84 Snyder transverse
+Mercator series) and `src/util/gis/Waypoint.java` geofencing. All pure
+column arithmetic — codegen'd, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_EARTH_R_KM = 6371.0088
+# WGS-84
+_A = 6378137.0
+_F = 1 / 298.257223563
+_E2 = _F * (2 - _F)
+_K0 = 0.9996
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (haversine)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1)
+    dl = F.radians(lon2 - lon1)
+    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    return 2 * _EARTH_R_KM * F.asin(F.sqrt(a))
+
+
+def bearing_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Initial great-circle bearing, degrees in [0, 360)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
+    y = F.sin(dl) * F.cos(p2)
+    x = F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)
+    return (F.degrees(F.atan2(y, x)) + 360.0) % 360.0
+
+
+def nmea_degrees(raw: Column, hemi: Column) -> Column:
+    """NMEA ddmm.mmmm (+ hemisphere N/S/E/W) → signed decimal degrees
+    (reference GisTools.java:41-96 parsing)."""
+    deg = F.floor(raw / 100.0)
+    minutes = raw - deg * 100.0
+    dec = deg + minutes / 60.0
+    return F.when(hemi.isin("S", "W"), -dec).otherwise(dec)
+
+
+def utm_zone(lon: Column) -> Column:
+    return (F.floor((lon + 180.0) / 6.0) + 1).cast("int")
+
+
+def utm_from_gdc(lat: Column, lon: Column) -> Column:
+    """WGS-84 lat/lon → UTM as struct(easting, northing, zone).
+
+    Snyder (USGS PP 1395) series, the same projection the reference
+    applies in GisTools.toUTM (GisTools.java:242-299). Multi-output →
+    struct column; callers `select(utm.*)` (SURVEY §2.4)."""
+    zone = utm_zone(lon)
+    lon0 = F.radians((zone.cast("double") - 1) * 6.0 - 180.0 + 3.0)
+    phi = F.radians(lat)
+    lam = F.radians(lon)
+
+    ep2 = _E2 / (1 - _E2)
+    n = _A / F.sqrt(1 - _E2 * F.sin(phi) ** 2)
+    t = F.tan(phi) ** 2
+    c = ep2 * F.cos(phi) ** 2
+    a_ = F.cos(phi) * (lam - lon0)
+
+    m = _A * (
+        (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256) * phi
+        - (3 * _E2 / 8 + 3 * _E2**2 / 32 + 45 * _E2**3 / 1024) * F.sin(2 * phi)
+        + (15 * _E2**2 / 256 + 45 * _E2**3 / 1024) * F.sin(4 * phi)
+        - (35 * _E2**3 / 3072) * F.sin(6 * phi)
+    )
+
+    easting = (
+        _K0 * n * (a_ + (1 - t + c) * a_**3 / 6 + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * a_**5 / 120)
+        + 500000.0
+    )
+    northing = _K0 * (
+        m
+        + n
+        * F.tan(phi)
+        * (
+            a_**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * a_**6 / 720
+        )
+    )
+    northing = F.when(lat < 0, northing + 10000000.0).otherwise(northing)
+    return F.struct(
+        easting.alias("easting"), northing.alias("northing"), zone.alias("zone")
+    )
+
+
+def geofence_state(dist_km: Column, radius_km: float) -> Column:
+    """INSIDE/OUTSIDE classification for a waypoint circle
+    (Waypoint.java:71-105); ENTER/LEAVE transitions come from lag()
+    over this column (operators.waypoints)."""
+    return F.when(dist_km <= radius_km, F.lit("INSIDE")).otherwise(F.lit("OUTSIDE"))

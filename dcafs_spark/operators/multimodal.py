@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched `mapInPandas`.
+
+The Spark-side plumbing (schema, partition sizing, UDF signatures,
+batch shapes) is real and tested; the actual media decode is stubbed
+behind `_decode_*` because the image/audio libraries are not in this
+container — swap the stub for PIL/librosa/av in production.
+
+Scale notes: binary payloads ride in the same parquet row group as
+their metadata; `spark.sql.files.maxPartitionBytes` bounds task input.
+Decode/feature-extract are narrow mapInPandas passes — no shuffle.
+Frame-sampling emits multiple rows per input (mapInPandas can change
+cardinality) while keeping the batch iterator streaming, so a 4 GB
+video row never fully materializes more than one batch at a time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    """STUB — replace with PIL decode + downsample. Deterministic fake:
+    a 4-dim feature from byte statistics so tests are stable."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("image decode requires PIL (not in container)")
+    n = len(payload)
+    return [float(n), float(payload[0]), float(payload[-1]), float(sum(payload[:16]) % 256)]
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = bytes([(i * 7 + j) % 256 for j in range(32 + i % 5)])
+        rows.append((i, kind, payload, ("application/octet-stream", 64, 48, 1000 + i, 16000)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+    """Decode + featurize each media row (mapInPandas, Arrow batches)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _decode_image(bytes(p)) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Frame-sample video rows: 1→N rows (deterministic fake frames —
+    real impl would use av/ffmpeg)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_frame = [], [], []
+            for mid, kind, payload, meta in zip(pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "video":
+                    continue
+                duration = meta["duration_ms"] if meta is not None else 0
+                n_frames = max(int(duration // every_ms), 1)
+                for fi in range(n_frames):
+                    out_id.append(mid)
+                    out_idx.append(fi)
+                    out_frame.append(bytes(payload)[:16])
+            yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame": out_frame})
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize = payload transform (stubbed as passthrough) + metadata
+    update, showing the schema-preserving pattern."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )

@@ -1,0 +1,113 @@
+"""Ingest projection: Generic/store (delimited → typed row) and ValMap.
+
+Parity targets: reference `src/worker/Generic.java:189-337` (split on
+delimiter or extract-all-numbers 'nrs' mode; per-entry typed parse with
+defaults; filler pseudo-columns for timestamps; startswith guard) and
+`src/worker/ValMap.java:41-75` (key/value lines).
+
+Spark-first: one `select` with `try_cast` + `coalesce` per field — bad
+values fall back to the declared default instead of killing the row
+(the reference's per-field error counters become a dead-letter filter
+the caller can take from `errors()`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TYPES = {"real": "double", "integer": "int", "int": "int", "text": "string", "flag": "boolean", "long": "long"}
+
+_NUMBER_RE = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+
+
+@dataclass
+class Field:
+    name: str
+    index: int
+    dtype: str = "real"  # real | integer | text | flag | long
+    default: object | None = None
+
+
+@dataclass
+class Generic:
+    fields: list[Field]
+    delimiter: str = ","
+    startswith: str = ""
+    nrs_mode: bool = False  # 'nrs': extract all numbers via regex (Tools.java:338-344)
+    column: str = "value"
+    fillers: dict[str, str] = field(default_factory=dict)  # name -> timestamp|epoch|localdt|utcdt
+
+    def _array(self) -> Column:
+        col = F.col(self.column)
+        if self.nrs_mode:
+            return F.regexp_extract_all(col, F.lit(_NUMBER_RE), 0)
+        return F.split(col, F.lit(self.delimiter), -1)
+
+    def _cast(self, raw: Column, f: Field) -> Column:
+        t = _TYPES[f.dtype]
+        if t == "string":
+            out = raw
+        elif t == "boolean":
+            out = F.when(F.lower(raw).isin("true", "1", "yes", "high"), F.lit(True)).when(
+                F.lower(raw).isin("false", "0", "no", "low"), F.lit(False)
+            )
+        else:
+            out = F.trim(raw).try_cast(t)
+        if f.default is not None:
+            out = F.coalesce(out, F.lit(f.default).cast(t))
+        return out
+
+    def guard(self) -> Column:
+        if self.startswith:
+            return F.col(self.column).startswith(self.startswith)
+        return F.lit(True)
+
+    def apply(self, df: DataFrame, keep: list[str] | None = None) -> DataFrame:
+        arr = self._array()
+        cols: list[Column] = [F.col(c) for c in (keep or [])]
+        for f in self.fields:
+            cols.append(self._cast(F.try_element_at(arr, F.lit(f.index + 1)), f).alias(f.name))
+        for name, kind in self.fillers.items():
+            if kind in ("timestamp", "localdt", "utcdt"):
+                cols.append(F.current_timestamp().alias(name))
+            elif kind == "epoch":
+                cols.append((F.unix_millis(F.current_timestamp())).alias(name))
+        return df.filter(self.guard()).select(*cols)
+
+    def errors(self, df: DataFrame) -> DataFrame:
+        """Rows where any non-defaulted typed field fails to parse —
+        the dead-letter channel (reference keeps per-field error
+        counters, Generic.java:229-292)."""
+        arr = self._array()
+        bad = F.lit(False)
+        for f in self.fields:
+            t = _TYPES[f.dtype]
+            if t in ("string", "boolean") or f.default is not None:
+                continue
+            raw = F.try_element_at(arr, F.lit(f.index + 1))
+            bad = bad | (F.trim(raw).try_cast(t).isNull() & raw.isNotNull())
+        return df.filter(self.guard()).filter(bad)
+
+
+def valmap(
+    df: DataFrame,
+    split: str = ":",
+    multi_delimiter: str | None = None,
+    column: str = "value",
+) -> DataFrame:
+    """key<split>value lines (optionally several records per line) →
+    (key, value) rows. Reference `src/worker/ValMap.java:41-75`."""
+    col = F.col(column)
+    if multi_delimiter:
+        df = df.withColumn(column, F.explode(F.split(col, F.lit(multi_delimiter), -1)))
+        col = F.col(column)
+    key = F.substring_index(col, split, 1)
+    val = F.expr(f"substring({column}, instr({column}, '{split}') + {len(split)})")
+    return df.select(
+        *[c for c in df.columns if c != column],
+        key.alias("key"),
+        F.when(col.contains(split), val).alias("value"),
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All deterministic Catalyst expressions (so the DuckDB oracle replicates
+them exactly) and all narrow maps — at 100 TB these run at scan speed
+with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal stopword profiles for the n-gram/stopword language heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "es": ["el", "los", "las", "una", "por", "que"],
+}
+
+_WORD_RE = r"[A-Za-z]+"
+# BPE-ish tokenizer: word pieces, numbers, or single punctuation marks
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish regex token count (letters / digits / punct pieces)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), 0))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Fraction of words that are marker stopwords for `lang`."""
+    w = words(col)
+    markers = _LANG_MARKERS[lang]
+    hits = F.size(F.filter(w, lambda x: x.isin(*markers)))
+    return hits.cast("double") / F.size(w)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language id: CJK-char ratio → 'zh'; else the stopword
+    profile with the highest hit ratio; 'und' when nothing scores."""
+    cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+    cjk_ratio = cjk.cast("double") / F.greatest(F.length(col), F.lit(1))
+    scores = [(lang, lang_score(col, lang)) for lang in _LANG_MARKERS]
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(cjk_ratio > 0.2, F.lit("zh")).otherwise(best_lang)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length features plus a
+    composite quality score in [0,1]."""
+    col = F.col(text_col)
+    w = words(col)
+    n_chars = F.length(col)
+    n_words = F.size(w)
+    mean_word_len = F.round(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words, 4
+    )
+    punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin("the", "a", "of", "and", "to", "is", "in")))
+    stop_ratio = F.round(stop_hits.cast("double") / F.greatest(n_words, F.lit(1)), 4)
+    upper_ratio = F.round(
+        F.length(F.regexp_replace(col, r"[^A-Z]", "")).cast("double") / F.greatest(n_chars, F.lit(1)), 4
+    )
+    # composite: reward moderate length & stopword presence, punish
+    # extreme punctuation / all-caps (C4/Gopher-style rule scoring)
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 2.5) & (mean_word_len <= 12), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+        + F.when(upper_ratio < 0.3, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        *df.columns,
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        mean_word_len.alias("q_mean_word_len"),
+        punct_ratio.alias("q_punct_ratio"),
+        stop_ratio.alias("q_stop_ratio"),
+        upper_ratio.alias("q_upper_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column, n: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over
+    word 8-shingles of normalized text (order-invariant under exact
+    shingle set; robust to whitespace changes)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    w = F.split(norm, " ")
+    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+    shingles = F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
+    return F.array_min(F.transform(shingles, F.md5))

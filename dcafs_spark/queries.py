@@ -1,0 +1,757 @@
+"""Query catalog: every entry pairs a Spark implementation (built from
+dcafs_spark operators) with an equivalent ANSI-SQL oracle that DuckDB
+runs on the same parquet tables (driver correctness gate).
+
+Conventions for cross-engine hash-match:
+  * every computed column is aliased identically on both sides;
+  * double aggregates are rounded (sums → 2dp, avg/stdev → 4dp,
+    pointwise math → 6dp) so last-ulp differences can't flip the hash;
+  * counts/sizes cast to BIGINT on both sides;
+  * deterministic tiebreaks (id columns) on every top-k / last-value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dcafs_spark.functions.ocean import salinity, sound_velocity
+from dcafs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from dcafs_spark.operators.editor_forward import Edit, EditorForward
+from dcafs_spark.operators.filter_forward import FilterForward
+from dcafs_spark.operators.math_forward import MathForward, MathOp
+from dcafs_spark.operators.projection import Field, Generic, valmap
+from dcafs_spark.operators.similarity import cosine_topk, hyperplanes, lsh_topk
+from dcafs_spark.operators.textan import (
+    lang_id,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+    fingerprint,
+)
+from dcafs_spark.store.rtvals import current_values, history_window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with its TIMESTAMP(NANOS) column exposed twice: `ts_ns`
+    (raw long — use for ordering: exact parity with DuckDB's ns
+    comparisons) and `ts` (µs TimestampType — use for windowing and
+    formatting; generator data never collides below the µs)."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    else:
+        ev = ev.withColumn("ts_ns", F.unix_micros("ts") * 1000)
+    return ev
+
+
+# ---------------------------------------------------------------- dcafs core
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship batch query (TPC-H Q1 shape): scan-side filter pushdown,
+    map-side partial agg, tiny shuffle on the 2-column group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterForward over constructed sensor-style lines: multi-start +
+    math rule; returns accepted ids (reject side = complementary fork)."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        "event_id",
+        F.concat_ws(",", F.col("event_type"), F.col("value"), F.col("user_id")).alias("value_line"),
+    ).withColumnRenamed("value_line", "value")
+    ff = FilterForward(
+        rules=[("start", "click,view"), ("math", "i1 >= 10 && i1 < 90"), ("minitems", "3")],
+        delimiter=",",
+    )
+    ok, _rejected = ff.fork(lines)
+    return ok.select("event_id")
+
+
+SQL_FILTER_FORK = """
+SELECT event_id FROM events
+WHERE (event_type LIKE 'click%' OR event_type LIKE 'view%')
+  AND value >= 10 AND value < 90
+"""
+
+
+def q_math_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MathForward over delimited lines: sequential index assignment
+    (i2 sees updated i1), scale/rounding, rtval-free formulas."""
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(",", F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")).alias("value"),
+    )
+    mf = MathForward(
+        ops=[
+            MathOp("i1", "i1*0.001"),  # price → k-units
+            MathOp("i3", "i0*i1"),  # qty * updated price
+            MathOp("net", "i1*(1-i2)"),
+        ],
+        delimiter=",",
+    )
+    out = mf.apply_typed(lines, keep=["l_orderkey", "l_linenumber"])
+    return out.select("l_orderkey", "l_linenumber", "i1", "i3", "net")
+
+
+SQL_MATH_FORWARD = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * 0.001 AS i1,
+       l_quantity * (l_extendedprice * 0.001) AS i3,
+       (l_extendedprice * 0.001) * (1 - l_discount) AS net
+FROM lineitem
+"""
+
+
+def q_ocean_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSS-78 salinity + Chen&Millero sound velocity as pure column
+    exprs over synthetic CTD channels derived from lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    ctd = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_discount") * 5 + 3).alias("cond"),
+        (F.col("l_tax") * 100).alias("temp"),
+        (F.col("l_quantity") * 2).alias("press"),
+    )
+    sal = salinity(F.col("cond"), F.col("temp"), F.col("press"))
+    return ctd.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(sal, 6).alias("salinity_psu"),
+        F.round(sound_velocity(sal, F.col("temp"), F.col("press")), 6).alias("soundvel_ms"),
+    )
+
+
+def _sql_salinity(c: str, t: str, p: str) -> str:
+    """Unrolled PSS-78 matching functions/ocean.py op-for-op."""
+    cc = f"({c} * 10.0)"
+    tt = f"({t} * 1.00024)"
+    r = f"({cc} / 42.914)"
+    val = f"(1.0 + 0.03426*{tt} + 0.0004464*{tt}*{tt} + 0.4215*{r} + -0.003107*{r}*{tt})"
+    rp = f"(1.0 + ({p} * (0.0000207 + {p} * (-0.000000000637 + {p} * 0.000000000000003989))) / {val})"
+    rtden = f"({rp} * (0.6766097 + ({tt} * (0.0200564 + {tt} * (0.0001104259 + {tt} * (-0.00000069698 + {tt} * 0.0000000010031))))))"
+    rt0 = f"({r} / {rtden})"
+    rt = f"(CASE WHEN {rt0} <= 0.0 THEN 0.000001 ELSE {rt0} END)"
+    a = (0.0080, -0.1692, 25.3851, 14.0941, -7.0261, 2.7081)
+    b = (0.0005, -0.0056, -0.0066, -0.0375, 0.0636, -0.0144)
+    sum1 = "0.0"
+    sum2 = "0.0"
+    for i in range(6):
+        pw = f"pow({rt}, {i / 2.0!r})"
+        sum1 = f"({sum1} + {a[i]!r} * {pw})"
+        sum2 = f"({sum2} + {b[i]!r} * {pw})"
+    res = f"({sum1} + {sum2} * ({tt} - 15.0) / (1.0 + 0.0162 * ({tt} - 15.0)))"
+    return f"(CASE WHEN {c} <= 0.0 THEN 0.0 ELSE {res} END)"
+
+
+def _sql_soundvel(s: str, t: str, p_db: str) -> str:
+    t68 = f"({t} * 1.00024)"
+    p = f"({p_db} / 10.0)"
+    s_ = f"(CASE WHEN {s} < 0.0 THEN 0.0 ELSE {s} END)"
+    sr = f"sqrt({s_})"
+    d = f"(0.001727 - 0.0000079836 * {p})"
+    b1 = f"(0.000073637 + 0.00000017945 * {t68})"
+    b0 = f"(-0.01922 - 0.0000442 * {t68})"
+    b = f"({b0} + {b1} * {p})"
+    a3 = f"((-0.0000000000003389 * {t68} + 0.000000000006649) * {t68} + 0.00000000011)"
+    a2 = f"(((0.000000000007988 * {t68} - 0.00000000016002) * {t68} + 0.0000000091041) * {t68} - 0.00000039064)"
+    a1 = f"((((-0.00000000020122 * {t68} + 0.000000010507) * {t68} - 0.000000064885) * {t68} - 0.000012580) * {t68} + 0.000094742)"
+    a0 = f"((((-0.0000000321 * {t68} + 0.000002006) * {t68} + 0.00007164) * {t68} - 0.01262) * {t68} + 1.389)"
+    a = f"((({a3} * {p} + {a2}) * {p} + {a1}) * {p} + {a0})"
+    c3 = f"((-0.0000000000023643 * {t68} + 0.00000000038504) * {t68} - 0.0000000097729)"
+    c2 = f"((((0.0000000000010405 * {t68} - 0.00000000025335) * {t68} + 0.000000025974) * {t68} - 0.0000017107) * {t68} + 0.00003126)"
+    c1 = f"((((-0.00000000061185 * {t68} + 0.00000013621) * {t68} - 0.0000081788) * {t68} + 0.00068982) * {t68} + 0.153563)"
+    c0 = f"(((((0.0000000031464 * {t68} - 0.000001478) * {t68} + 0.0003342) * {t68} - 0.0580852) * {t68} + 5.03711) * {t68} + 1402.388)"
+    c = f"((({c3} * {p} + {c2}) * {p} + {c1}) * {p} + {c0})"
+    return f"({c} + ({a} + {b} * {sr} + {d} * {s_}) * {s_})"
+
+
+_SAL = _sql_salinity("(l_discount * 5 + 3)", "(l_tax * 100)", "(l_quantity * 2)")
+SQL_OCEAN = f"""
+SELECT l_orderkey, l_linenumber,
+       round({_SAL}, 6) AS salinity_psu,
+       round({_sql_soundvel(_SAL, "(l_tax * 100)", "(l_quantity * 2)")}, 6) AS soundvel_ms
+FROM lineitem
+"""
+
+
+def q_editor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EditorForward chain: redate + rexreplace + prepend + trim over
+    event timestamps rendered as text lines."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("value"))
+    ed = EditorForward(
+        edits=[
+            Edit("redate", {"from": "yyyy-MM-dd HH:mm:ss", "to": "dd/MM/yyyy HH:mm"}),
+            Edit("rexreplace", {"regex": "/", "replacement": "-"}),
+            Edit("prepend", {"text": "TS:"}),
+        ]
+    )
+    return ed.apply(lines).select("event_id", F.col("value").alias("edited"))
+
+
+SQL_EDITOR = """
+SELECT event_id, 'TS:' || strftime(ts, '%d-%m-%Y %H:%M') AS edited FROM events
+"""
+
+
+def q_generic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic 'nrs' mode: extract numbers from semi-structured props
+    and type them, with defaults for missing fields."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select("event_id", F.col("props").alias("value"))
+    g = Generic(fields=[Field("k_value", 0, "integer", default=-1)], nrs_mode=True)
+    return g.apply(lines, keep=["event_id"])
+
+
+SQL_GENERIC = """
+SELECT event_id,
+       coalesce(TRY_CAST(regexp_extract(props, '-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?', 0) AS INT), -1) AS k_value
+FROM events
+"""
+
+
+def q_valmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValMap: multi-record key:value lines → exploded (key, value)."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("type:"),
+            F.col("event_type"),
+            F.lit(";val:"),
+            F.round(F.col("value"), 3).cast("string"),
+            F.lit(";user:"),
+            F.col("user_id"),
+        ).alias("value"),
+    )
+    return valmap(lines, split=":", multi_delimiter=";").select("event_id", "key", "value")
+
+
+SQL_VALMAP = """
+SELECT event_id, split_part(kv, ':', 1) AS key, split_part(kv, ':', 2) AS value
+FROM (SELECT event_id,
+             unnest(string_split('type:' || event_type || ';val:' || CAST(round(value, 3) AS VARCHAR)
+                                 || ';user:' || CAST(user_id AS VARCHAR), ';')) AS kv
+      FROM events)
+"""
+
+
+def q_current_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rtvals store, batch flavor: last/min/max/avg/stdev per key."""
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        F.col("event_type").alias("group"),
+        (F.col("user_id") % 10).cast("string").alias("name"),
+        F.col("value"),
+        F.struct(F.col("ts_ns"), F.col("event_id")).alias("ord"),
+    )
+    out = keyed.groupBy("group", "name").agg(
+        F.max_by("value", F.col("ord")).alias("last_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stdev_value"),
+        F.count("*").alias("n_updates"),
+    )
+    return out.select(
+        "group", "name", F.round("last_value", 6).alias("last_value"),
+        "min_value", "max_value", "avg_value", "stdev_value", "n_updates",
+    )
+
+
+SQL_CURRENT_VALUES = """
+WITH keyed AS (
+  SELECT event_type AS "group", CAST(user_id % 10 AS VARCHAR) AS name, value, ts, event_id
+  FROM events
+), last_v AS (
+  SELECT "group", name, value AS last_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY "group", name ORDER BY ts DESC, event_id DESC) AS rn FROM keyed)
+  WHERE rn = 1
+)
+SELECT k."group", k.name,
+       round(any_value(l.last_value), 6) AS last_value,
+       round(min(k.value), 6) AS min_value,
+       round(max(k.value), 6) AS max_value,
+       round(avg(k.value), 4) AS avg_value,
+       round(stddev_samp(k.value), 4) AS stdev_value,
+       count(*) AS n_updates
+FROM keyed k JOIN last_v l ON k."group" = l."group" AND k.name = l.name
+GROUP BY k."group", k.name
+"""
+
+
+def q_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History ring buffer: rolling last-5 avg + stdev (NULL until the
+    window is full — RealVal NaN-until-full semantics)."""
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        F.col("event_type").alias("group"),
+        F.lit("v").alias("name"),
+        F.col("value"),
+        F.col("ts_ns"),
+        F.col("event_id"),
+    )
+    out = history_window(keyed, n=5, ts="ts_ns", order_tiebreak="event_id")
+    return out.select(
+        "event_id", "group", F.round("hist_avg", 4).alias("hist_avg"),
+        F.round("hist_stdev", 4).alias("hist_stdev"), F.col("hist_n").cast("long").alias("hist_n"),
+    )
+
+
+SQL_HISTORY = """
+SELECT event_id, event_type AS "group",
+       round(round(avg(value) OVER w, 3), 4) AS hist_avg,
+       round(CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END, 4) AS hist_stdev,
+       count(value) OVER w AS hist_n
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static-style enrichment join: orders → customer → nation
+    → region (dims broadcast), revenue per region/nation."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order value (TakeOrderedAndProject — no full
+    sort at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_value"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_value"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total_value, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_value DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders per customer by price."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window (streaming rollover analogue — SQLiteDB
+    rollover units, batch flavor): hourly per-type aggregates."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- LLM-data extensions
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("content_hash", "doc_id", F.col("n_copies").cast("long").alias("n_copies"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ synthetic near-duplicates (first 50 docs with a
+    token appended) — gives the near-dup detectors real positives."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduplicate")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+_SQL_NEAR_CORPUS = """
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id, text || ' zzduplicate' AS text FROM documents WHERE doc_id < 50)
+"""
+
+
+def _sql_shingles(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(words)-{n - 1}, 1)+1),"
+        f" i -> array_to_string(words[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _sql_minhash(num: int) -> str:
+    parts = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min')" for j in range(num)
+    )
+    return f"[{parts}]"
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _sql_minhash_lsh() -> str:
+    rows = 4  # 16 hashes / 4 bands
+    band_selects = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        band_selects.append(f"SELECT doc_id, sig, {b} AS band, md5({cols}) AS bucket FROM sig")
+    return f"""
+WITH corpus AS {_SQL_NEAR_CORPUS},
+w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles FROM w),
+sig AS (SELECT doc_id, {_sql_minhash(16)} AS sig FROM sh),
+banded AS (
+  {" UNION ALL ".join(band_selects)}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 4) AS est_jaccard
+FROM cand
+WHERE round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 4) >= 0.5
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, shingle_n=3, threshold=0.6, bucket_hashes=4)
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH corpus AS {_SQL_NEAR_CORPUS},
+w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles(3)} AS sh FROM w),
+sig AS (SELECT doc_id, sh, unnest({_sql_minhash(4).replace("shingles", "sh")}) AS bucket FROM sh),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b)) * 1.0 / len(list_distinct(sh_a || sh_b)), 4) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sh_a, sh_b)) * 1.0 / len(list_distinct(sh_a || sh_b)), 4) >= 0.6
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash32(F.col("text")).alias("fp"))
+
+
+_HEXVAL = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+th AS (SELECT doc_id, w,
+        ({_HEXVAL.format(i=1)}) * 268435456.0 + ({_HEXVAL.format(i=2)}) * 16777216.0
+      + ({_HEXVAL.format(i=3)}) * 1048576.0 + ({_HEXVAL.format(i=4)}) * 65536.0
+      + ({_HEXVAL.format(i=5)}) * 4096.0 + ({_HEXVAL.format(i=6)}) * 256.0
+      + ({_HEXVAL.format(i=7)}) * 16.0 + ({_HEXVAL.format(i=8)}) AS h
+      FROM toks),
+bits AS (SELECT doc_id, b.b AS b,
+         sum(CASE WHEN CAST(floor(h / pow(2.0, b.b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) b GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return cosine_topk(corpus, queries, k=5)
+
+
+SQL_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64)
+
+
+def _sql_similarity_lsh() -> str:
+    planes = hyperplanes(64, 8, 42)
+    plane_lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(8)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+qb AS (SELECT query_id, v AS qv, {bucket} AS bucket FROM q),
+cb AS (SELECT vec_id, v AS cv, {bucket} AS bucket FROM c),
+scored AS (
+  SELECT qb.query_id, cb.vec_id,
+         round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM cb JOIN qb USING (bucket)
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_words").cast("long").alias("q_words"),
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_stop_ratio",
+        "q_upper_ratio",
+        "quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         string_split(lower(trim(text)), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, len(w) AS n_words,
+         round(list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w), 4) AS mean_word_len,
+         round(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','is','in'], x))) * 1.0 / greatest(len(w), 1), 4) AS stop_ratio,
+         round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS upper_ratio
+  FROM f
+)
+SELECT doc_id, n_chars AS q_chars, n_words AS q_words,
+       mean_word_len AS q_mean_word_len, punct_ratio AS q_punct_ratio,
+       stop_ratio AS q_stop_ratio, upper_ratio AS q_upper_ratio,
+       round((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio > 0.01 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END)
+           + (CASE WHEN upper_ratio < 0.3 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+FROM g
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+SQL_LANG_ID = r"""
+WITH f AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w,
+         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 1.0 / greatest(length(text), 1) AS cjk_ratio
+  FROM documents
+), s AS (
+  SELECT doc_id, cjk_ratio,
+    len(list_filter(w, x -> list_contains(['the','and','of','to','is','a'], x))) * 1.0 / len(w) AS s_en,
+    len(list_filter(w, x -> list_contains(['le','la','et','les','des','une'], x))) * 1.0 / len(w) AS s_fr,
+    len(list_filter(w, x -> list_contains(['der','die','und','das','nicht','ist'], x))) * 1.0 / len(w) AS s_de,
+    len(list_filter(w, x -> list_contains(['el','los','las','una','por','que'], x))) * 1.0 / len(w) AS s_es
+  FROM f
+)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_es > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text"), 8).alias("fp"))
+
+
+SQL_FINGERPRINT = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform(
+         list_transform(range(1, greatest(len(words)-7, 1)+1), i -> array_to_string(words[i:i+7], ' ')),
+         s -> md5(s)), 'min') AS fp
+FROM w
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
+    "math_forward": (q_math_forward, SQL_MATH_FORWARD),
+    "ocean_functions": (q_ocean_functions, SQL_OCEAN),
+    "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
+    "generic_projection": (q_generic_projection, SQL_GENERIC),
+    "valmap_kv": (q_valmap, SQL_VALMAP),
+    "current_values": (q_current_values, SQL_CURRENT_VALUES),
+    "history_window": (q_history_window, SQL_HISTORY),
+    "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
+    "topk_customers": (q_topk_customers, SQL_TOPK),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
+    "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+}

@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same configs are what we'd set on a
+real cluster (AQE on, skew-join handling, sensible shuffle partitions).
+Timezone is pinned to UTC so timestamp semantics match the DuckDB oracle
+and are deterministic across hosts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "dcafs_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    At 100 TB these same knobs apply: AQE coalesces post-shuffle
+    partitions and splits skewed ones at runtime, so a static
+    ``shuffle.partitions`` only needs to be an upper bound sized to the
+    cluster (e.g. 2-3x total cores), not hand-tuned per query.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores TIMESTAMP(NANOS) parquet; Spark has no
+        # ns timestamps — read as long, convert at the edge (queries._events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load the driver-provided parquet tables and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

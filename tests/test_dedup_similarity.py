@@ -1,0 +1,83 @@
+"""Dedup + similarity operators: planted near-dups must be found;
+brute-force vs LSH agreement on self-similarity."""
+
+from pyspark.sql import functions as F
+
+from dcafs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dcafs_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "completely different words about spark catalyst optimizer plans"),
+        (4, base),  # exact dup of 1
+        (5, "another unrelated document mentioning shuffles and partitions only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1+4 collapse, keep min id
+    assert out.count() == 4
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup: jaccard 1.0
+    assert (1, 2) in got or (2, 4) in got  # near dup
+    assert all(a < b for a, b in got)
+
+
+def test_ngram_jaccard(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 3) not in got
+
+
+def test_simhash_near_zero_hamming_for_dups(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 4)] == 0
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark):
+    emb = _vectors(spark)
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb.filter("vec_id > 0"), q, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2]  # most similar first
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_lsh_topk_self_bucket(spark):
+    emb = _vectors(spark)
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, q, k=1, n_planes=4, dim=4).collect()
+    # identical vector lands in the same bucket and ranks first
+    assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] == 1.0

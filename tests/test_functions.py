@@ -1,0 +1,98 @@
+"""Domain function library: ocean goldens, checksums, geo, bits, time."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.functions.bits import bcd_to_int, hex_to_int, int_to_bcd, signed_nbit
+from dcafs_spark.functions.checksum import crc16_modbus, nmea_checksum, nmea_checksum_ok
+from dcafs_spark.functions.geo import bearing_deg, haversine_km, nmea_degrees, utm_from_gdc
+from dcafs_spark.functions.ocean import salinity, sound_velocity, true_wind_dir, true_wind_speed
+from dcafs_spark.functions.timefn import millisdate, redate
+
+
+def one(spark, col, alias="r"):
+    return spark.range(1).select(col.alias(alias)).first()[alias]
+
+
+def test_salinity_standard_seawater(spark):
+    # PSS-78 definition point: R=1 (C=4.2914 S/m), T=15 °C IPTS-68, P=0 → 35 PSU
+    got = one(spark, salinity(F.lit(4.2914), F.lit(15.0 / 1.00024), F.lit(0.0)))
+    assert got == pytest.approx(35.0, abs=1e-6)
+
+
+def test_salinity_zero_conductivity(spark):
+    assert one(spark, salinity(F.lit(0.0), F.lit(10.0), F.lit(0.0))) == 0.0
+
+
+def test_sound_velocity_chen_millero(spark):
+    # Chen & Millero check value: S=35, T=10 (ITS-68 10.0024/1.00024), P=100 dbar
+    got = one(spark, sound_velocity(F.lit(35.0), F.lit(10.0 / 1.00024), F.lit(100.0)))
+    assert got == pytest.approx(1490.55, abs=1.0)
+
+
+def test_true_wind_zero_motion(spark):
+    # stationary ship: true wind == apparent wind
+    spd = one(spark, true_wind_speed(F.lit(10.0), F.lit(45.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)))
+    assert spd == pytest.approx(10.0, abs=1e-4)
+    d = one(spark, true_wind_dir(F.lit(10.0), F.lit(45.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)))
+    assert d == pytest.approx(45.0, abs=0.1)
+
+
+def test_nmea_checksum(spark):
+    s = "$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,*47"
+    assert one(spark, nmea_checksum(F.lit(s))) == "47"
+    assert one(spark, nmea_checksum_ok(F.lit(s))) is True
+    assert one(spark, nmea_checksum_ok(F.lit(s.replace("*47", "*48")))) is False
+
+
+def test_crc16_modbus(spark):
+    # classic modbus example frame 01 04 02 FF FF → CRC B8 80 (0x80B8)
+    df = spark.createDataFrame([(bytearray([0x01, 0x04, 0x02, 0xFF, 0xFF]),)], "data binary")
+    got = df.select(crc16_modbus(F.col("data")).alias("c")).first()["c"]
+    assert got == 0x80B8
+
+
+def test_haversine_bearing(spark):
+    # Paris → London ≈ 344 km, initial bearing ≈ 330°
+    d = one(spark, haversine_km(F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)))
+    assert d == pytest.approx(344, abs=3)
+    b = one(spark, bearing_deg(F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)))
+    assert b == pytest.approx(330, abs=2)
+
+
+def test_nmea_degrees(spark):
+    got = one(spark, nmea_degrees(F.lit(4807.038), F.lit("N")))
+    assert got == pytest.approx(48.1173, abs=1e-4)
+    got = one(spark, nmea_degrees(F.lit(4807.038), F.lit("S")))
+    assert got == pytest.approx(-48.1173, abs=1e-4)
+
+
+def test_utm_known_point(spark):
+    # Ghent ≈ 51.05N, 3.73E → zone 31U, E≈551k N≈5655k
+    st = one(spark, utm_from_gdc(F.lit(51.05), F.lit(3.7303)))
+    assert st["zone"] == 31
+    assert st["easting"] == pytest.approx(551000, abs=2000)
+    assert st["northing"] == pytest.approx(5656000, abs=2000)
+
+
+def test_signed_bits(spark):
+    assert one(spark, signed_nbit(F.lit(0xFF), 8)) == -1
+    assert one(spark, signed_nbit(F.lit(0x7F), 8)) == 127
+    assert one(spark, signed_nbit(F.lit(0x800), 12)) == -2048
+    assert one(spark, signed_nbit(F.lit(0x3FF), 10)) == -1
+
+
+def test_bcd_hex(spark):
+    assert one(spark, bcd_to_int(F.lit(0x25))) == 25
+    assert one(spark, int_to_bcd(F.lit(25))) == 0x25
+    assert one(spark, hex_to_int(F.lit("0x1A2B"))) == 0x1A2B
+    assert one(spark, hex_to_int(F.lit("ff"))) == 255
+
+
+def test_redate_millisdate(spark):
+    got = one(spark, redate(F.lit("16:25:12"), "HH:mm:ss", "HH.mm"))
+    assert got == "16.25"
+    got = one(spark, redate(F.lit("2024-01-02"), "yyyy-MM-dd", "dd/MM/yyyy"))
+    assert got == "02/01/2024"
+    got = one(spark, millisdate(F.lit("1704153600000"), "yyyy-MM-dd"))
+    assert got == "2024-01-02"

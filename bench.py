@@ -27,8 +27,15 @@ def main() -> None:
     spark = get_spark("dcafs_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: prime JVM + parquet footers with the flagship query
-    QUERIES["pricing_summary"][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # warmup: run every query once at the smallest SF — compiles the
+    # whole-stage-codegen for each plan (lambda-heavy dedup plans cost
+    # seconds to janino-compile on first execution) so the timed pass
+    # below measures steady-state execution, not compiler latency
+    warm_dir = "/root/testdata/sf0.001"
+    for _name, (fn, _sql) in QUERIES.items():
+        fn(spark, warm_dir if os.path.isdir(warm_dir) else SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():

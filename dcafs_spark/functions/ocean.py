@@ -69,6 +69,70 @@ def sound_velocity(sal: Column, temp: Column, press_db: Column) -> Column:
     return c + (a + b * sr + d * s) * s
 
 
+def ctd_derive(
+    df,
+    cond: str = "cond",
+    temp: str = "temp",
+    press: str = "press",
+    sal_out: str = "salinity_psu",
+    svc_out: str = "soundvel_ms",
+):
+    """Staged salinity + sound-velocity over a CTD DataFrame.
+
+    Same arithmetic as :func:`salinity` / :func:`sound_velocity`, but
+    each shared subterm (t68, rt, the salinity result feeding soundvel)
+    is materialized as its own projected column. Column-level
+    composition would inline the full ``rt`` tree 12× (once per pow)
+    and the whole salinity tree again inside soundvel — a combinatorial
+    expression blow-up that overwhelms codegen (observed 50× slowdown
+    at sf0.1). Catalyst's CollapseProject keeps non-cheap aliases that
+    are referenced more than once as separate projections, so every
+    subterm below is computed exactly once per row inside one
+    whole-stage-codegen span.
+    """
+    t = F.col("_t68")
+    p = F.col("_svp")
+    r = F.col("_r")
+    rt = F.col("_rt")
+    df = (
+        df.withColumn("_t68", F.col(temp) * 1.00024)
+        .withColumn("_svp", F.col(press) / 10.0)
+        .withColumn("_r", (F.col(cond) * 10.0) / 42.914)
+    )
+    val = F.lit(1.0) + _B1 * t + _B2 * t * t + _B3 * r + _B4 * r * t
+    rp = F.lit(1.0) + (F.col(press) * (_A1 + F.col(press) * (_A2 + F.col(press) * _A3))) / val
+    rt_den = rp * (_C0 + (t * (_C1 + t * (_C2 + t * (_C3 + t * _C4)))))
+    rt0 = r / rt_den
+    df = df.withColumn("_rt", F.when(rt0 <= 0.0, F.lit(0.000001)).otherwise(rt0))
+    sum1 = F.lit(0.0)
+    sum2 = F.lit(0.0)
+    for i in range(6):
+        pw = F.pow(rt, i / 2.0)
+        sum1 = sum1 + _SAL_A[i] * pw
+        sum2 = sum2 + _SAL_B[i] * pw
+    res = sum1 + sum2 * (t - 15.0) / (F.lit(1.0) + 0.0162 * (t - 15.0))
+    df = df.withColumn(sal_out, F.when(F.col(cond) <= 0.0, F.lit(0.0)).otherwise(res))
+
+    s = F.col("_s")
+    df = df.withColumn("_s", F.when(F.col(sal_out) < 0.0, F.lit(0.0)).otherwise(F.col(sal_out)))
+    d = 1.727e-3 - 7.9836e-6 * p
+    b1 = 7.3637e-5 + 1.7945e-7 * t
+    b0 = -1.922e-2 - 4.42e-5 * t
+    b = b0 + b1 * p
+    a3 = (-3.389e-13 * t + 6.649e-12) * t + 1.100e-10
+    a2 = ((7.988e-12 * t - 1.6002e-10) * t + 9.1041e-9) * t - 3.9064e-7
+    a1 = (((-2.0122e-10 * t + 1.0507e-8) * t - 6.4885e-8) * t - 1.2580e-5) * t + 9.4742e-5
+    a0 = (((-3.21e-8 * t + 2.006e-6) * t + 7.164e-5) * t - 1.262e-2) * t + 1.389
+    a = ((a3 * p + a2) * p + a1) * p + a0
+    c3 = (-2.3643e-12 * t + 3.8504e-10) * t - 9.7729e-9
+    c2 = (((1.0405e-12 * t - 2.5335e-10) * t + 2.5974e-8) * t - 1.7107e-6) * t + 3.1260e-5
+    c1 = (((-6.1185e-10 * t + 1.3621e-7) * t - 8.1788e-6) * t + 6.8982e-4) * t + 0.153563
+    c0 = ((((3.1464e-9 * t - 1.47800e-6) * t + 3.3420e-4) * t - 5.80852e-2) * t + 5.03711) * t + 1402.388
+    c = ((c3 * p + c2) * p + c1) * p + c0
+    df = df.withColumn(svc_out, c + (a + b * F.sqrt(s) + d * s) * s)
+    return df.drop("_t68", "_svp", "_r", "_rt", "_s")
+
+
 def _true_wind_uv(windvel: Column, winddir: Column, sog_knots: Column, cog: Column, heading: Column):
     cog_eff = F.when(cog < 0, heading).otherwise(cog)
     app = F.radians(270.0 - (heading + winddir))

@@ -56,27 +56,51 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+_MINHASH_M = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 1) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) for the K permutation hashes — shared by
+    the Spark implementation and the generated SQL oracle."""
+    import random
+
+    rnd = random.Random(seed)
+    return (
+        [rnd.randrange(1, _MINHASH_M) for _ in range(num_hashes)],
+        [rnd.randrange(0, _MINHASH_M) for _ in range(num_hashes)],
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """K portable minhashes: min over shingles of md5(seed || ':' || s).
+    """K portable minhashes via one md5 per shingle + K universal-hash
+    permutations: h = md5_60bit(s) mod M; h_j = (a_j*h + b_j) mod M.
 
-    md5-hex strings compare lexicographically the same in Spark and
-    DuckDB → the oracle replicates exactly. array<string> length K.
+    One md5 per shingle (not per shingle×seed — 16x cheaper) and every
+    step is portable 64-bit integer arithmetic, so a DuckDB oracle
+    replicates bit-for-bit (('0x'||hex)::BIGINT). Products stay < 2^62
+    (h, a_j < 2^31), no overflow on either engine. array<long> length K.
 
-    Single pass over the shingle array: each shingle hashes to all K
-    seeds at once, then one fold takes the per-seed minimum with
-    zip_with(least). (K separate array_min(transform(...)) calls would
-    re-expand the shingle-construction expression K times — measured
-    ~12x slower at sf0.1.)
+    Single fold over the shingle array: zip_with(least) accumulates the
+    per-seed minimum; the lambda-bound element means md5 evaluates once
+    per shingle regardless of K.
 
     NB: single-arg lambdas only — F.transform dispatches on lambda
     arity and would pass the element index into a second parameter."""
-
-    def _hash_all(s: Column) -> Column:
-        return F.array(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(num_hashes)])
-
-    hashed = F.transform(shingles, _hash_all)
-    init = F.array_repeat(F.lit("g" * 32), num_hashes)  # 'g' > any hex digit
-    return F.aggregate(hashed, init, lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)))
+    a, b = minhash_coeffs(num_hashes)
+    base = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MINHASH_M,
+    )
+    init = F.array_repeat(F.lit(_MINHASH_M).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(h * F.lit(a[j]) + F.lit(b[j])) % _MINHASH_M for j in range(num_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -188,19 +212,22 @@ def simhash32(col: Column) -> Column:
     where the token's md5 bit b decides the sign. Pure Catalyst
     (aggregate over an int-array state); one pass per document."""
     words = F.split(normalize_text(col), " ")
-    # per-token 32-bit value from first 8 md5 hex chars
-    tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
+    # per-token 32-bit value from first 8 md5 hex chars — materialized
+    # as its own array so each token is md5'd ONCE, not once per bit
+    # (inlining tok_hash inside the bit lambda re-expands the md5 tree
+    # 32x per token — measured ~8x slower at sf0.1)
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
     # bit b of h = floor(h / 2^b) % 2 (shiftright needs a literal count,
     # but 2^b is exact in double for b<=31 so pow-division is identical)
     bit = lambda h, b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
     counters = F.aggregate(
-        words,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 32),
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(31)),
-                lambda b: F.when(bit(tok_hash(w), b) == 1, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
+                lambda b: F.when(bit(h, b) == 1, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
             ),
             lambda a, d: a + d,
         ),

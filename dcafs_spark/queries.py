@@ -17,9 +17,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dcafs_spark.functions.ocean import salinity, sound_velocity
+from dcafs_spark.functions.ocean import ctd_derive
 from dcafs_spark.operators.dedup import (
     exact_dedup,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash32,
@@ -36,11 +37,18 @@ from dcafs_spark.operators.textan import (
     token_count_ws,
     fingerprint,
 )
+from dcafs_spark.session import ensure_parallelism
 from dcafs_spark.store.rtvals import current_values, history_window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the doc corpus ships as one row
+    group (scans as 1-2 tasks) but feeds hash-heavy per-row compute."""
+    return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,12 +171,12 @@ def q_ocean_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_tax") * 100).alias("temp"),
         (F.col("l_quantity") * 2).alias("press"),
     )
-    sal = salinity(F.col("cond"), F.col("temp"), F.col("press"))
-    return ctd.select(
+    out = ctd_derive(ctd)
+    return out.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(sal, 6).alias("salinity_psu"),
-        F.round(sound_velocity(sal, F.col("temp"), F.col("press")), 6).alias("soundvel_ms"),
+        F.round("salinity_psu", 6).alias("salinity_psu"),
+        F.round("soundvel_ms", 6).alias("soundvel_ms"),
     )
 
 
@@ -456,7 +464,7 @@ _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs).select("content_hash", "doc_id", F.col("n_copies").cast("long").alias("n_copies"))
 
 
@@ -469,7 +477,7 @@ FROM documents GROUP BY 1
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ synthetic near-duplicates (first 50 docs with a
     token appended) — gives the near-dup detectors real positives."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzduplicate")).alias("text"),
@@ -491,9 +499,17 @@ def _sql_shingles(n: int) -> str:
     )
 
 
+_MINHASH_M = 2147483647
+
+
 def _sql_minhash(num: int) -> str:
+    """Same scheme as operators.dedup.minhash_signature: one 60-bit
+    md5-derived base hash per shingle, K universal-hash permutations."""
+    a, b = minhash_coeffs(num)
+    base = f"list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MINHASH_M})"
     parts = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min')" for j in range(num)
+        f"list_aggregate(list_transform({base}, h -> (h * {a[j]} + {b[j]}) % {_MINHASH_M}), 'min')"
+        for j in range(num)
     )
     return f"[{parts}]"
 
@@ -507,7 +523,7 @@ def _sql_minhash_lsh() -> str:
     rows = 4  # 16 hashes / 4 bands
     band_selects = []
     for b in range(4):
-        cols = " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        cols = " || '|' || ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
         band_selects.append(f"SELECT doc_id, sig, {b} AS band, md5({cols}) AS bucket FROM sig")
     return f"""
 WITH corpus AS {_SQL_NEAR_CORPUS},
@@ -551,7 +567,7 @@ WHERE round(len(list_intersect(sh_a, sh_b)) * 1.0 / len(list_distinct(sh_a || sh
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", simhash32(F.col("text")).alias("fp"))
 
 
@@ -627,7 +643,7 @@ WHERE rank <= 5
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     out = quality_features(docs)
     return out.select(
         "doc_id",
@@ -668,7 +684,7 @@ FROM g
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
@@ -685,7 +701,7 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -714,7 +730,7 @@ FROM s
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text"), 8).alias("fp"))
 
 

@@ -59,6 +59,24 @@ def get_spark(app_name: str = "dcafs_spark", shuffle_partitions: int | None = No
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the plan has fewer partitions than cores.
+
+    Small single-row-group parquet files scan as 1-2 tasks, starving a
+    compute-heavy downstream map (minhash/simhash over documents). At
+    real scale the scan already yields thousands of splits, so this is
+    a no-op there — the repartition (one pass over the projected
+    columns) only fires on under-split inputs where the downstream
+    per-row compute dominates it by 10-100x.
+    """
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load the driver-provided parquet tables and register temp views."""
     out: dict[str, DataFrame] = {}

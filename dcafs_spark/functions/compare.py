@@ -40,6 +40,58 @@ _OPS: dict[str, Callable[[Column, float], Column]] = {
 _NUM = r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"
 
 
+class _PyBool:
+    """Boolean shim honoring Column-style `&` / `~` composition."""
+
+    def __init__(self, v: bool):
+        self.v = bool(v)
+
+    def __and__(self, other: "_PyBool") -> "_PyBool":
+        return _PyBool(self.v and other.v)
+
+    def __invert__(self) -> "_PyBool":
+        return _PyBool(not self.v)
+
+
+class _PyVal:
+    """Float shim: comparison ops return _PyBool, so the SAME compiled
+    predicate lambdas (written against Column semantics) evaluate
+    driver-side — one grammar, two execution targets."""
+
+    def __init__(self, x: float):
+        self.x = x
+
+    def __lt__(self, v):
+        return _PyBool(self.x < v)
+
+    def __le__(self, v):
+        return _PyBool(self.x <= v)
+
+    def __gt__(self, v):
+        return _PyBool(self.x > v)
+
+    def __ge__(self, v):
+        return _PyBool(self.x >= v)
+
+    def __eq__(self, v):
+        return _PyBool(self.x == v)
+
+    def __ne__(self, v):
+        return _PyBool(self.x != v)
+
+
+def compile_compare_py(spec: str) -> Callable[[float], bool]:
+    """Same grammar, evaluated on plain Python floats (used by the
+    driver-side trigger/task engines where no DataFrame is in play)."""
+    fn = compile_compare(spec)
+
+    def check(x: float) -> bool:
+        r = fn(_PyVal(x))
+        return r.v if isinstance(r, _PyBool) else bool(r)
+
+    return check
+
+
 def _invert(op: str) -> str:
     return {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}[op]
 

@@ -114,7 +114,13 @@ class MathForward:
                 s = F.when(v == F.floor(v), v.cast("decimal(38,0)").cast("string")).otherwise(
                     v.cast("string")
                 )
-                out = F.when(i == k, s).otherwise(out)
+                # null result (unparseable/missing input field) keeps the
+                # original text: the reference bails out of ops on
+                # non-numeric fields and forwards the line unchanged
+                # (MathForward.java:234-250). Writing null here would be
+                # worse than a wrong value — concat_ws DROPS nulls,
+                # silently shifting every later field left by one.
+                out = F.when((i == k) & v.isNotNull(), s).otherwise(out)
             return out
 
         new_line = F.concat_ws(self.delimiter, F.transform(arr, rewrite))

@@ -1,0 +1,133 @@
+"""Waypoints: geofence circles with ENTER/LEAVE event detection.
+
+Parity target: reference `src/util/gis/Waypoint.java:21-30,71-105` —
+a waypoint is a (lat, lon, radius) circle; a position stream drives a
+state machine INSIDE/OUTSIDE whose transitions emit ENTER/LEAVE (and
+trigger travel commands, `Waypoints.java:285-316`). Distance/bearing
+helpers in `src/util/gis/GisTools.java:117-213`.
+
+Spark-first: batch/replay flavor is a pure plan — haversine distance
+expression + a lag window per (track, waypoint) to find transitions.
+No state machine code at all: the "state" IS the previous row's
+inside-flag, which is exactly `lag()`. Scale: one window sort per
+track partition; tracks are independent → embarrassingly parallel.
+
+The streaming flavor keeps per-track state across micro-batches with
+the same transition rule applied in `applyInPandas` per key — state =
+last inside-flag per (track, waypoint), carried via a driver-side dict
+in foreachBatch (track cardinality = fleet size, tiny) or
+applyInPandasWithState for unbounded track counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dcafs_spark.functions.geo import haversine_km
+
+
+@dataclass
+class Waypoint:
+    id: str
+    lat: float
+    lon: float
+    radius_km: float
+
+
+def waypoint_events(
+    df: DataFrame,
+    waypoints: list[Waypoint],
+    lat: str = "lat",
+    lon: str = "lon",
+    track: str = "track_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Position stream × waypoints → rows with distance, inside-flag,
+    and event ∈ {ENTER, LEAVE, NULL}.
+
+    The waypoint list is a literal inline table (broadcast by
+    construction — it's bounded config, like the reference's XML set),
+    cross-joined narrowly: #rows × #waypoints stays a map-side op.
+    """
+    spark = df.sparkSession
+    wps = spark.createDataFrame(
+        [(w.id, w.lat, w.lon, w.radius_km) for w in waypoints],
+        "wp_id string, wp_lat double, wp_lon double, wp_radius_km double",
+    )
+    joined = df.crossJoin(F.broadcast(wps))
+    dist = haversine_km(F.col(lat), F.col(lon), F.col("wp_lat"), F.col("wp_lon"))
+    joined = joined.withColumn("dist_km", dist).withColumn(
+        "inside", F.col("dist_km") <= F.col("wp_radius_km")
+    )
+    w = Window.partitionBy(track, "wp_id").orderBy(ts)
+    prev = F.lag("inside").over(w)
+    event = (
+        F.when(F.col("inside") & ~F.coalesce(prev, F.lit(False)), F.lit("ENTER"))
+        .when(~F.col("inside") & F.coalesce(prev, F.lit(False)), F.lit("LEAVE"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return joined.withColumn("event", event)
+
+
+def nearest_waypoint(
+    df: DataFrame,
+    waypoints: list[Waypoint],
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Nearest waypoint + distance per position (`wpts:nearest`)."""
+    spark = df.sparkSession
+    wps = spark.createDataFrame(
+        [(w.id, w.lat, w.lon) for w in waypoints], "wp_id string, wp_lat double, wp_lon double"
+    )
+    joined = df.crossJoin(F.broadcast(wps)).withColumn(
+        "dist_km", haversine_km(F.col(lat), F.col(lon), F.col("wp_lat"), F.col("wp_lon"))
+    )
+    keys = [c for c in df.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.min_by("wp_id", F.struct(F.col("dist_km"), F.col("wp_id"))).alias("nearest_wp"),
+            F.min("dist_km").alias("nearest_dist_km"),
+        )
+    )
+
+
+class StreamingGeofence:
+    """Cross-batch ENTER/LEAVE: carries last inside-flag per
+    (track, waypoint) between micro-batches (foreachBatch flavor)."""
+
+    def __init__(self, waypoints: list[Waypoint]):
+        self.waypoints = waypoints
+        self.state: dict[tuple[str, str], bool] = {}
+        self.events: list[tuple] = []
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int = 0, **cols) -> None:
+        evd = waypoint_events(batch_df, self.waypoints, **cols)
+        track = cols.get("track", "track_id")
+        ts = cols.get("ts", "ts")
+        rows = evd.select(track, "wp_id", ts, "inside", "event", "dist_km").orderBy(ts).collect()
+        # within-batch transitions come from the plan; here we only stitch
+        # the batch boundary: first row per key vs carried state
+        seen: set[tuple[str, str]] = set()
+        for r in rows:
+            key = (r[track], r["wp_id"])
+            if key not in seen:
+                seen.add(key)
+                carried = self.state.get(key)
+                if carried is not None:
+                    ev = None
+                    if r["inside"] and not carried:
+                        ev = "ENTER"
+                    elif not r["inside"] and carried:
+                        ev = "LEAVE"
+                    if ev:
+                        self.events.append((r[track], r["wp_id"], r[ts], ev, r["dist_km"]))
+                    self.state[key] = bool(r["inside"])
+                    continue
+            if r["event"] is not None:
+                self.events.append((r[track], r["wp_id"], r[ts], r["event"], r["dist_km"]))
+            self.state[key] = bool(r["inside"])

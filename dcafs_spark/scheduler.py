@@ -1,0 +1,218 @@
+"""Task engine: scheduled / conditional commands over the values store.
+
+Parity target: reference `src/util/task/TaskManager.java` + `Task.java`
+— tasks fire on INTERVAL (+ initial delay), CLOCK (time-of-day +
+weekday set), KEYWORD (a matching record arrived), or as part of a
+TaskSet (oneshot = all at once; step = sequential, stop + run the
+failure set on error — `TaskManager.java:511-546`). A task's
+`req`/`check` gates execution on a boolean expression over rtvals
+(`Task.java:104-161`), with RETRY/WHILE/WAITFOR re-scheduling.
+
+Spark-side design (SURVEY §3.3): this runs in the SAME process as the
+Structured Streaming driver. Checks evaluate against the
+ValuesStore's in-memory state (KEYWORD triggers are fed from
+`foreachBatch` via `on_keyword`), so no extra cluster work happens
+unless a task's action itself runs a query. Time math is pure
+stdlib — deliberately no extra dependency.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from typing import Any, Callable
+
+from dcafs_spark.functions.compare import compile_compare_py
+from dcafs_spark.streaming.values_store import ValuesStore
+
+_RT_REF = re.compile(r"\{(r|i|f|t):([^}]+)\}")
+_UTC_REF = re.compile(r"\{utc(?::([^}]+))?\}")
+
+_WEEKDAYS = {"mo": 0, "tu": 1, "we": 2, "th": 3, "fr": 4, "sa": 5, "su": 6}
+
+
+def render_template(text: str, store: ValuesStore | None, now: datetime | None = None) -> str:
+    """Fill `{r:group_name}` value refs and `{utc:fmt}` time refs
+    (reference ValTools.parseRTline; CHANGELOG 1.2.8)."""
+
+    def _rt(m: re.Match) -> str:
+        if store is None:
+            return m.group(0)
+        ref = m.group(2)
+        group, _, name = ref.partition("_")
+        v = store.get(group, name)
+        return m.group(0) if v is None else f"{v:g}"
+
+    def _utc(m: re.Match) -> str:
+        dt = now or datetime.now(timezone.utc)
+        fmt = m.group(1)
+        return dt.isoformat() if fmt is None else dt.strftime(fmt)
+
+    return _UTC_REF.sub(_utc, _RT_REF.sub(_rt, text))
+
+
+@dataclass
+class Check:
+    """`req` expression over a stored value: fires only when true."""
+
+    group: str
+    name: str
+    comparison: str
+
+    def __post_init__(self):
+        self._fn = compile_compare_py(self.comparison)
+
+    def passes(self, store: ValuesStore) -> bool:
+        v = store.get(self.group, self.name)
+        return v is not None and self._fn(v)
+
+
+@dataclass
+class Task:
+    id: str
+    action: Callable[[str], Any]  # receives the rendered command text
+    value: str = ""  # command/output template
+    trigger: str = "execute"  # interval | clock | keyword | delay | execute
+    interval_s: float | None = None
+    initial_delay_s: float = 0.0
+    clock: str | None = None  # "HH:MM" UTC
+    days: str | None = None  # "mo,tu,we" (None = all)
+    keyword: str | None = None
+    check: Check | None = None
+    retries: int = 0  # RETRY: re-run while check fails, up to N times
+    # runtime
+    last_fire: float | None = None
+    fire_count: int = 0
+
+
+@dataclass
+class TaskSet:
+    id: str
+    run_type: str  # oneshot | step
+    tasks: list[Task]
+    failure_set: str | None = None  # TaskManager.java:511-546
+
+
+class TaskManager:
+    """Driver-side scheduler loop + keyword dispatch."""
+
+    def __init__(self, store: ValuesStore | None = None, tick_s: float = 0.1):
+        self.store = store or ValuesStore()
+        self.tasks: dict[str, Task] = {}
+        self.tasksets: dict[str, TaskSet] = {}
+        self.tick_s = tick_s
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.log: list[tuple[str, str]] = []
+
+    def add_task(self, task: Task) -> None:
+        self.tasks[task.id] = task
+
+    def add_taskset(self, ts: TaskSet) -> None:
+        self.tasksets[ts.id] = ts
+        for t in ts.tasks:
+            self.tasks.setdefault(t.id, t)
+
+    # ------------------------------------------------------------ firing
+    def _gate(self, task: Task) -> bool:
+        return task.check is None or task.check.passes(self.store)
+
+    def fire(self, task: Task) -> bool:
+        """Evaluate check; run action on pass. Returns success."""
+        attempts = task.retries + 1
+        for i in range(attempts):
+            if self._gate(task):
+                text = render_template(task.value, self.store)
+                task.action(text)
+                task.last_fire = _time.monotonic()
+                task.fire_count += 1
+                self.log.append((task.id, "fired"))
+                return True
+            if i < attempts - 1:
+                _time.sleep(self.tick_s)
+        self.log.append((task.id, "check_failed"))
+        return False
+
+    def run_taskset(self, set_id: str) -> bool:
+        """oneshot: fire all (failures don't stop); step: sequential,
+        stop at first failure and run the linked failure set."""
+        ts = self.tasksets[set_id]
+        ok_all = True
+        for t in ts.tasks:
+            ok = self.fire(t)
+            ok_all = ok_all and ok
+            if not ok and ts.run_type == "step":
+                self.log.append((set_id, "step_failed"))
+                if ts.failure_set and ts.failure_set in self.tasksets:
+                    self.run_taskset(ts.failure_set)
+                return False
+        return ok_all
+
+    def on_keyword(self, line: str) -> int:
+        """KEYWORD trigger feed — call from foreachBatch with matched
+        lines (TaskManager.startKeywordTask:201-208). Returns #fired."""
+        n = 0
+        for t in self.tasks.values():
+            if t.trigger == "keyword" and t.keyword and t.keyword in line:
+                if self.fire(t):
+                    n += 1
+        return n
+
+    # --------------------------------------------------------- scheduling
+    def _due(self, task: Task, now_mono: float, now_utc: datetime) -> bool:
+        if task.trigger == "interval":
+            if task.last_fire is None:
+                return now_mono >= self._t0 + task.initial_delay_s
+            return now_mono - task.last_fire >= (task.interval_s or 0)
+        if task.trigger == "clock" and task.clock:
+            if task.days:
+                allowed = {_WEEKDAYS[d.strip()[:2].lower()] for d in task.days.split(",")}
+                if now_utc.weekday() not in allowed:
+                    return False
+            hh, mm = task.clock.split(":")
+            target = now_utc.replace(hour=int(hh), minute=int(mm), second=0, microsecond=0)
+            due = abs((now_utc - target).total_seconds()) < max(self.tick_s, 1.0)
+            recently = task.last_fire is not None and now_mono - task.last_fire < 120
+            return due and not recently
+        if task.trigger == "delay":
+            return task.last_fire is None and now_mono >= self._t0 + task.initial_delay_s
+        return False
+
+    def start(self) -> None:
+        self._t0 = _time.monotonic()
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                now = _time.monotonic()
+                now_utc = datetime.now(timezone.utc)
+                for t in list(self.tasks.values()):
+                    if t.trigger in ("interval", "clock", "delay") and self._due(t, now, now_utc):
+                        self.fire(t)
+                _time.sleep(self.tick_s)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+
+
+def next_clock_fire(clock: str, days: str | None, now: datetime) -> datetime:
+    """Next UTC occurrence of HH:MM on the allowed weekdays
+    (TimeTools-style helper for introspection/tests)."""
+    hh, mm = (int(x) for x in clock.split(":"))
+    allowed = (
+        {_WEEKDAYS[d.strip()[:2].lower()] for d in days.split(",")} if days else set(range(7))
+    )
+    cand = now.replace(hour=hh, minute=mm, second=0, microsecond=0)
+    for _ in range(8):
+        if cand > now and cand.weekday() in allowed:
+            return cand
+        cand += timedelta(days=1)
+    raise ValueError("no valid occurrence")

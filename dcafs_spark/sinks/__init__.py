@@ -1,0 +1,4 @@
+from dcafs_spark.sinks.file_collector import FileCollector
+from dcafs_spark.sinks.db import SqliteSink, ddl_for, jdbc_batch_sink
+
+__all__ = ["FileCollector", "SqliteSink", "ddl_for", "jdbc_batch_sink"]

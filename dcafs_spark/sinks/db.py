@@ -1,0 +1,151 @@
+"""Database sinks: JDBC batch writer, SQLite writer, dialect DDL.
+
+Parity target: reference `src/util/database/SQLDB.java:481-552`
+(batched prepared inserts, async flush by batchsize/age, failed-row
+retention) and `SqlTable.java:399-407,661-669` (CREATE TABLE
+generation with per-dialect type maps).
+
+Spark-first mapping:
+  * server DBs (PostgreSQL/MySQL/MariaDB/MSSQL) → `df.write.jdbc`
+    with `batchsize`/`numPartitions` — every partition writes its own
+    prepared-statement batches in parallel, replacing the reference's
+    single flush worker. Flush `age` ≈ the streaming trigger interval.
+  * SQLite is a single-writer file DB → a driver-side writer using
+    Python's stdlib sqlite3 over Arrow batches. Used for the
+    reference's default store-to-sqlite flow and for tests (no JDBC
+    driver jar needed). Rows stream via toLocalIterator so the driver
+    never holds the full batch.
+  * failed-insert retention (`SqlTable.clearRecords:484-521`) → the
+    SQLite writer collects constraint-violating rows into a
+    dead-letter list instead of dropping the batch.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_SQLITE_TYPES = {  # SqlTable.java:661-669 sqlite map
+    "int": "INTEGER",
+    "bigint": "INTEGER",
+    "smallint": "INTEGER",
+    "double": "REAL",
+    "float": "REAL",
+    "string": "TEXT",
+    "boolean": "INTEGER",
+    "timestamp": "TEXT",
+    "date": "TEXT",
+    "binary": "BLOB",
+}
+
+_SERVER_TYPES = {  # server map (:399-407): real timestamps, not TEXT
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "binary": "BLOB",
+}
+
+
+def ddl_for(df: DataFrame, table: str, dialect: str = "sqlite", if_not_exists: bool = True) -> str:
+    """CREATE TABLE from a DataFrame schema, per dialect."""
+    types = _SQLITE_TYPES if dialect == "sqlite" else _SERVER_TYPES
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        base = t.split("(")[0]
+        cols.append(f'"{f.name}" {types.get(base, "TEXT")}')
+    ine = "IF NOT EXISTS " if if_not_exists else ""
+    return f'CREATE TABLE {ine}"{table}" ({", ".join(cols)})'
+
+
+def jdbc_batch_sink(
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    mode: str = "append",
+    properties: dict | None = None,
+):
+    """foreachBatch sink writing via Spark's parallel JDBC writer.
+
+    `batchsize` maps the reference's `<flush batchsize>` (default 30,
+    `Database.java:23-26`) onto JDBC executeBatch sizing; each
+    partition writes concurrently (the reference had one flush
+    worker)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode(mode)
+            .option("batchsize", batchsize)
+            .jdbc(url, table, properties=properties or {})
+        )
+
+    return _sink
+
+
+@dataclass
+class SqliteSink:
+    """Single-writer SQLite sink with dead-letter retention."""
+
+    db_path: str
+    table: str
+    create: bool = True
+    dead_letter: list[tuple] = field(default_factory=list)
+
+    def write_batch(self, df: DataFrame, batch_id: int = 0) -> int:
+        cols = df.columns
+        placeholders = ",".join("?" for _ in cols)
+        insert = f'INSERT INTO "{self.table}" ({", ".join(repr(c)[1:-1] for c in cols)}) VALUES ({placeholders})'
+        con = sqlite3.connect(self.db_path)
+        try:
+            if self.create:
+                con.execute(ddl_for(df, self.table, "sqlite"))
+            cur = con.cursor()
+            n = 0
+            buf: list[tuple] = []
+            # toLocalIterator: one partition in driver memory at a time
+            for row in df.toLocalIterator():
+                buf.append(tuple(row))
+                if len(buf) >= 10000:
+                    n += self._flush(cur, insert, buf)
+                    buf = []
+            if buf:
+                n += self._flush(cur, insert, buf)
+            con.commit()
+            return n
+        finally:
+            con.close()
+
+    def _flush(self, cur, insert: str, rows: list[tuple]) -> int:
+        # savepoint: executemany aborts mid-batch on a bad row but keeps
+        # the rows it already inserted — roll those back before the
+        # row-level retry or they'd double-insert
+        cur.execute("SAVEPOINT batch_flush")
+        try:
+            cur.executemany(insert, rows)
+            cur.execute("RELEASE batch_flush")
+            return len(rows)
+        except sqlite3.Error:
+            cur.execute("ROLLBACK TO batch_flush")
+            cur.execute("RELEASE batch_flush")
+            ok = 0
+            for r in rows:  # row-level retry; keep failures (dead letter)
+                try:
+                    cur.execute(insert, r)
+                    ok += 1
+                except sqlite3.Error:
+                    self.dead_letter.append(r)
+            return ok
+
+    def foreach_batch(self):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.write_batch(batch_df, batch_id)
+
+        return _sink

@@ -1,0 +1,176 @@
+"""Streaming realtime-value store with trigger rules + hysteresis.
+
+Parity target: reference `src/util/data/RealtimeValues.java` (the
+live store updated per record) and `RealVal.java:464-533` (triggered
+commands: ``always``, ``changed``, comparison triggers with
+hysteresis — a comparison trigger fires ONCE when its condition
+becomes true and re-arms only after the condition clears,
+`RealVal.java:527-531`).
+
+Design (SURVEY §3.1 Spark equivalent): the stream is aggregated
+per micro-batch (map-side partial agg → tiny shuffle keyed by
+(group,name)), and the per-key *running* state — last value,
+running min/max, count, history tail, armed/fired trigger flags —
+merges batch deltas driver-side in ``foreachBatch``.
+
+Why driver-side state is the scale-correct choice here: the key
+cardinality is the number of distinct sensor value ids — hundreds,
+not billions (`RealtimeValues` is a flat in-memory map in the
+reference too). Each micro-batch reduces arbitrarily many input rows
+to ≤ one delta row per key BEFORE it reaches the driver, so driver
+work per batch is O(#keys), independent of data volume. For
+billion-key state you'd swap this class for
+``applyInPandasWithState`` with the same merge function; the
+aggregation contract is identical.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dcafs_spark.functions.compare import compile_compare_py
+
+
+@dataclass
+class TriggerRule:
+    """One triggered command on a value (AbstractVal.java:34 types)."""
+
+    group: str
+    name: str
+    kind: str  # always | changed | comparison
+    cmd: Callable[[str, str, float], Any] | None = None
+    # comparison spec in the reference grammar: 'above 10', '< 3',
+    # 'between 2 and 8', 'not below 1', ... (MathUtils.java:244-329)
+    comparison: str | None = None
+    fired: bool = False  # hysteresis: armed until condition clears
+
+    def __post_init__(self):
+        self._check = compile_compare_py(self.comparison) if self.comparison else None
+
+
+@dataclass
+class _KeyState:
+    last: float | None = None
+    min: float = math.inf
+    max: float = -math.inf
+    count: int = 0
+    total: float = 0.0
+    history: list[float] = field(default_factory=list)
+    last_ts: Any = None
+
+
+class ValuesStore:
+    """Driver-side running store fed by per-batch aggregate deltas."""
+
+    def __init__(self, history_n: int = 10):
+        self.history_n = history_n
+        self.state: dict[tuple[str, str], _KeyState] = {}
+        self.rules: list[TriggerRule] = []
+        self.fired_log: list[tuple[str, str, str, float]] = []
+
+    def add_rule(self, rule: TriggerRule) -> None:
+        self.rules.append(rule)
+
+    # ---------------------------------------------------------- batch path
+    def batch_deltas(self, df: DataFrame, group="group", name="name", value="value", ts="ts") -> DataFrame:
+        """Distributed reduction: one delta row per key per batch.
+
+        collect_list over the groupBy is bounded: only the last
+        ``history_n`` values matter, so we aggregate the batch tail via
+        max_by struct packing (avoids shipping whole batches driver-side).
+        """
+        packed = F.array_sort(
+            F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
+        )
+        # dynamic start: slice(-n) on an array shorter than n is empty,
+        # so clamp to -size when the batch holds fewer than n values
+        tail = F.slice(
+            packed, F.greatest(F.lit(-self.history_n), -F.size(packed)), F.lit(self.history_n)
+        )
+        return df.groupBy(
+            F.col(group).alias("group"), F.col(name).alias("name")
+        ).agg(
+            F.max_by(F.col(value), F.col(ts)).alias("d_last"),
+            F.min(value).alias("d_min"),
+            F.max(value).alias("d_max"),
+            F.count(value).alias("d_count"),
+            F.sum(value).alias("d_sum"),
+            F.max(ts).alias("d_ts"),
+            F.transform(tail, lambda s: s["v"]).alias("d_tail"),
+        )
+
+    def merge_batch(self, batch_df: DataFrame, **cols) -> None:
+        """foreachBatch body: merge per-key deltas into running state,
+        evaluate trigger rules with hysteresis."""
+        for row in self.batch_deltas(batch_df, **cols).collect():
+            key = (row["group"], row["name"])
+            st = self.state.setdefault(key, _KeyState())
+            prev = st.last
+            st.last = row["d_last"]
+            st.min = min(st.min, row["d_min"])
+            st.max = max(st.max, row["d_max"])
+            st.count += row["d_count"]
+            st.total += row["d_sum"]
+            st.last_ts = row["d_ts"]
+            st.history = (st.history + list(row["d_tail"]))[-self.history_n :]
+            self._eval_rules(key, prev, st.last)
+
+    # -------------------------------------------------------------- rules
+    def _eval_rules(self, key: tuple[str, str], prev: float | None, new: float) -> None:
+        for rule in self.rules:
+            if (rule.group, rule.name) != key:
+                continue
+            if rule.kind == "always":
+                self._fire(rule, key, new)
+            elif rule.kind == "changed":
+                if prev is None or prev != new:
+                    self._fire(rule, key, new)
+            elif rule.kind == "comparison":
+                ok = rule._check(new)
+                if ok and not rule.fired:  # fire once, then hold
+                    rule.fired = True
+                    self._fire(rule, key, new)
+                elif not ok and rule.fired:  # condition cleared → re-arm
+                    rule.fired = False
+
+    def _fire(self, rule: TriggerRule, key: tuple[str, str], value: float) -> None:
+        self.fired_log.append((key[0], key[1], rule.kind, value))
+        if rule.cmd is not None:
+            rule.cmd(key[0], key[1], value)
+
+    # ------------------------------------------------------------- reads
+    def snapshot(self) -> list[dict]:
+        """Current-values table (rv-style listing)."""
+        out = []
+        for (g, n), st in sorted(self.state.items()):
+            hist = st.history
+            full = len(hist) >= self.history_n
+            mean = sum(hist) / len(hist) if hist else None
+            stdev = None
+            if full and len(hist) > 1:
+                m = mean
+                stdev = math.sqrt(sum((x - m) ** 2 for x in hist) / (len(hist) - 1))
+            out.append(
+                {
+                    "group": g,
+                    "name": n,
+                    "last_value": st.last,
+                    "min_value": st.min,
+                    "max_value": st.max,
+                    "avg_value": round(st.total / st.count, 3) if st.count else None,
+                    "hist_avg": round(mean, 3) if mean is not None else None,
+                    "hist_stdev": stdev,  # NaN-until-full contract → None
+                    "n_updates": st.count,
+                    "last_ts": st.last_ts,
+                }
+            )
+        return out
+
+    def get(self, group: str, name: str) -> float | None:
+        st = self.state.get((group, name))
+        return None if st is None else st.last

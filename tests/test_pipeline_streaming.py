@@ -1,0 +1,355 @@
+"""End-to-end tests: pipeline DSL, streaming runner + values store +
+trigger hysteresis, file collector, sqlite sink, replay source,
+scheduler, waypoints."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sqlite3
+import time
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.operators.waypoint import StreamingGeofence, Waypoint, nearest_waypoint, waypoint_events
+from dcafs_spark.plans import compile_path
+from dcafs_spark.scheduler import Check, Task, TaskManager, TaskSet, next_clock_fire, render_template
+from dcafs_spark.sinks import FileCollector, SqliteSink, ddl_for
+from dcafs_spark.sinks.file_collector import decimate
+from dcafs_spark.sources import read_lines, replay_files
+from dcafs_spark.streaming import StreamingPath, TriggerRule, ValuesStore
+
+
+CTD_PATH = {
+    "id": "ctd",
+    "delimiter": ",",
+    "steps": [
+        {"type": "filter", "rules": [["start", "$CTD"], ["minitems", "6"]], "reject": "bad"},
+        {"type": "math", "ops": [{"target": "i2", "formula": "i2*1000", "scale": 1}], "typed": False},
+        {
+            "type": "generic",
+            "fields": [
+                {"name": "station", "index": 0, "dtype": "text"},
+                {"name": "temp", "index": 2, "dtype": "real"},
+                {"name": "sal", "index": 3, "dtype": "real"},
+                {"name": "press", "index": 4, "dtype": "real"},
+            ],
+            "keep": ["origin", "event_id"],
+        },
+    ],
+}
+
+
+# streaming sources carry (value, origin, ts) — no event_id column
+STREAM_CTD_PATH = {
+    **CTD_PATH,
+    "steps": CTD_PATH["steps"][:-1] + [{**CTD_PATH["steps"][-1], "keep": ["origin", "ts"]}],
+}
+
+
+class TestPipelineDSL:
+    def test_path_end_to_end(self, spark, lines_df):
+        main, rejects = compile_path(lines_df, CTD_PATH)
+        rows = {r["event_id"]: r for r in main.collect()}
+        # rows 1,2 parse fully; 3 has empty temp→null; 4 bad number→null
+        assert rows[1]["temp"] == pytest.approx(12941.0)
+        assert rows[1]["sal"] == pytest.approx(38.45)
+        assert rows[3]["temp"] is None
+        assert rows[4]["temp"] is None
+        # 5 (too few fields), 6 (GPS), 7 (noise) rejected
+        assert set(rows) == {1, 2, 3, 4}
+        rej = {r["event_id"] for r in rejects["bad"].collect()}
+        assert rej == {5, 6, 7}
+
+    def test_math_step_scale(self, spark, lines_df):
+        main, _ = compile_path(
+            lines_df,
+            {
+                "delimiter": ",",
+                "steps": [
+                    {"type": "filter", "rules": [["start", "$CTD"], ["minitems", "6"]]},
+                    {"type": "math", "ops": [{"target": "i2", "formula": "i2*2", "scale": 0}]},
+                ],
+            },
+        )
+        first = main.orderBy("event_id").first()["value"]
+        assert first.split(",")[2] == "26"  # 12.941*2 rounded → 26
+
+
+class TestValuesStore:
+    def _feed(self, spark, store, values, ts0=0):
+        rows = [("ctd", "temp", float(v), ts0 + i) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "group string, name string, value double, ts long")
+        store.merge_batch(df)
+
+    def test_running_aggregates(self, spark):
+        store = ValuesStore(history_n=3)
+        self._feed(spark, store, [10.0, 20.0])
+        self._feed(spark, store, [5.0, 30.0], ts0=2)
+        snap = store.snapshot()[0]
+        assert snap["last_value"] == 30.0
+        assert snap["min_value"] == 5.0
+        assert snap["max_value"] == 30.0
+        assert snap["n_updates"] == 4
+        assert snap["hist_avg"] == pytest.approx(round((20.0 + 5.0 + 30.0) / 3, 3))
+
+    def test_stdev_nan_until_full(self, spark):
+        store = ValuesStore(history_n=3)
+        self._feed(spark, store, [1.0, 2.0])
+        assert store.snapshot()[0]["hist_stdev"] is None  # window not full
+        self._feed(spark, store, [3.0], ts0=5)
+        assert store.snapshot()[0]["hist_stdev"] == pytest.approx(1.0)
+
+    def test_trigger_hysteresis(self, spark):
+        store = ValuesStore()
+        fired = []
+        store.add_rule(
+            TriggerRule("ctd", "temp", "comparison", comparison="above 25",
+                        cmd=lambda g, n, v: fired.append(v))
+        )
+        for batch in ([10.0], [30.0], [35.0], [20.0], [40.0]):
+            self._feed(spark, store, batch)
+        # fires at 30 (crossing), NOT at 35 (still high), re-arms at 20,
+        # fires again at 40  (RealVal.java:527-531 semantics)
+        assert fired == [30.0, 40.0]
+
+    def test_changed_trigger(self, spark):
+        store = ValuesStore()
+        fired = []
+        store.add_rule(TriggerRule("ctd", "temp", "changed", cmd=lambda g, n, v: fired.append(v)))
+        for batch in ([1.0], [1.0], [2.0]):
+            self._feed(spark, store, batch)
+        assert fired == [1.0, 2.0]  # first sight + actual change
+
+
+class TestStreamingPath:
+    def test_file_stream_to_store_and_sink(self, spark, tmp_path):
+        watch = tmp_path / "watch"
+        out: list = []
+        raw = tmp_path / "raw.log"
+        raw.write_text("".join(f"$CTD01,16:25:1{i},{12 + i}.5,38.4,1017,8\n" for i in range(6)))
+        n_chunks = replay_files([str(raw)], str(watch), chunk_lines=3)
+        assert n_chunks == 2
+
+        store = ValuesStore(history_n=4)
+        sp = StreamingPath(
+            spark,
+            source={"kind": "text", "path": str(watch), "maxFilesPerTrigger": 1},
+            path=STREAM_CTD_PATH,
+            store=store,
+            # order state by the monotone temp channel: file-source ingest
+            # timestamps tie within a micro-batch
+            store_cols={"group": "origin", "name": "station", "value": "temp", "ts": "temp"},
+            sinks=[lambda df, bid: out.extend(df.collect())],
+        )
+        q = sp.start("t_ctd")
+        try:
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline and len(out) < 6:
+                q.processAllAvailable()
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert len(out) == 6
+        snap = store.snapshot()
+        assert snap[0]["n_updates"] == 6
+        assert snap[0]["last_value"] == pytest.approx(17500.0)  # i2*1000 math step
+        assert snap[0]["min_value"] == pytest.approx(12500.0)
+
+    def test_streaming_path_rejects(self, spark, tmp_path):
+        watch = tmp_path / "watch2"
+        os.makedirs(watch)
+        (watch / "a.txt").write_text("$CTD01,1,2,3,4,5\nnoise\n")
+        good: list = []
+        bad: list = []
+        sp = StreamingPath(
+            spark,
+            source={"kind": "text", "path": str(watch)},
+            path=STREAM_CTD_PATH,
+            sinks=[lambda df, bid: good.extend(df.collect())],
+            reject_sinks={"bad": lambda df, bid: bad.extend(df.collect())},
+        )
+        q = sp.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(good) == 1 and len(bad) == 1
+
+
+class TestFileCollector:
+    def test_rollover_partitions_and_decimation(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(f"line{i}", datetime(2026, 8, 13, 14 + (i // 4), i % 60, tzinfo=timezone.utc)) for i in range(8)],
+            "value string, ts timestamp",
+        )
+        fc = FileCollector(str(tmp_path / "roll"), rollover="hour", header="#header")
+        fc.write_batch(df)
+        parts = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "roll" / "rollover=*")))
+        assert parts == ["rollover=2026-08-13T14.00", "rollover=2026-08-13T15.00"]
+        assert (tmp_path / "roll" / "_header").read_text().strip() == "#header"
+
+    def test_decimate(self, spark):
+        df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "ts int, value string")
+        kept = decimate(df, skipcount=4, order_col="ts").collect()
+        assert sorted(r["ts"] for r in kept) == [0, 5]  # write 1, skip 4
+
+    def test_streaming_sink(self, spark, tmp_path):
+        watch = tmp_path / "w"
+        os.makedirs(watch)
+        (watch / "x.txt").write_text("a\nb\n")
+        fc = FileCollector(str(tmp_path / "out"), fmt="text", ts_col="ts")
+        sp = StreamingPath(
+            spark,
+            source={"kind": "text", "path": str(watch)},
+            path={"steps": []},
+            sinks=[fc.foreach_batch()],
+        )
+        q = sp.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        data = sorted(
+            line
+            for p in glob.glob(str(tmp_path / "out" / "part-*"))
+            for line in open(p).read().splitlines()
+        )
+        assert data == ["a", "b"]
+
+
+class TestDbSinks:
+    def test_sqlite_roundtrip_and_ddl(self, spark, tmp_path):
+        db = str(tmp_path / "t.db")
+        df = spark.createDataFrame([(1, "a", 2.5), (2, "b", 3.5)], "id int, name string, v double")
+        assert ddl_for(df, "t", "sqlite") == 'CREATE TABLE IF NOT EXISTS "t" ("id" INTEGER, "name" TEXT, "v" REAL)'
+        assert "DOUBLE PRECISION" in ddl_for(df, "t", "postgres")
+        sink = SqliteSink(db, "t")
+        n = sink.write_batch(df)
+        assert n == 2
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT count(*), sum(v) FROM t").fetchone() == (2, 6.0)
+        con.close()
+
+    def test_sqlite_dead_letter(self, spark, tmp_path):
+        db = str(tmp_path / "t2.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v REAL)")
+        con.execute("INSERT INTO t VALUES (2, 0.0)")
+        con.commit()
+        con.close()
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "id int, v double")
+        sink = SqliteSink(db, "t", create=False)
+        n = sink.write_batch(df)
+        assert n == 2  # id=2 conflicts
+        assert sink.dead_letter == [(2, 2.0)]
+
+
+class TestReplaySource:
+    def test_read_lines_with_timestamps(self, spark, tmp_path):
+        p = tmp_path / "raw.log"
+        p.write_text("2026-08-13T10:00:00\t$CTD,1,2\nbare line\n")
+        df = read_lines(spark, str(p), origin="replay")
+        rows = {r["value"]: r for r in df.collect()}
+        assert rows["$CTD,1,2"]["ts"].isoformat().startswith("2026-08-13T10:00")
+        assert "bare line" in rows
+
+
+class TestScheduler:
+    def test_check_gates_and_retry(self):
+        store = ValuesStore()
+        from dcafs_spark.streaming.values_store import _KeyState
+
+        st = _KeyState()
+        st.last = 10.0
+        store.state[("ctd", "temp")] = st
+        tm = TaskManager(store, tick_s=0.01)
+        done = []
+        t = Task("t1", action=done.append, value="temp={r:ctd_temp}",
+                 check=Check("ctd", "temp", "above 5"))
+        tm.add_task(t)
+        assert tm.fire(t)
+        assert done == ["temp=10"]
+        t2 = Task("t2", action=done.append, value="x", check=Check("ctd", "temp", "above 50"))
+        assert not tm.fire(t2)
+
+    def test_taskset_step_failure_link(self):
+        store = ValuesStore()
+        from dcafs_spark.streaming.values_store import _KeyState
+
+        st = _KeyState()
+        st.last = 1.0
+        store.state[("g", "v")] = st
+        tm = TaskManager(store, tick_s=0.01)
+        ran = []
+        ok_task = Task("ok", action=lambda s: ran.append("ok"))
+        failing = Task("fail", action=lambda s: ran.append("never"), check=Check("g", "v", "above 5"))
+        after = Task("after", action=lambda s: ran.append("after"))
+        cleanup = Task("cleanup", action=lambda s: ran.append("cleanup"))
+        tm.add_taskset(TaskSet("main", "step", [ok_task, failing, after], failure_set="onfail"))
+        tm.add_taskset(TaskSet("onfail", "oneshot", [cleanup]))
+        assert not tm.run_taskset("main")
+        assert ran == ["ok", "cleanup"]  # stopped at failure, ran failure set
+
+    def test_interval_task_fires(self):
+        tm = TaskManager(tick_s=0.02)
+        hits = []
+        tm.add_task(Task("i", action=hits.append, value="tick", trigger="interval", interval_s=0.05))
+        tm.start()
+        time.sleep(0.4)
+        tm.stop()
+        assert len(hits) >= 3
+
+    def test_keyword_trigger(self):
+        tm = TaskManager(tick_s=0.01)
+        hits = []
+        tm.add_task(Task("k", action=hits.append, value="alert", trigger="keyword", keyword="ERROR"))
+        assert tm.on_keyword("2026 ERROR something") == 1
+        assert tm.on_keyword("all fine") == 0
+        assert hits == ["alert"]
+
+    def test_render_template_utc(self):
+        out = render_template("at {utc:%Y}", None, now=datetime(2026, 8, 13, tzinfo=timezone.utc))
+        assert out == "at 2026"
+
+    def test_next_clock_fire_weekday(self):
+        now = datetime(2026, 8, 13, 12, 0, tzinfo=timezone.utc)  # a Thursday
+        nxt = next_clock_fire("09:30", "mo,fr", now)
+        assert nxt.weekday() == 4 and nxt.hour == 9  # Friday 09:30
+
+
+class TestWaypoints:
+    WPS = [Waypoint("harbor", 51.0, 3.0, 5.0), Waypoint("buoy", 51.5, 3.5, 1.0)]
+
+    def test_enter_leave_events(self, spark):
+        # track passes into and out of the harbor circle
+        rows = [
+            ("v1", 1, 50.80, 3.0),  # ~22 km away: outside
+            ("v1", 2, 50.98, 3.0),  # ~2 km: inside → ENTER
+            ("v1", 3, 51.01, 3.0),  # still inside (no event)
+            ("v1", 4, 50.80, 3.0),  # back out → LEAVE
+        ]
+        df = spark.createDataFrame(rows, "track_id string, ts int, lat double, lon double")
+        ev = waypoint_events(df, self.WPS)
+        harbor = {r["ts"]: r["event"] for r in ev.filter(F.col("wp_id") == "harbor").collect()}
+        assert harbor == {1: None, 2: "ENTER", 3: None, 4: "LEAVE"}
+
+    def test_nearest(self, spark):
+        df = spark.createDataFrame([("v1", 1, 51.49, 3.5)], "track_id string, ts int, lat double, lon double")
+        row = nearest_waypoint(df, self.WPS).first()
+        assert row["nearest_wp"] == "buoy"
+        assert row["nearest_dist_km"] < 2.0
+
+    def test_streaming_geofence_cross_batch(self, spark):
+        gf = StreamingGeofence([Waypoint("harbor", 51.0, 3.0, 5.0)])
+        b1 = spark.createDataFrame(
+            [("v1", 1, 50.80, 3.0)], "track_id string, ts int, lat double, lon double"
+        )
+        b2 = spark.createDataFrame(
+            [("v1", 2, 50.99, 3.0)], "track_id string, ts int, lat double, lon double"
+        )
+        gf.process_batch(b1)
+        gf.process_batch(b2)  # transition spans the batch boundary
+        assert [(e[0], e[1], e[3]) for e in gf.events] == [("v1", "harbor", "ENTER")]

@@ -59,7 +59,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))  # integer div: double /1000 rounds at ns scale
         )
     else:
         ev = ev.withColumn("ts_ns", F.unix_micros("ts") * 1000)
@@ -744,6 +744,380 @@ FROM w
 """
 
 
+# --------------------------------------------- dataflow + GIS + scheduling
+
+
+def q_pipeline_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full path spec through the DSL compiler: filter → math (in-line
+    rewrite) → generic typed projection — the reference's core
+    path semantics end-to-end (PathForward.java:198-240)."""
+    from dcafs_spark.plans import compile_path
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        "event_id",
+        F.concat_ws(",", F.lit("$EV"), "event_type", F.col("value").cast("string"), "user_id").alias("value"),
+    )
+    spec = {
+        "delimiter": ",",
+        "steps": [
+            {"type": "filter", "rules": [["start", "$EV"], ["minitems", "4"]]},
+            {"type": "math", "ops": [{"target": "i2", "formula": "i2*0.5"}]},
+            {
+                "type": "generic",
+                "fields": [
+                    {"name": "etype", "index": 1, "dtype": "text"},
+                    {"name": "val_half", "index": 2, "dtype": "real"},
+                    {"name": "user", "index": 3, "dtype": "integer"},
+                ],
+                "keep": ["event_id"],
+            },
+        ],
+    }
+    main, _rejects = compile_path(lines, spec)
+    return main
+
+
+SQL_PIPELINE_DSL = """
+SELECT event_id, event_type AS etype, value * 0.5 AS val_half, CAST(user_id AS INT) AS "user"
+FROM events
+"""
+
+
+def q_waypoint_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence ENTER/LEAVE over synthetic tracks: state = lag(inside)
+    per (track, waypoint) — Waypoint.java:71-105 as a pure plan."""
+    from dcafs_spark.operators.waypoint import Waypoint, waypoint_events
+
+    ev = _events(spark, sf_dir)
+    pos = ev.select(
+        "event_id",
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias("track_id"),
+        F.col("ts_ns").alias("pts"),
+        (50.0 + (F.col("value") % 200) / 100.0).alias("lat"),
+        F.lit(3.0).alias("lon"),
+    )
+    out = waypoint_events(pos, [Waypoint("wp1", 51.0, 3.0, 25.0)], ts="pts")
+    return out.filter(F.col("event").isNotNull()).select(
+        "event_id", "wp_id", "event", F.round("dist_km", 6).alias("dist_km")
+    )
+
+
+SQL_WAYPOINT = """
+WITH pos AS (
+  SELECT event_id, 'v' || CAST(user_id % 3 AS VARCHAR) AS track_id, ts,
+         50.0 + (value % 200) / 100.0 AS lat, 3.0 AS lon
+  FROM events
+), d AS (
+  SELECT *, 2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(51.0 - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(51.0)) * pow(sin(radians(3.0 - lon) / 2), 2)
+         )) AS dist_km
+  FROM pos
+), s AS (
+  SELECT *, dist_km <= 25.0 AS inside,
+         lag(dist_km <= 25.0) OVER (PARTITION BY track_id ORDER BY ts) AS prev_inside
+  FROM d
+)
+SELECT event_id, 'wp1' AS wp_id,
+       CASE WHEN inside AND NOT coalesce(prev_inside, false) THEN 'ENTER'
+            WHEN NOT inside AND coalesce(prev_inside, false) THEN 'LEAVE' END AS event,
+       round(dist_km, 6) AS dist_km
+FROM s
+WHERE (inside AND NOT coalesce(prev_inside, false)) OR (NOT inside AND coalesce(prev_inside, false))
+"""
+
+
+def q_nmea_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMEA XOR checksum as a Catalyst fold (MathUtils.java:1206-1235);
+    appends '*HH' like MathForward's nmea suffix (:279-286)."""
+    from dcafs_spark.functions.checksum import nmea_checksum
+
+    ev = _events(spark, sf_dir)
+    body = F.concat_ws(",", F.lit("GPXDR"), "event_type", F.col("user_id").cast("string"))
+    lines = ev.select("event_id", body.alias("body"))
+    ck = nmea_checksum(F.col("body"))
+    return lines.select(
+        "event_id", F.concat(F.lit("$"), F.col("body"), F.lit("*"), ck).alias("sentence")
+    )
+
+
+SQL_NMEA = """
+WITH l AS (
+  SELECT event_id, 'GPXDR,' || event_type || ',' || CAST(user_id AS VARCHAR) AS body FROM events
+)
+SELECT event_id,
+       '$' || body || '*' ||
+       lpad(upper(to_hex(list_reduce(list_transform(string_split(body, ''), c -> unicode(c)),
+                                     (a, b) -> xor(a, b)))), 2, '0') AS sentence
+FROM l
+"""
+
+
+def q_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileCollector `skipcount` decimation: write 1, skip 4 per event
+    type, deterministic under repartitioning (FileCollector.java:40)."""
+    from dcafs_spark.sinks.file_collector import decimate
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    return decimate(ev, skipcount=4, order_col="event_id", key_cols=["event_type"])
+
+
+SQL_DECIMATION = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events)
+WHERE (rn - 1) % 5 = 0
+"""
+
+
+def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch flavor of the comparison trigger with hysteresis: emit only
+    upward crossings of 'above 100' per user (fires once on crossing,
+    not while high — RealVal.java:527-531)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    high = F.col("value") > 100.0
+    prev_high = F.lag(high).over(w)
+    return (
+        ev.withColumn("crossed", high & ~F.coalesce(prev_high, F.lit(False)))
+        .filter("crossed")
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_CROSSINGS = """
+SELECT event_id, user_id, round(value, 6) AS value FROM (
+  SELECT *, value > 100.0 AS high,
+         lag(value > 100.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_high
+  FROM events)
+WHERE high AND NOT coalesce(prev_high, false)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): new-session flags
+    cumulative-summed into session ids — the batch analog of
+    session_window, one window pass per user partition."""
+    ev = _events(spark, sf_dir).withColumn(
+        # µs resolution end-to-end: the oracle's TIMESTAMP is µs, and a
+        # gap within ~1µs of the 30-min threshold must not flip between
+        # engines (truncation is monotone, so ordering is unaffected)
+        "ts_us",
+        F.expr("ts_ns DIV 1000"),  # integer division: ns/1000 in doubles
+        # rounds up near the 0.25-ulp boundary at 1.7e15 and flips floor()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = (
+        F.coalesce((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, F.lit(True))
+    ).cast("long")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("session_id", F.sum(new_sess).over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       round(sum(value), 3) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over orders — part of the relational surface the
+    reference lacks entirely (SURVEY §2.7: 'include natively')."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def _perturbed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ affine-perturbed copies of vec_id<20 (× 1.001 +
+    0.002 per component — near but not exactly cosine 1.0), giving the
+    embedding near-dup detector true positives."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.001 + 0.002).alias("v"),
+    )
+    return emb.unionByName(dup)
+
+
+_SQL_PERTURBED = """
+(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+ UNION ALL
+ SELECT vec_id + 100000 AS vec_id, list_transform(embedding::DOUBLE[], x -> x * 1.001 + 0.002) AS v
+ FROM embeddings WHERE vec_id < 20)
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH sign-bucket equi-join
+    prunes candidates (no cross product), exact cosine verifies —
+    the 5th dedup tier (embedding-space)."""
+    from dcafs_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
+
+    planes = hyperplanes(64, 8, 42)
+    emb = _perturbed_embeddings(spark, sf_dir)
+    b = emb.select("vec_id", "v", lsh_bucket(F.col("v"), planes).alias("bucket"))
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.995)
+
+
+def _sql_dedup_embedding() -> str:
+    from dcafs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+    plane_lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j in range(8)
+    )
+    return f"""
+WITH emb AS {_SQL_PERTURBED},
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
+"""
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors partition into cells by nearest centroid
+    (train-free: centroids = first 8 vectors); queries probe their 2
+    nearest cells only. At 100 TB the corpus is bucketed/partitioned by
+    cell id, so a query touches nprobe partitions, not the corpus."""
+    from dcafs_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def assign(df, vcol, n_cells):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn("cdot", cosine(F.col(vcol), F.col("cv")))
+        w = Window.partitionBy(*df.columns).orderBy(F.desc("cdot"), F.asc("cid"))
+        return scored.withColumn("crank", F.row_number().over(w)).filter(F.col("crank") <= n_cells)
+
+    c_cells = assign(corpus, "v", 1).select("vec_id", "v", F.col("cid").alias("cell"))
+    q_cells = assign(queries, "qv", 2).select("query_id", "qv", F.col("cid").alias("cell"))
+    scored = c_cells.join(q_cells, "cell").select(
+        "query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+SQL_IVF = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 16),
+queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id >= 8 AND vec_id < 16),
+c_cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT c.vec_id, c.v, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.v, t.cv) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(t.cv, t.cv))) DESC,
+             t.cid ASC) AS crank
+    FROM corpus c CROSS JOIN cents t)
+  WHERE crank = 1
+),
+q_cells AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.query_id, q.qv, t.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, t.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(t.cv, t.cv))) DESC,
+             t.cid ASC) AS crank
+    FROM queries q CROSS JOIN cents t)
+  WHERE crank <= 2
+),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id,
+         round(list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM c_cells c JOIN q_cells q USING (cell)
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over real table data: documents' text bytes
+    as opaque binary payloads → Arrow-batched mapInPandas feature
+    extraction (decode stubbed — deterministic byte stats). No SQL
+    oracle: mapInPandas is outside DuckDB's surface → rows-only check."""
+    from dcafs_spark.operators.multimodal import FEATURE_SCHEMA, extract_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 1).alias("f_len"),
+        F.round(F.element_at("feature", 4).cast("double"), 1).alias("f_sum16"),
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -766,6 +1140,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
+    "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
+    "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
+    "decimation": (q_decimation, SQL_DECIMATION),
+    "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
+    "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
+    "similarity_ivf": (q_similarity_ivf, SQL_IVF),
+    "multimodal_features": (q_multimodal_features, None),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -122,7 +122,11 @@ def minhash_lsh_pairs(
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
+    # localCheckpoint: the self-join below references sig on BOTH sides;
+    # without it each side recomputes the whole shingle→hash pipeline
+    # (the dominant cost). Checkpointed signatures are (id, K longs) —
+    # tiny relative to the text they summarize, at any scale.
     banded = sig.select(
         "id",
         "sig",
@@ -143,6 +147,19 @@ def minhash_lsh_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
+    # estimated Jaccard = fraction of equal minhash positions, computed
+    # IN the join projection: the dedup of multi-band matches then
+    # shuffles only (id_a, id_b, est) instead of two K-long signatures
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("l.sig"), F.col("r.sig"), lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
     cand = (
         left.join(
             right,
@@ -153,23 +170,13 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.round(est, 4).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    # estimated Jaccard = fraction of equal minhash positions
-    est = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(num_hashes))
-    )
-    return cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand
 
 
 def ngram_jaccard_pairs(
@@ -188,23 +195,23 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)  # shared by both self-join sides (see minhash_lsh_pairs)
     sig = sh.select("id", "sh", F.explode(minhash_signature(F.col("sh"), bucket_hashes)).alias("bucket"))
-    pairs = (
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = inter.cast("double") / union
+    return (
         sig.alias("l")
         .join(sig.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            F.round(jac, 4).alias("jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("jaccard").alias("jaccard"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
-    return pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
 def simhash32(col: Column) -> Column:

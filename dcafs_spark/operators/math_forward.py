@@ -56,6 +56,10 @@ class MathForward:
     delimiter: str = ","
     column: str = "value"
     consts: dict[str, float] = field(default_factory=dict)
+    # {r:name} refs resolve to these Columns — the stream-static lookup
+    # (MathForward.java:619-701 reads rtvals mid-formula; here the
+    # caller joins the values table in and maps names to its columns)
+    rtvals: dict[str, Column] = field(default_factory=dict)
 
     def _arg(self, spec: str, env: dict[int, Column]) -> Column:
         spec = spec.strip()
@@ -84,7 +88,10 @@ class MathForward:
                 result = fn(*args)
             else:
                 result = compile_math(op.formula).column(
-                    fields=fields, consts=self.consts, cols=named
+                    fields=fields,
+                    rtvals=(lambda kind, name: self.rtvals[name]) if self.rtvals else None,
+                    consts=self.consts,
+                    cols=named,
                 )
             if op.scale is not None:
                 result = F.round(result, op.scale)  # HALF_UP, matches BigDecimal setScale

@@ -1118,6 +1118,184 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_editor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Editor op sampler: prepend/insert/replace/cutend/listreplace
+    chained in order (EditorForward dispatch :191-287)."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        "event_id",
+        F.concat_ws(",", "event_type", (F.col("user_id") % 3).cast("string")).alias("value"),
+    )
+    ed = EditorForward(
+        edits=[
+            Edit("prepend", {"text": "E:"}),
+            Edit("append", {"text": "##"}),
+            Edit("cutend", {"count": 1}),
+            Edit("replace", {"find": ",", "replacement": "|"}),
+            Edit("insert", {"position": 2, "text": "<"}),
+        ]
+    )
+    return ed.apply(lines).select("event_id", F.col("value").alias("edited"))
+
+
+SQL_EDITOR_OPS = """
+WITH l AS (
+  SELECT event_id, event_type || ',' || CAST(user_id % 3 AS VARCHAR) AS v FROM events
+), s AS (
+  SELECT event_id, 'E:' || v || '##' AS v FROM l
+), c AS (
+  SELECT event_id, substr(v, 1, length(v) - 1) AS v FROM s
+), r AS (
+  SELECT event_id, replace(v, ',', '|') AS v FROM c
+)
+SELECT event_id, substr(v, 1, 2) || '<' || substr(v, 3) AS edited FROM r
+"""
+
+
+def q_listreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listreplace: numeric field as index into a lookup list with
+    `first` offset (EditorForward.java:289-313)."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select("event_id", (F.col("user_id") % 4).cast("string").alias("value"))
+    ed = EditorForward(edits=[Edit("listreplace", {"list": ["north", "east", "south", "west"], "first": 0})])
+    return ed.apply(lines).select("event_id", F.col("value").alias("direction"))
+
+
+SQL_LISTREPLACE = """
+SELECT event_id, ['north', 'east', 'south', 'west'][CAST(user_id % 4 AS INT) + 1] AS direction
+FROM events
+"""
+
+
+def q_bits_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor register decode: signed-12-bit two's complement, BCD,
+    2nd-order polynomial calibration (MathUtils.java:1133-1427)."""
+    from dcafs_spark.functions.bits import bcd_to_int, calibrate_2nd_order, signed_nbit
+
+    ev = _events(spark, sf_dir)
+    reg = (F.col("event_id") * 37 % 4096).cast("int")
+    bcd = (F.col("user_id") % 100).cast("int")
+    packed = (F.shiftleft((bcd / 10).cast("int"), 4).bitwiseOR(bcd % 10)).cast("int")
+    return ev.select(
+        "event_id",
+        signed_nbit(reg, 12).cast("long").alias("signed12"),
+        bcd_to_int(packed).cast("long").alias("bcd_val"),
+        calibrate_2nd_order(F.col("value"), 0.002, 1.05, -3.0, 6).alias("calibrated"),
+    )
+
+
+SQL_BITS = """
+WITH r AS (
+  SELECT event_id, CAST(event_id * 37 % 4096 AS BIGINT) AS reg,
+         CAST(user_id % 100 AS BIGINT) AS bcd, value
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN reg >= 2048 THEN reg - 4096 ELSE reg END AS signed12,
+       bcd AS bcd_val,
+       round(0.002 * value * value + 1.05 * value + -3.0, 6) AS calibrated
+FROM r
+"""
+
+
+def q_utm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDC → UTM (WGS-84 Snyder series, GisTools.java:242-299): struct
+    multi-output expanded to easting/northing/zone columns."""
+    from dcafs_spark.functions.geo import utm_from_gdc
+
+    ev = _events(spark, sf_dir)
+    pos = ev.select(
+        "event_id",
+        (50.0 + (F.col("value") % 200) / 100.0).alias("lat"),
+        (3.0 + (F.col("user_id") % 5) * 0.5).alias("lon"),
+    )
+    utm = utm_from_gdc(F.col("lat"), F.col("lon"))
+    return pos.select(
+        "event_id",
+        F.round(utm["easting"], 3).alias("easting"),
+        F.round(utm["northing"], 3).alias("northing"),
+        utm["zone"].alias("zone"),
+    )
+
+
+def _sql_utm() -> str:
+    """Unrolled Snyder transverse-Mercator series mirroring
+    functions/geo.py op-for-op (same FP operation order)."""
+    from dcafs_spark.functions.geo import _A as a
+    from dcafs_spark.functions.geo import _E2 as e2
+    from dcafs_spark.functions.geo import _K0 as k0
+
+    ep2 = e2 / (1 - e2)
+    m1 = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+    m2 = 3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024
+    m3 = 15 * e2**2 / 256 + 45 * e2**3 / 1024
+    m4 = 35 * e2**3 / 3072
+    return f"""
+WITH pos AS (
+  SELECT event_id, 50.0 + (value % 200) / 100.0 AS lat, 3.0 + (user_id % 5) * 0.5 AS lon
+  FROM events
+), g AS (
+  SELECT event_id, lat, lon,
+         CAST(floor((lon + 180.0) / 6.0) + 1 AS INT) AS zone,
+         radians(lat) AS phi, radians(lon) AS lam
+  FROM pos
+), t AS (
+  SELECT *, radians((CAST(zone AS DOUBLE) - 1) * 6.0 - 180.0 + 3.0) AS lon0,
+         {a!r} / sqrt(1 - {e2!r} * pow(sin(phi), 2)) AS n,
+         pow(tan(phi), 2) AS tt,
+         {ep2!r} * pow(cos(phi), 2) AS c
+  FROM g
+), u AS (
+  SELECT *, cos(phi) * (lam - lon0) AS a_,
+         {a!r} * ({m1!r} * phi - {m2!r} * sin(2 * phi) + {m3!r} * sin(4 * phi) - {m4!r} * sin(6 * phi)) AS m
+  FROM t
+), v AS (
+  SELECT event_id, lat, zone,
+         {k0!r} * n * (a_ + (1 - tt + c) * pow(a_, 3) / 6
+                       + (5 - 18 * tt + pow(tt, 2) + 72 * c - 58 * {ep2!r}) * pow(a_, 5) / 120)
+           + 500000.0 AS easting,
+         {k0!r} * (m + n * tan(phi) * (pow(a_, 2) / 2
+                       + (5 - tt + 9 * c + 4 * pow(c, 2)) * pow(a_, 4) / 24
+                       + (61 - 58 * tt + pow(tt, 2) + 600 * c - 330 * {ep2!r}) * pow(a_, 6) / 720)) AS northing0
+  FROM u
+)
+SELECT event_id, round(easting, 3) AS easting,
+       round(CASE WHEN lat < 0 THEN northing0 + 10000000.0 ELSE northing0 END, 3) AS northing,
+       zone
+FROM v
+"""
+
+
+def q_math_rtval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MathForward formula referencing a stored value ({r:id} →
+    MathForward.java:619-701): the values table joins in broadcast
+    (stream-static join — re-planned per micro-batch when streaming),
+    and the formula normalizes each reading by its group's mean."""
+    ev = _events(spark, sf_dir)
+    means = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("grp_mean"))
+    lines = ev.select(
+        "event_id",
+        "event_type",
+        F.concat_ws(",", F.col("event_type"), F.col("value").cast("string")).alias("value"),
+    ).join(F.broadcast(means), "event_type")
+    mf = MathForward(
+        ops=[MathOp("norm", "i1 / {r:grp_mean}")],
+        delimiter=",",
+        rtvals={"grp_mean": F.col("grp_mean")},
+    )
+    out = mf.apply_typed(lines, keep=["event_id", "grp_mean"])
+    return out.select("event_id", "grp_mean", F.round("norm", 6).alias("norm"))
+
+
+SQL_MATH_RTVAL = """
+WITH means AS (
+  SELECT event_type, round(avg(value), 6) AS grp_mean FROM events GROUP BY event_type
+)
+SELECT event_id, grp_mean, round(value / grp_mean, 6) AS norm
+FROM events JOIN means USING (event_type)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1140,6 +1318,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),
+    "editor_ops": (q_editor_ops, SQL_EDITOR_OPS),
+    "listreplace": (q_listreplace, SQL_LISTREPLACE),
+    "bits_calibration": (q_bits_calibration, SQL_BITS),
+    "utm_projection": (q_utm_projection, _sql_utm()),
     "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),

@@ -1,0 +1,155 @@
+"""Engine facade — the reference's operational surface, Spark-side.
+
+Parity target: dcafs is driven by `prefix:args` commands over telnet
+(`src/das/CommandPool.java:123-183`) that create streams/paths/
+collectors, subscribe to data, and query values; plus raw SQL
+passthrough (`src/util/database/SQLDB.java:449-479`). SURVEY §3.2 maps
+this to a thin API whose management verbs mutate a pipeline catalog
+and whose data verbs are Spark SQL.
+
+A user of the reference would swap:
+    ss:addtcp,id,host:port   → engine.add_source(id, {...})
+    pf:addfilter/addmath/... → engine.add_path(id, spec)
+    st:stream start          → engine.start(id)
+    rv:/rtvals               → engine.values() / engine.get(group,name)
+    fc:addblank              → engine.add_file_sink(...)
+    (JDBC passthrough)       → engine.sql("...")  (full Spark SQL)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dcafs_spark.plans.dsl import PathSpec, compile_path
+from dcafs_spark.scheduler import TaskManager
+from dcafs_spark.session import TABLES, get_spark, load_tables
+from dcafs_spark.sinks.db import SqliteSink
+from dcafs_spark.sinks.file_collector import FileCollector
+from dcafs_spark.streaming.runner import StreamingPath
+from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+
+@dataclass
+class PathHandle:
+    id: str
+    source: dict
+    spec: PathSpec
+    sinks: list[Callable[[DataFrame, int], Any]] = field(default_factory=list)
+    reject_sinks: dict[str, Callable[[DataFrame, int], Any]] = field(default_factory=dict)
+    query: Any = None  # StreamingQuery once started
+
+
+class Engine:
+    """One SparkSession + values store + task manager + path catalog."""
+
+    def __init__(self, spark: SparkSession | None = None, history_n: int = 10):
+        self.spark = spark or get_spark("dcafs_engine")
+        self.store = ValuesStore(history_n=history_n)
+        self.tasks = TaskManager(self.store)
+        self.paths: dict[str, PathHandle] = {}
+
+    # ------------------------------------------------------------ data verbs
+    def sql(self, query: str) -> DataFrame:
+        """Full Spark SQL over registered tables (the reference only
+        forwarded strings to JDBC — SQLDB.java:449-479)."""
+        return self.spark.sql(query)
+
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def load_tables(self, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+        return load_tables(self.spark, sf_dir, names)
+
+    # ------------------------------------------------------- path management
+    def add_path(
+        self,
+        path_id: str,
+        source: dict,
+        spec: PathSpec,
+        store_cols: dict | None = None,
+    ) -> PathHandle:
+        handle = PathHandle(path_id, source, spec)
+        handle.store_cols = store_cols  # type: ignore[attr-defined]
+        self.paths[path_id] = handle
+        return handle
+
+    def add_sink(self, path_id: str, sink: Callable[[DataFrame, int], Any], reject_tag: str | None = None):
+        h = self.paths[path_id]
+        if reject_tag:
+            h.reject_sinks[reject_tag] = sink
+        else:
+            h.sinks.append(sink)
+
+    def add_file_sink(self, path_id: str, directory: str, **kwargs) -> FileCollector:
+        fc = FileCollector(directory, **kwargs)
+        self.add_sink(path_id, fc.foreach_batch())
+        return fc
+
+    def add_sqlite_sink(self, path_id: str, db_path: str, table: str, **kwargs) -> SqliteSink:
+        sink = SqliteSink(db_path, table, **kwargs)
+        self.add_sink(path_id, sink.foreach_batch())
+        return sink
+
+    def start(self, path_id: str, **kwargs):
+        h = self.paths[path_id]
+        store_cols = getattr(h, "store_cols", None)
+        sp = StreamingPath(
+            self.spark,
+            source=h.source,
+            path=h.spec,
+            store=self.store if store_cols else None,
+            store_cols=store_cols or {},
+            sinks=h.sinks,
+            reject_sinks=h.reject_sinks,
+            **kwargs,
+        )
+        h.query = sp.start(query_name=h.id)
+        return h.query
+
+    def stop(self, path_id: str) -> None:
+        h = self.paths[path_id]
+        if h.query is not None:
+            h.query.stop()
+            h.query = None
+
+    def stop_all(self) -> None:
+        for pid in self.paths:
+            self.stop(pid)
+        self.tasks.stop()
+
+    def run_batch(self, path_id: str, df: DataFrame) -> tuple[DataFrame, dict[str, DataFrame]]:
+        """Apply a path to a batch DataFrame (replay / testing)."""
+        return compile_path(df, self.paths[path_id].spec)
+
+    # --------------------------------------------------------- values verbs
+    def values(self) -> list[dict]:
+        return self.store.snapshot()
+
+    _VALUES_SCHEMA = (
+        "group string, name string, last_value double, min_value double, "
+        "max_value double, avg_value double, hist_avg double, hist_stdev double, "
+        "n_updates long, last_ts string"
+    )
+
+    def values_df(self) -> DataFrame:
+        """Current-values snapshot as a queryable DataFrame (explicit
+        schema: snapshots legitimately hold all-None columns, e.g.
+        hist_stdev before any window fills)."""
+        rows = [
+            (
+                s["group"], s["name"], s["last_value"], s["min_value"], s["max_value"],
+                s["avg_value"], s["hist_avg"], s["hist_stdev"], s["n_updates"],
+                None if s["last_ts"] is None else str(s["last_ts"]),
+            )
+            for s in self.store.snapshot()
+        ]
+        return self.spark.createDataFrame(rows, self._VALUES_SCHEMA)
+
+    def get(self, group: str, name: str) -> float | None:
+        return self.store.get(group, name)
+
+    def add_trigger(self, rule: TriggerRule) -> None:
+        self.store.add_rule(rule)

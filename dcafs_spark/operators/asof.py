@@ -1,0 +1,111 @@
+"""As-of and range joins — time-series ops Spark lacks natively.
+
+The reference has no joins at all (SURVEY §2.8); its closest analogue
+is "current value of X when this record arrived" (rtval refs,
+`src/io/forward/MathForward.java:619-701`) — which IS an as-of
+lookup. These operators generalize that to table scale.
+
+**as-of join** (backward): for each left row, the single most recent
+right row with `right_ts <= left_ts` for the same key. Implemented
+with the union trick: tag both sides, union, and take
+`last_value(payload, ignorenulls) OVER (PARTITION BY key ORDER BY ts,
+side ROWS UNBOUNDED PRECEDING)` — one shuffle + one sort per side,
+exactly the cost of a sort-merge join, with NO range cross-product
+and no per-key driver loops. Skew behaves like any sort-merge join
+(AQE skew handling applies).
+
+**range join** (point-in-interval): join points to [start, end]
+intervals. With an equi-key the range is a residual filter on the
+equi-join. Without one, intervals are replicated to fixed time bins
+and points join on their bin — turning an O(n·m) theta join into an
+equi-join with bounded per-bin fan-out (the standard interval-binning
+strategy; bin width should be ~the median interval length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join; right columns come back null when no right
+    row precedes the left row. Equal timestamps match (<=)."""
+    payload_cols = payload_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on,)],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    # right sorts BEFORE left at equal _t (desc side) so ties match <=
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = l_tag.unionByName(r_tag)
+    for c in payload_cols:
+        merged = merged.withColumn(f"_p_{c}", F.last(f"_p_{c}", ignorenulls=True).over(w))
+    out_cols = (
+        [F.col("_k").alias(on)]
+        + [F.col(c) for c in left.columns if c not in (on,)]
+        + [F.col(f"_p_{c}").alias(f"asof_{c}") for c in payload_cols]
+    )
+    return merged.filter(F.col("_side") == 0).select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start: str,
+    end: str,
+    on: str | None = None,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """points ⋈ intervals where start <= point_ts <= end.
+
+    With `on`, the equi-key carries the join and the range is a
+    residual predicate. Without, intervals replicate to time bins of
+    `bin_width` (same units as the timestamps) and points equi-join
+    their bin — never a broadcast-nested-loop over the full corpus.
+    """
+    if on is not None:
+        cond = (
+            (points[point_ts] >= intervals[start])
+            & (points[point_ts] <= intervals[end])
+            & (points[on] == intervals[on])
+        )
+        return points.join(intervals, cond).drop(intervals[on])
+    if bin_width is None:
+        raise ValueError("need `on` or `bin_width`")
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(start) / bin_width).cast("long"), (F.col(end) / bin_width).cast("long")
+            )
+        ),
+    )
+    binned_pt = points.withColumn("_bin", (F.col(point_ts) / bin_width).cast("long"))
+    return (
+        binned_pt.join(binned_iv, "_bin")
+        .filter((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end)))
+        .drop("_bin")
+    )

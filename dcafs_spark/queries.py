@@ -1296,6 +1296,55 @@ FROM events JOIN means USING (event_type)
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's most
+    recent purchase at or before it (union + last_value window — one
+    sort-merge-join-equivalent pass, no range cross product)."""
+    from dcafs_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_ts"), F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts_us", right_ts="p_ts")
+    return out.select(
+        "event_id", "asof_purchase_id", F.round("asof_value", 6).alias("asof_value")
+    )
+
+
+SQL_ASOF = """
+WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts_us AS p_ts, event_id AS purchase_id, value FROM e WHERE event_type = 'purchase')
+SELECT c.event_id, p.purchase_id AS asof_purchase_id, round(p.value, 6) AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.p_ts <= c.ts_us
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: events back onto their session
+    intervals (equi-key + residual range predicate; binning path
+    covered in operators.asof for the keyless case)."""
+    from dcafs_spark.operators.asof import range_join
+
+    sessions = q_sessionize(spark, sf_dir).select("user_id", "session_id", "start_us", "end_us")
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    points = ev.select("event_id", "user_id", "ts_us")
+    out = range_join(points, sessions, "ts_us", "start_us", "end_us", on="user_id")
+    return out.select("event_id", "session_id")
+
+
+def _sql_range_join() -> str:
+    return f"""
+WITH sess AS ({SQL_SESSIONIZE})
+SELECT e.event_id, s.session_id
+FROM events e JOIN sess s
+  ON e.user_id = s.user_id AND epoch_us(e.ts) BETWEEN s.start_us AND s.end_us
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1318,6 +1367,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "asof_join": (q_asof_join, SQL_ASOF),
+    "range_join": (q_range_join, _sql_range_join()),
     "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),
     "editor_ops": (q_editor_ops, SQL_EDITOR_OPS),
     "listreplace": (q_listreplace, SQL_LISTREPLACE),

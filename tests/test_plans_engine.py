@@ -1,0 +1,153 @@
+"""Plan-quality assertions (the physical plans we'd want at 100 TB),
+Engine facade flow, and as-of/range join edge cases."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.engine import Engine
+from dcafs_spark.operators.asof import asof_join, range_join
+from dcafs_spark.operators.filter_forward import FilterForward
+from dcafs_spark.queries import QUERIES
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanQuality:
+    """explain()-level checks: these are the properties that decide
+    whether a plan survives a 100x scale-up."""
+
+    def test_filter_pushdown_reaches_parquet_scan(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ff = FilterForward(rules=[("minlength", "3")], column="l_returnflag")
+        plan = physical_plan(ff.apply(li).select("l_returnflag"))
+        # simple predicates push into the scan; projection prunes columns
+        assert "PushedFilters: [IsNotNull(l_returnflag)" in plan
+        assert "ReadSchema" in plan and "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+    def test_column_pruning_on_aggregate(self, spark, sf_dir):
+        df = QUERIES["pricing_summary"][0](spark, sf_dir)
+        scan_line = [ln for ln in physical_plan(df).splitlines() if "ReadSchema" in ln]
+        assert scan_line, "no parquet scan found"
+        # the 10-column query must not read l_comment-style extra columns
+        assert "l_shipdate" in scan_line[0]
+        assert "l_suppkey" not in scan_line[0]
+
+    def test_dimension_joins_broadcast(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["join_enrich"][0](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+        assert "SortMergeJoin" not in plan
+
+    def test_topk_uses_take_ordered(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["topk_customers"][0](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan  # no full sort at scale
+
+    def test_whole_stage_codegen_covers_math(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["math_forward"][0](spark, sf_dir))
+        assert "*(" in plan  # '*' prefix marks whole-stage-codegen spans
+        assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+    def test_ocean_stays_jvm_side(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["ocean_functions"][0](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_waypoint_broadcasts_waypoint_table(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["waypoint_geofence"][0](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestAsofRangeEdges:
+    def test_asof_no_predecessor_is_null(self, spark):
+        left = spark.createDataFrame([(1, 5, "a"), (1, 15, "b")], "k int, t int, tag string")
+        right = spark.createDataFrame([(1, 10, 100.0)], "k int, rt int, px double")
+        out = {r["tag"]: r for r in asof_join(left, right, "k", "t", "rt").collect()}
+        assert out["a"]["asof_px"] is None  # t=5 has no purchase <= 5
+        assert out["b"]["asof_px"] == 100.0
+
+    def test_asof_tie_matches(self, spark):
+        left = spark.createDataFrame([(1, 10, "x")], "k int, t int, tag string")
+        right = spark.createDataFrame([(1, 10, 7.0)], "k int, rt int, px double")
+        row = asof_join(left, right, "k", "t", "rt").first()
+        assert row["asof_px"] == 7.0  # <= semantics: equal ts matches
+
+    def test_asof_takes_latest_of_several(self, spark):
+        left = spark.createDataFrame([(1, 100, "x")], "k int, t int, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 1.0), (1, 50, 2.0), (1, 99, 3.0), (1, 101, 4.0)], "k int, rt int, px double"
+        )
+        assert asof_join(left, right, "k", "t", "rt").first()["asof_px"] == 3.0
+
+    def test_range_join_binned_keyless(self, spark):
+        points = spark.createDataFrame([(1, 5), (2, 25), (3, 55)], "pid int, t long")
+        iv = spark.createDataFrame([(10, 0, 30), (20, 50, 60)], "iv_id int, s long, e long")
+        out = range_join(points, iv, "t", "s", "e", bin_width=10)
+        got = sorted((r["pid"], r["iv_id"]) for r in out.collect())
+        assert got == [(1, 10), (2, 10), (3, 20)]
+
+
+class TestEngine:
+    def test_batch_path_and_sql(self, spark, lines_df):
+        eng = Engine(spark)
+        eng.add_path(
+            "ctd",
+            source={"kind": "text", "path": "/nonexistent"},
+            spec={
+                "delimiter": ",",
+                "steps": [
+                    {"type": "filter", "rules": [["start", "$CTD"], ["minitems", "6"]]},
+                    {
+                        "type": "generic",
+                        "fields": [{"name": "temp", "index": 2, "dtype": "real"}],
+                        "keep": ["event_id"],
+                    },
+                ],
+            },
+        )
+        main, _ = eng.run_batch("ctd", lines_df)
+        eng.register("ctd_out", main)
+        n = eng.sql("SELECT count(*) AS n FROM ctd_out WHERE temp IS NOT NULL").first()["n"]
+        assert n == 2
+
+    def test_streaming_path_lifecycle(self, spark, tmp_path):
+        watch = tmp_path / "w"
+        watch.mkdir()
+        (watch / "a.txt").write_text("$CTD01,1,2.5,3,4,5\n$CTD01,1,7.5,3,4,5\n")
+        eng = Engine(spark)
+        eng.add_path(
+            "live",
+            source={"kind": "text", "path": str(watch)},
+            spec={
+                "delimiter": ",",
+                "steps": [
+                    {"type": "filter", "rules": [["start", "$CTD"]]},
+                    {
+                        "type": "generic",
+                        "fields": [
+                            {"name": "station", "index": 0, "dtype": "text"},
+                            {"name": "temp", "index": 2, "dtype": "real"},
+                        ],
+                        "keep": ["origin", "ts"],
+                    },
+                ],
+            },
+            store_cols={"group": "origin", "name": "station", "value": "temp", "ts": "temp"},
+        )
+        out: list = []
+        eng.add_sink("live", lambda df, bid: out.extend(df.collect()))
+        q = eng.start("live")
+        try:
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline and len(out) < 2:
+                q.processAllAvailable()
+                time.sleep(0.1)
+        finally:
+            eng.stop_all()
+        assert len(out) == 2
+        assert eng.get("text", "$CTD01") == 7.5
+        vals = eng.values_df()
+        assert vals.filter(F.col("name") == "$CTD01").first()["min_value"] == 2.5

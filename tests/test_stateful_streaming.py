@@ -1,0 +1,120 @@
+"""applyInPandasWithState values + watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.streaming.stateful import stateful_values
+
+
+def _drain(q, predicate, timeout_s=60):
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        q.processAllAvailable()
+        if predicate():
+            return True
+        time.sleep(0.2)
+    return False
+
+
+class TestStatefulValues:
+    def test_state_carries_across_microbatches(self, spark, tmp_path):
+        watch = tmp_path / "w"
+        watch.mkdir()
+        # batch 1: values 10, 20; batch 2: value 5 (new min, new last)
+        (watch / "b1.txt").write_text("ctd,temp,10,1\nctd,temp,20,2\n")
+
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+        arr = F.split("value", ",")
+        keyed = raw.select(
+            arr[0].alias("g"),
+            arr[1].alias("n"),
+            arr[2].cast("double").alias("v"),
+            arr[3].cast("double").alias("t"),
+        )
+        out = stateful_values(keyed, history_n=3, group="g", name="n", value="v", ts="t")
+        rows: list = []
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 1)
+            assert rows[-1]["n_updates"] == 2
+            assert rows[-1]["min_value"] == 10.0
+            assert rows[-1]["hist_stdev"] is None  # window (3) not full
+
+            (watch / "b2.txt").write_text("ctd,temp,5,3\n")
+            assert _drain(q, lambda: len(rows) >= 2)
+        finally:
+            q.stop()
+        final = rows[-1]
+        assert final["n_updates"] == 3
+        assert final["min_value"] == 5.0  # carried min updated
+        assert final["last_value"] == 5.0
+        assert final["hist_avg"] == pytest.approx(round((10 + 20 + 5) / 3, 3))
+        assert final["hist_stdev"] == pytest.approx(7.6376, abs=1e-3)  # window full now
+
+    def test_out_of_order_within_batch_keeps_latest_ts(self, spark, tmp_path):
+        watch = tmp_path / "w2"
+        watch.mkdir()
+        (watch / "b1.txt").write_text("g,n,50,10\ng,n,99,5\n")  # ts 10 then ts 5
+        raw = spark.readStream.text(str(watch))
+        arr = F.split("value", ",")
+        keyed = raw.select(
+            arr[0].alias("g"), arr[1].alias("n"),
+            arr[2].cast("double").alias("v"), arr[3].cast("double").alias("t"),
+        )
+        out = stateful_values(keyed, history_n=5, group="g", name="n", value="v", ts="t")
+        rows: list = []
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 1)
+        finally:
+            q.stop()
+        assert rows[-1]["last_value"] == 50.0  # ts=10 wins, not arrival order
+
+
+class TestWatermarkWindow:
+    def test_late_data_dropped_by_watermark(self, spark, tmp_path):
+        """Tumbling 10s windows with a 5s watermark: an event older than
+        watermark is dropped (append mode emits only finalized windows)."""
+        watch = tmp_path / "w3"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(
+            "a,2026-01-01 00:00:01\na,2026-01-01 00:00:12\na,2026-01-01 00:01:30\n"
+        )
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+        arr = F.split("value", ",")
+        ev = raw.select(
+            arr[0].alias("k"), F.to_timestamp(arr[1]).alias("ts")
+        ).withWatermark("ts", "5 seconds")
+        agg = ev.groupBy(F.window("ts", "10 seconds").alias("w"), "k").count()
+        rows: list = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            _drain(q, lambda: len(rows) >= 2, timeout_s=30)
+            # a very late event (00:00:03, watermark is past 00:01:25)
+            (watch / "b2.txt").write_text("a,2026-01-01 00:00:03\n")
+            q.processAllAvailable()
+            (watch / "b3.txt").write_text("a,2026-01-01 00:02:30\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted = {(str(r["w"]["start"]), r["count"]) for r in rows}
+        # first window closed with ONE event; the late 00:00:03 never
+        # reopened it (would have been count 2)
+        assert ("2026-01-01 00:00:00", 1) in emitted
+        assert ("2026-01-01 00:00:00", 2) not in emitted

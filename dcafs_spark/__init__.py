@@ -16,7 +16,15 @@ Architecture (see SURVEY.md):
     partition-parallel for 100 TB (no driver-side state, no collect).
 """
 
-from dcafs_spark.session import get_spark, load_tables
+from dcafs_spark.session import ensure_parallelism, get_spark, load_tables
+
+
+def engine(*args, **kwargs):
+    """Convenience: build an Engine (lazy import keeps `import
+    dcafs_spark` light for bench/test startup)."""
+    from dcafs_spark.engine import Engine
+
+    return Engine(*args, **kwargs)
 
 __all__ = ["get_spark", "load_tables"]
 __version__ = "0.1.0"

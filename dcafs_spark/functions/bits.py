@@ -38,6 +38,29 @@ def int_to_bcd(value: Column) -> Column:
     return F.shiftleft((value / 10).cast("int"), 4).bitwiseOR((value % 10).cast("int"))
 
 
+def byte_at(data: Column, pos: int) -> Column:
+    """1-based unsigned byte from a BinaryType column (I2C register
+    reply decode — reference I2CCommand READ ops over raw replies,
+    `src/io/hardware/i2c/I2CCommand.java:22`). substring works on
+    binary; hex→conv keeps it a pure Catalyst expression."""
+    return F.conv(F.hex(F.substring(data, pos, 1)), 16, 10).cast("int")
+
+
+def u16_be(data: Column, pos: int = 1) -> Column:
+    """Big-endian unsigned 16-bit at 1-based byte offset."""
+    return F.conv(F.hex(F.substring(data, pos, 2)), 16, 10).cast("int")
+
+
+def s16_be(data: Column, pos: int = 1) -> Column:
+    """Big-endian signed 16-bit (two's complement) at offset."""
+    return signed_nbit(u16_be(data, pos), 16)
+
+
+def u16_le(data: Column, pos: int = 1) -> Column:
+    """Little-endian unsigned 16-bit (modbus word order variant)."""
+    return byte_at(data, pos) + byte_at(data, pos + 1) * 256
+
+
 def calibrate_2nd_order(x: Column, a: float, b: float, c: float, decimals: int = 8) -> Column:
     """a·x² + b·x + c calibration (MathUtils.calc2ndOrder,
     MathUtils.java:1339-1374)."""

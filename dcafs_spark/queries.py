@@ -56,7 +56,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw long — use for ordering: exact parity with DuckDB's ns
     comparisons) and `ts` (µs TimestampType — use for windowing and
     formatting; generator data never collides below the µs)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = ensure_parallelism(_t(spark, sf_dir, "events"))
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))  # integer div: double /1000 rounds at ns scale
@@ -1345,6 +1345,25 @@ FROM events e JOIN sess s
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: detect near-dup pairs (MinHash LSH), then keep
+    the lowest-id member of each pair — survivors via LEFT ANTI join
+    (the shuffle ships only the condemned id set, never documents)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5)
+    condemned = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return corpus.join(condemned, "doc_id", "left_anti").select("doc_id")
+
+
+def _sql_dedup_apply() -> str:
+    return f"""
+WITH corpus AS {_SQL_NEAR_CORPUS},
+pairs AS ({_sql_minhash_lsh()}),
+condemned AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+SELECT c.doc_id FROM corpus c ANTI JOIN condemned d ON c.doc_id = d.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1367,6 +1386,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, _sql_range_join()),
     "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),

@@ -92,17 +92,27 @@ def jdbc_batch_sink(
 
 @dataclass
 class SqliteSink:
-    """Single-writer SQLite sink with dead-letter retention."""
+    """Single-writer SQLite sink with dead-letter retention.
+
+    `key_cols` turns inserts into upserts (INSERT ... ON CONFLICT DO
+    UPDATE): with a natural key this makes foreachBatch retries
+    idempotent — Spark's at-least-once micro-batch replay becomes
+    effectively-once at the sink (SURVEY §4.2 item 3)."""
 
     db_path: str
     table: str
     create: bool = True
+    key_cols: list[str] | None = None
     dead_letter: list[tuple] = field(default_factory=list)
 
     def write_batch(self, df: DataFrame, batch_id: int = 0) -> int:
         cols = df.columns
         placeholders = ",".join("?" for _ in cols)
         insert = f'INSERT INTO "{self.table}" ({", ".join(repr(c)[1:-1] for c in cols)}) VALUES ({placeholders})'
+        if self.key_cols:
+            sets = ", ".join(f'"{c}" = excluded."{c}"' for c in cols if c not in self.key_cols)
+            keys = ", ".join(f'"{c}"' for c in self.key_cols)
+            insert += f" ON CONFLICT ({keys}) DO UPDATE SET {sets}"
         con = sqlite3.connect(self.db_path)
         try:
             if self.create:

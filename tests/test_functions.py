@@ -96,3 +96,43 @@ def test_redate_millisdate(spark):
     assert got == "02/01/2024"
     got = one(spark, millisdate(F.lit("1704153600000"), "yyyy-MM-dd"))
     assert got == "2024-01-02"
+
+
+class TestBinaryRegisters:
+    def test_byte_and_word_decode(self, spark):
+        from dcafs_spark.functions.bits import byte_at, s16_be, u16_be, u16_le
+
+        df = spark.createDataFrame([(bytes([0x12, 0xFF, 0x80, 0x01]),)], "b binary")
+        row = df.select(
+            byte_at(F.col("b"), 1).alias("b1"),
+            u16_be(F.col("b"), 1).alias("ube"),
+            s16_be(F.col("b"), 3).alias("sbe"),
+            u16_le(F.col("b"), 1).alias("ule"),
+        ).first()
+        assert row["b1"] == 0x12
+        assert row["ube"] == 0x12FF
+        assert row["sbe"] == -(0x10000 - 0x8001)  # 0x8001 signed
+        assert row["ule"] == 0x12 + 0xFF * 256
+
+
+class TestSqliteUpsert:
+    def test_upsert_idempotent_retry(self, spark, tmp_path):
+        import sqlite3
+
+        from dcafs_spark.sinks.db import SqliteSink
+
+        db = str(tmp_path / "u.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v REAL)")
+        con.commit(); con.close()
+        sink = SqliteSink(db, "t", create=False, key_cols=["id"])
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+        sink.write_batch(df)
+        sink.write_batch(df)  # replayed micro-batch: no dupes, no errors
+        df2 = spark.createDataFrame([(2, 9.0)], "id int, v double")
+        sink.write_batch(df2)  # update wins
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+        assert con.execute("SELECT v FROM t WHERE id=2").fetchone()[0] == 9.0
+        assert sink.dead_letter == []
+        con.close()

@@ -94,6 +94,48 @@ def utm_from_gdc(lat: Column, lon: Column) -> Column:
     )
 
 
+def gdc_from_utm(easting: Column, northing: Column, zone: Column, southern: Column | None = None) -> Column:
+    """UTM easting/northing/zone → WGS-84 lat/lon struct (inverse
+    Snyder series — the reference's `gdc` op writes both indexes,
+    GisTools.java:320-352). Pure column arithmetic; staged through the
+    footprint-latitude terms exactly once each."""
+    e1 = (1 - F.sqrt(F.lit(1 - _E2))) / (1 + F.sqrt(F.lit(1 - _E2)))
+    ep2 = _E2 / (1 - _E2)
+    x = easting - 500000.0
+    y = northing if southern is None else F.when(southern, northing - 10000000.0).otherwise(northing)
+    m = y / _K0
+    mu = m / (_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    # footprint latitude
+    phi1 = (
+        mu
+        + (e1 * 3 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + (151 * e1**3 / 96) * F.sin(6 * mu)
+        + (1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = ep2 * cos1**2
+    t1 = tan1**2
+    n1 = _A / F.sqrt(1 - _E2 * sin1**2)
+    r1 = _A * (1 - _E2) / F.pow(1 - _E2 * sin1**2, 1.5)
+    d = x / (n1 * _K0)
+    lat = F.degrees(
+        phi1
+        - (n1 * tan1 / r1)
+        * (
+            d**2 / 2
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2) * d**6 / 720
+        )
+    )
+    lon0 = (zone.cast("double") - 1) * 6.0 - 180.0 + 3.0
+    lon = lon0 + F.degrees(
+        (d - (1 + 2 * t1 + c1) * d**3 / 6 + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120)
+        / cos1
+    )
+    return F.struct(lat.alias("lat"), lon.alias("lon"))
+
+
 def geofence_state(dist_km: Column, radius_km: float) -> Column:
     """INSIDE/OUTSIDE classification for a waypoint circle
     (Waypoint.java:71-105); ENTER/LEAVE transitions come from lag()

@@ -102,3 +102,34 @@ class FilterForward:
         """(accepted, rejected) — rejected feeds 'reverse targets'."""
         p = self.predicate()
         return df.filter(p), df.filter(~p)
+
+    def apply_with_ignores(
+        self, df: DataFrame, ignores: int, order_col: str, key_cols: list[str] | None = None
+    ) -> DataFrame:
+        """`ignores=N`: after a passing record, the next N failing
+        records pass anyway (FilterForward.java:28-29,390-404 — used to
+        let a sensor's occasional glitch lines through once it has
+        proven itself). Sequential semantics expressed as a window
+        plan: cumulative count of passes forms run groups; within a
+        group, failure #1..N after the pass survive. Deterministic
+        under any partitioning (explicit ordering), one window sort
+        per key partition."""
+        from pyspark.sql import Window
+
+        p = self.predicate()
+        part = key_cols or [F.lit(1)]
+        w = Window.partitionBy(*part).orderBy(order_col)
+        # failures-since-last-pass = own rank minus the rank of the most
+        # recent passing row (running max of rank·pass)
+        rank_all = F.row_number().over(w)
+        last_pass_rank = F.max(F.when(p, rank_all)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fails_since = rank_all - F.coalesce(last_pass_rank, F.lit(0))
+        keep = p | ((F.col("_lp").isNotNull()) & (F.col("_fs") <= ignores))
+        return (
+            df.withColumn("_lp", last_pass_rank)
+            .withColumn("_fs", fails_since)
+            .filter(keep)
+            .drop("_lp", "_fs")
+        )

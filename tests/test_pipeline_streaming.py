@@ -353,3 +353,44 @@ class TestWaypoints:
         gf.process_batch(b1)
         gf.process_batch(b2)  # transition spans the batch boundary
         assert [(e[0], e[1], e[3]) for e in gf.events] == [("v1", "harbor", "ENTER")]
+
+
+class TestIgnoresAndIssues:
+    def test_filter_ignores_semantics(self, spark):
+        from dcafs_spark.operators.filter_forward import FilterForward
+
+        # pass rows start with OK; ignores=2 lets 2 failures through
+        # after each pass, then rejects until the next pass
+        rows = [
+            (1, "BAD"), (2, "OK a"), (3, "BAD"), (4, "BAD"), (5, "BAD"),
+            (6, "OK b"), (7, "BAD"), (8, "OK c"),
+        ]
+        df = spark.createDataFrame(rows, "ts int, value string")
+        ff = FilterForward(rules=[("start", "OK")])
+        kept = sorted(r["ts"] for r in ff.apply_with_ignores(df, ignores=2, order_col="ts").collect())
+        # 1: no prior pass -> drop; 2: pass; 3,4: ignored failures; 5: 3rd
+        # failure -> drop; 6: pass; 7: ignored; 8: pass
+        assert kept == [2, 3, 4, 6, 7, 8]
+
+    def test_issue_pool_raise_resolve_cycle(self, spark):
+        from dcafs_spark.issues import IssuePool
+        from dcafs_spark.streaming import ValuesStore
+
+        clock = iter(range(100)).__next__
+        pool = IssuePool(clock=lambda: float(clock()))
+        store = ValuesStore()
+        pool.attach(store, "overtemp", "ctd", "temp", "above 30")
+
+        def feed(v):
+            df = spark.createDataFrame(
+                [("ctd", "temp", float(v), 0)], "group string, name string, value double, ts long"
+            )
+            store.merge_batch(df)
+
+        for v in (10, 35, 40, 20, 50):
+            feed(v)
+        iss = pool.issues["overtemp"]
+        # 10: idle; 35: raise; 40: active (no double-raise); 20: resolve;
+        # 50: raise again
+        assert iss.active
+        assert iss.count == 2

@@ -1,0 +1,117 @@
+"""Property tests (SURVEY §5.2.4): round-trips and complementarity,
+evaluated as single vectorized Spark jobs over generated input grids."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.functions.compare import compile_compare, compile_compare_py
+from dcafs_spark.functions.checksum import nmea_checksum, nmea_checksum_ok
+from dcafs_spark.functions.geo import gdc_from_utm, utm_from_gdc
+from dcafs_spark.functions.timefn import redate
+from dcafs_spark.operators.editor_forward import Edit, EditorForward
+from dcafs_spark.operators.filter_forward import FilterForward
+
+
+class TestUtmRoundtrip:
+    def test_gdc_utm_gdc_within_tenth_meter(self, spark):
+        rng = random.Random(7)
+        pts = [
+            (i, rng.uniform(-80, 84), rng.uniform(-179.9, 179.9)) for i in range(300)
+        ]
+        df = spark.createDataFrame(pts, "i int, lat double, lon double")
+        utm = utm_from_gdc(F.col("lat"), F.col("lon"))
+        back = gdc_from_utm(utm["easting"], utm["northing"], utm["zone"], southern=F.col("lat") < 0)
+        bad = df.select(
+            (F.abs(back["lat"] - F.col("lat")) > 1e-6).alias("dlat"),
+            (F.abs(back["lon"] - F.col("lon")) > 1e-6).alias("dlon"),
+        ).filter(F.col("dlat") | F.col("dlon"))
+        assert bad.count() == 0  # 1e-6 deg ≈ 0.1 m
+
+    def test_utm_sanity_known_point(self, spark):
+        # Zeebrugge-ish: 51.33N 3.20E → zone 31
+        df = spark.createDataFrame([(51.33, 3.20)], "lat double, lon double")
+        u = df.select(utm_from_gdc(F.col("lat"), F.col("lon")).alias("u")).first()["u"]
+        assert u["zone"] == 31
+        assert u["easting"] == pytest.approx(513930, abs=2000)
+        assert u["northing"] == pytest.approx(5686860, abs=2000)
+
+
+class TestRedateRoundtrip:
+    def test_format_roundtrip_identity(self, spark):
+        rng = random.Random(11)
+        rows = [
+            (i, f"{rng.randrange(2000, 2030):04d}-{rng.randrange(1, 13):02d}-{rng.randrange(1, 29):02d} "
+                f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "i int, s string")
+        there = redate(F.col("s"), "yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH.mm.ss")
+        back = redate(there, "dd/MM/yyyy HH.mm.ss", "yyyy-MM-dd HH:mm:ss")
+        assert df.filter(back != F.col("s")).count() == 0
+
+
+class TestNmeaRoundtrip:
+    def test_append_then_verify(self, spark):
+        rng = random.Random(3)
+        bodies = [
+            (i, "GPZDA," + "".join(rng.choice("ABCDEFGH0123456789,") for _ in range(20)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(bodies, "i int, body string")
+        full = F.concat(F.lit("$"), F.col("body"), F.lit("*"), nmea_checksum(F.col("body")))
+        ok = df.select(nmea_checksum_ok(full).alias("ok"))
+        assert ok.filter(~F.col("ok")).count() == 0
+
+    def test_corruption_detected(self, spark):
+        df = spark.createDataFrame([("GPZDA,160012.00,11,07",)], "body string")
+        full = F.concat(F.lit("$"), F.col("body"), F.lit("*"), nmea_checksum(F.col("body")))
+        # flip one payload char AFTER checksumming
+        corrupted = F.regexp_replace(full, "GPZDA", "GPZDB")
+        row = df.select(
+            nmea_checksum_ok(full).alias("ok"), nmea_checksum_ok(corrupted).alias("bad")
+        ).first()
+        assert row["ok"] is True and row["bad"] is False
+
+
+class TestFilterComplementarity:
+    def test_fork_partitions_exactly(self, spark, lines_df):
+        ff = FilterForward(rules=[("start", "$CTD"), ("minitems", "6")], delimiter=",")
+        acc, rej = ff.fork(lines_df)
+        total = lines_df.count()
+        assert acc.count() + rej.count() == total
+        assert acc.intersect(rej).count() == 0
+        # negate swaps the fork
+        neg = FilterForward(rules=[("start", "$CTD"), ("minitems", "6")], delimiter=",", negate=True)
+        assert neg.apply(lines_df).count() == rej.count()
+
+
+class TestResplitIdentity:
+    def test_full_template_is_identity(self, spark):
+        rows = [(i, f"a{i},b{i},c{i}") for i in range(50)]
+        df = spark.createDataFrame(rows, "i int, value string")
+        ed = EditorForward(edits=[Edit("resplit", {"template": "i0,i1,i2"})])
+        out = ed.apply(df).collect()
+        assert len(out) == 50
+        assert all(r["value"] == f"a{r['i']},b{r['i']},c{r['i']}" for r in out)
+
+
+class TestCompareGrammarConsistency:
+    SPECS = [
+        "above 5", "below 5", "not above 5", "at least 5", "equals 5", "not 5",
+        "between 2 and 8", "not between 2 and 8", "from 2 to 8", "2 through 8",
+        "<= 5", ">5", "2-8", "1<x<9",
+    ]
+
+    def test_python_and_column_agree(self, spark):
+        vals = [float(v) for v in range(-2, 12)] + [2.5, 7.999, 8.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        for spec in self.SPECS:
+            col_pred = compile_compare(spec)(F.col("v"))
+            spark_true = {r["v"] for r in df.filter(col_pred).collect()}
+            py = compile_compare_py(spec)
+            py_true = {v for v in vals if py(v)}
+            assert spark_true == py_true, f"grammar mismatch for {spec!r}"

@@ -69,6 +69,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- dcafs core
 
 
+def _iavg(col: str):
+    """Cross-engine-exact 4dp HALF_UP mean of a 2-decimal column.
+
+    The inputs are decimal(·,2) values stored as doubles, and group
+    sizes here make the true mean land EXACTLY on the 4dp rounding
+    half-boundary — where (a) double summation order (partitioning-
+    dependent) and (b) the two engines' round() implementations both
+    decide the last digit. So: integer cent-sum S, then HALF_UP mean =
+    floor((200·S + n) / (2·n)) / 10^4 — pure integer/exact math,
+    identical everywhere. (Magnitudes stay < 2^53 through sf well
+    beyond bench scale.)"""
+    s = F.sum(F.round(F.col(col) * 100).cast("long"))
+    n = F.count(col)
+    return (F.floor((200 * s + n) / (2 * n))).cast("double") / 10000
+
+
+def _sql_iavg(col: str) -> str:
+    return (
+        f"CAST(floor((200 * sum(CAST(round({col} * 100) AS BIGINT)) + count({col}))"
+        f" / (2 * count({col}))) AS DOUBLE) / 10000"
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship batch query (TPC-H Q1 shape): scan-side filter pushdown,
     map-side partial agg, tiny shuffle on the 2-column group key."""
@@ -83,9 +106,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # decimal sums: inputs are 2-decimal, so a double mean can sit
+            # exactly on the 4dp rounding boundary where summation order
+            # (partitioning-dependent) decides the hash — see avg_value in
+            # q_current_values
+            _iavg("l_quantity").alias("avg_qty"),
+            _iavg("l_extendedprice").alias("avg_price"),
+            _iavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -97,9 +124,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(floor((200 * sum(CAST(round(l_quantity * 100) AS BIGINT)) + count(l_quantity)) / (2 * count(l_quantity))) AS DOUBLE) / 10000 AS avg_qty,
+       CAST(floor((200 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + count(l_extendedprice)) / (2 * count(l_extendedprice))) AS DOUBLE) / 10000 AS avg_price,
+       CAST(floor((200 * sum(CAST(round(l_discount * 100) AS BIGINT)) + count(l_discount)) / (2 * count(l_discount))) AS DOUBLE) / 10000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -308,7 +335,7 @@ def q_current_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", F.col("ord")).alias("last_value"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _iavg("value").alias("avg_value"),
         F.round(F.stddev_samp("value"), 4).alias("stdev_value"),
         F.count("*").alias("n_updates"),
     )
@@ -331,7 +358,7 @@ SELECT k."group", k.name,
        round(any_value(l.last_value), 6) AS last_value,
        round(min(k.value), 6) AS min_value,
        round(max(k.value), 6) AS max_value,
-       round(avg(k.value), 4) AS avg_value,
+       CAST(floor((200 * sum(CAST(round(k.value * 100) AS BIGINT)) + count(k.value)) / (2 * count(k.value))) AS DOUBLE) / 10000 AS avg_value,
        round(stddev_samp(k.value), 4) AS stdev_value,
        count(*) AS n_updates
 FROM keyed k JOIN last_v l ON k."group" = l."group" AND k.name = l.name
@@ -1364,6 +1391,28 @@ SELECT c.doc_id FROM corpus c ANTI JOIN condemned d ON c.doc_id = d.doc_id
 """
 
 
+def q_buffer_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BufferCollector: sliding buffer of the last N raw lines per key
+    (BufferCollector.java:15-57) — batch flavor: last-3 values per
+    event type, newest first."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", F.col("rn").cast("long").alias("rn"), "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_BUFFER_TAIL = """
+SELECT event_type, rn, event_id, round(value, 6) AS value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn <= 3
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1386,6 +1435,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, _sql_range_join()),

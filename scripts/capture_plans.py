@@ -1,0 +1,58 @@
+"""Capture formatted physical plans for headline queries → PLANS.md.
+
+Evidence that the plans have the shape we claim at scale: pushdown
+reaching the parquet scan, broadcast joins on dims, top-k without a
+full sort, codegen spans with no Python in JVM-only paths.
+
+Usage: python scripts/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+HEADLINE = [
+    ("pricing_summary", "filter pushdown + partial agg before the 2-key shuffle"),
+    ("filter_fork", "rule predicates collapse into the scan filter"),
+    ("join_enrich", "3-level dim enrichment, all broadcast, zero sort-merge"),
+    ("topk_customers", "TakeOrderedAndProject — no global sort"),
+    ("dedup_minhash_lsh", "checkpointed signatures; band-bucket equi-join"),
+    ("similarity_ivf", "cell assignment + nprobe-bounded probe join"),
+    ("asof_join", "union + running last_value — sort-merge cost, no range blowup"),
+    ("sessionize", "single window pass + partial agg"),
+]
+
+
+def main() -> None:
+    from dcafs_spark import get_spark
+    from dcafs_spark.queries import QUERIES
+
+    spark = get_spark("capture_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# Physical plans (sf0.01, captured by scripts/capture_plans.py)",
+        "",
+        "What to look for: `PushedFilters`/`ReadSchema` on scans (pushdown +",
+        "pruning), `BroadcastHashJoin` on dimension joins,",
+        "`TakeOrderedAndProject` for top-k, codegen ids `(N)` marking fused",
+        "spans, and the absence of `BatchEvalPython` outside the explicitly",
+        "Arrow-batched operators.",
+        "",
+    ]
+    for name, why in HEADLINE:
+        df = QUERIES[name][0](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", f"_{why}_", "", "```", plan.rstrip(), "```", ""]
+    with open("/root/repo/PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote PLANS.md with {len(HEADLINE)} plans")
+
+
+if __name__ == "__main__":
+    main()

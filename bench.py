@@ -20,6 +20,66 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def streaming_lines_per_sec(spark) -> float:
+    """BASELINE.md sanity target: >= 10k lines/s full-pipeline replay
+    (the reference is a sensor-rate system; the engine must not
+    regress below it). Stages the events table as text lines, runs the
+    complete streaming path — filter -> math -> typed projection ->
+    foreachBatch count — and reports lines/sec of stream processing
+    (staging excluded)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.streaming.runner import StreamingPath
+
+    stage_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        lines = ev.select(
+            F.concat_ws(
+                ",", F.lit("$EV"), "event_type", F.col("value").cast("string"), "user_id"
+            ).alias("value")
+        )
+        n_lines = lines.count()
+        lines.coalesce(8).write.mode("overwrite").text(stage_dir)
+
+        seen = {"n": 0}
+        sp = StreamingPath(
+            spark,
+            source={"kind": "text", "path": stage_dir + "/*.txt"},
+            path={
+                "delimiter": ",",
+                "steps": [
+                    {"type": "filter", "rules": [["start", "$EV"], ["minitems", "4"]]},
+                    {"type": "math", "ops": [{"target": "i2", "formula": "i2*0.5"}]},
+                    {
+                        "type": "generic",
+                        "fields": [
+                            {"name": "etype", "index": 1, "dtype": "text"},
+                            {"name": "val", "index": 2, "dtype": "real"},
+                        ],
+                        "keep": ["ts"],
+                    },
+                ],
+            },
+            sinks=[lambda df, bid: seen.__setitem__("n", seen["n"] + df.count())],
+        )
+        q = sp.start("bench_stream")
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            elapsed = time.perf_counter() - t0
+        finally:
+            q.stop()
+        if seen["n"] != n_lines:
+            return 0.0  # wrong row count → report failure, not a rate
+        return n_lines / elapsed
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 def main() -> None:
     from dcafs_spark import get_spark
     from dcafs_spark.queries import QUERIES
@@ -49,6 +109,8 @@ def main() -> None:
         # earlier queries' caches don't pressure later measurements
         spark.sparkContext._jvm.System.gc()
 
+    streaming_rate = round(streaming_lines_per_sec(spark), 1)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -58,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_lines_per_sec": streaming_rate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -106,7 +106,11 @@ class StreamingPath:
             # cost only (µs), and rtval refs re-resolve each batch
             # (stream-static join semantics, SURVEY §2.8)
             main, rejects = compile_path(batch_df, self.path)
-            main = main.localCheckpoint(eager=True)  # run the chain once, fan out below
+            n_consumers = len(self.sinks) + (1 if self.store is not None else 0)
+            if n_consumers > 1:
+                # materialize once, fan out — but only when something
+                # actually fans out: the checkpoint costs a full copy
+                main = main.localCheckpoint(eager=True)
             if self.store is not None:
                 self.store.merge_batch(main, **self.store_cols)
             for sink in self.sinks:

@@ -70,6 +70,8 @@ class ValuesStore:
     def __init__(self, history_n: int = 10):
         self.history_n = history_n
         self.state: dict[tuple[str, str], _KeyState] = {}
+        self.texts: dict[tuple[str, str], str] = {}  # TextVal store
+        self.flags: dict[tuple[str, str], bool] = {}  # FlagVal store
         self.rules: list[TriggerRule] = []
         self.fired_log: list[tuple[str, str, str, float]] = []
 
@@ -142,6 +144,36 @@ class ValuesStore:
         self.fired_log.append((key[0], key[1], rule.kind, value))
         if rule.cmd is not None:
             rule.cmd(key[0], key[1], value)
+
+    # ----------------------------------------------- text / flag values
+    def merge_text_batch(self, df: DataFrame, group="group", name="name", value="value", ts="ts") -> None:
+        """TextVal flavor (RealtimeValues.java:31): last text per key —
+        the batch reduces to one max_by row per key distributedly."""
+        deltas = df.groupBy(
+            F.col(group).alias("group"), F.col(name).alias("name")
+        ).agg(F.max_by(F.col(value), F.col(ts)).alias("d_last"), F.max(ts).alias("d_ts"))
+        for row in deltas.collect():
+            self.texts[(row["group"], row["name"])] = row["d_last"]
+
+    def set_flag(self, group: str, name: str, op: str) -> bool:
+        """FlagVal raise/lower/toggle (RealtimeValues.java:416-454)."""
+        key = (group, name)
+        cur = self.flags.get(key, False)
+        if op == "raise":
+            self.flags[key] = True
+        elif op == "lower":
+            self.flags[key] = False
+        elif op == "toggle":
+            self.flags[key] = not cur
+        else:
+            raise ValueError(f"unknown flag op {op}")
+        return self.flags[key]
+
+    def get_text(self, group: str, name: str) -> str | None:
+        return self.texts.get((group, name))
+
+    def get_flag(self, group: str, name: str) -> bool:
+        return self.flags.get((group, name), False)
 
     # ------------------------------------------------------------- reads
     def snapshot(self) -> list[dict]:

@@ -151,3 +151,52 @@ class TestEngine:
         assert eng.get("text", "$CTD01") == 7.5
         vals = eng.values_df()
         assert vals.filter(F.col("name") == "$CTD01").first()["min_value"] == 2.5
+
+
+class TestSkewAndTextFlags:
+    def test_salted_agg_matches_plain_groupby(self, spark, sf_dir):
+        from dcafs_spark.operators.skew import salted_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        plain = {
+            (r["event_type"],): (r["s"], r["n"], r["mn"], r["mx"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.round(F.sum("value"), 4).alias("s"),
+                F.count("value").alias("n"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        salted = salted_agg(
+            ev,
+            keys=["event_type"],
+            aggs={"s": ("sum", "value"), "n": ("count", "value"),
+                  "mn": ("min", "value"), "mx": ("max", "value"),
+                  "a": ("avg", "value")},
+            salt_buckets=16,
+        )
+        for r in salted.collect():
+            s, n, mn, mx = plain[(r["event_type"],)]
+            assert round(r["s"], 4) == s and r["n"] == n
+            assert r["mn"] == mn and r["mx"] == mx
+            assert r["a"] == pytest.approx(r["s"] / r["n"])
+        # two-phase plan: partial agg on (key, salt) then merge
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") >= 2
+
+    def test_text_and_flag_values(self, spark):
+        from dcafs_spark.streaming import ValuesStore
+
+        store = ValuesStore()
+        df = spark.createDataFrame(
+            [("nav", "mode", "auto", 1), ("nav", "mode", "manual", 2)],
+            "group string, name string, value string, ts long",
+        )
+        store.merge_text_batch(df)
+        assert store.get_text("nav", "mode") == "manual"  # last by ts
+        assert store.set_flag("nav", "alarm", "raise") is True
+        assert store.set_flag("nav", "alarm", "toggle") is False
+        assert store.get_flag("nav", "alarm") is False
+        assert store.get_flag("nav", "unknown") is False

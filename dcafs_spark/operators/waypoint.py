@@ -96,6 +96,89 @@ def nearest_waypoint(
     )
 
 
+def stateful_geofence_stream(stream_df, waypoints: list[Waypoint], lat="lat", lon="lon", track="track_id", ts="ts"):
+    """Streaming geofence with per-track state in the Spark state
+    store (applyInPandasWithState) — the unbounded-fleet variant of
+    StreamingGeofence (whose driver dict suits bounded fleets).
+
+    State per track: last inside-flag per waypoint. Emits only
+    ENTER/LEAVE transition rows. Distance math runs vectorized in
+    numpy per Arrow batch; the state store only holds one byte per
+    (track, waypoint)."""
+    import math as _math
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    wp_ids = [w.id for w in waypoints]
+    wp_data = [(w.lat, w.lon, w.radius_km) for w in waypoints]
+
+    state_schema = StructType([StructField("inside", ArrayType(BooleanType()))])
+    out_schema = StructType(
+        [
+            StructField("track_id", StringType()),
+            StructField("wp_id", StringType()),
+            StructField("ts", DoubleType()),
+            StructField("event", StringType()),
+            StructField("dist_km", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        inside = list(state.get[0]) if state.exists else [None] * len(wp_ids)
+        rows: dict[str, list] = {c: [] for c in ("track_id", "wp_id", "ts", "event", "dist_km")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            la = np.radians(pdf["lat"].to_numpy(dtype=float))
+            lo = np.radians(pdf["lon"].to_numpy(dtype=float))
+            tsv = pdf["ts"].to_numpy(dtype=float)
+            for j, (wla, wlo, wr) in enumerate(wp_data):
+                wla_r, wlo_r = _math.radians(wla), _math.radians(wlo)
+                a = (
+                    np.sin((wla_r - la) / 2) ** 2
+                    + np.cos(la) * _math.cos(wla_r) * np.sin((wlo_r - lo) / 2) ** 2
+                )
+                dist = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+                for i in range(len(dist)):
+                    now_in = bool(dist[i] <= wr)
+                    prev = inside[j]
+                    if prev is not None and now_in != prev:
+                        rows["track_id"].append(key[0])
+                        rows["wp_id"].append(wp_ids[j])
+                        rows["ts"].append(float(tsv[i]))
+                        rows["event"].append("ENTER" if now_in else "LEAVE")
+                        rows["dist_km"].append(float(dist[i]))
+                    inside[j] = now_in
+        state.update(([bool(x) if x is not None else None for x in inside],))
+        yield pd.DataFrame(rows)
+
+    keyed = stream_df.select(
+        F.col(track).cast("string").alias("track_id"),
+        F.col(lat).cast("double").alias("lat"),
+        F.col(lon).cast("double").alias("lon"),
+        F.col(ts).cast("double").alias("ts"),
+    )
+    return keyed.groupBy("track_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class StreamingGeofence:
     """Cross-batch ENTER/LEAVE: carries last inside-flag per
     (track, waypoint) between micro-batches (foreachBatch flavor)."""

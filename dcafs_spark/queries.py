@@ -1413,6 +1413,83 @@ WHERE rn <= 3
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem⋈orders (shuffle join at scale, AQE may
+    broadcast at small SF) + customer/supplier/nation/region broadcast
+    dims, with the supplier-customer same-nation constraint."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_charsplit_rexsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """charsplit (fixed positions), rexsplit (regex keep), toascii —
+    the remaining editor dispatch rows (:314-350, :446-460, :576-583)."""
+    ev = _events(spark, sf_dir)
+    # fixed-width-ish line: 10-char padded type + 6-digit user
+    fixed = ev.select(
+        "event_id",
+        F.concat(F.rpad("event_type", 10, "_"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("value"),
+    )
+    ed1 = EditorForward(edits=[Edit("charsplit", {"positions": [10], "delimiter": "|"})])
+    split_out = ed1.apply(fixed).select("event_id", F.col("value").alias("charsplit_out"))
+
+    digits = ev.select("event_id", F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("-t"), F.col("event_type")).alias("value"))
+    ed2 = EditorForward(edits=[Edit("rexsplit", {"regex": r"\d+", "delimiter": ","})])
+    rex_out = ed2.apply(digits).select("event_id", F.col("value").alias("rex_digits"))
+
+    codes = ev.select("event_id", F.concat_ws(",", (F.col("user_id") % 26 + 65).cast("string"), F.lit("66"), F.lit("67")).alias("value"))
+    ed3 = EditorForward(edits=[Edit("toascii", {})])
+    ascii_out = ed3.apply(codes).select("event_id", F.col("value").alias("ascii_out"))
+
+    return (
+        split_out.join(rex_out, "event_id").join(ascii_out, "event_id")
+        .select("event_id", "charsplit_out", "rex_digits", "ascii_out")
+    )
+
+
+SQL_CHARSPLIT = """
+SELECT e.event_id,
+       rpad(event_type, 10, '_') || '|' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS charsplit_out,
+       array_to_string(regexp_extract_all('u' || CAST(user_id AS VARCHAR) || '-t' || event_type, '\\d+'), ',') AS rex_digits,
+       chr(CAST(user_id % 26 + 65 AS INT)) || 'BC' AS ascii_out
+FROM events e
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1435,6 +1512,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
+    "charsplit_rexsplit": (q_charsplit_rexsplit, SQL_CHARSPLIT),
     "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "asof_join": (q_asof_join, SQL_ASOF),

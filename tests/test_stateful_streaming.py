@@ -118,3 +118,38 @@ class TestWatermarkWindow:
         # reopened it (would have been count 2)
         assert ("2026-01-01 00:00:00", 1) in emitted
         assert ("2026-01-01 00:00:00", 2) not in emitted
+
+
+class TestStatefulGeofence:
+    def test_cross_batch_enter_leave(self, spark, tmp_path):
+        from dcafs_spark.operators.waypoint import Waypoint, stateful_geofence_stream
+
+        watch = tmp_path / "geo"
+        watch.mkdir()
+        # batch 1: far away then near (inside) — first sight arms, no event
+        (watch / "b1.txt").write_text("v1,50.80,3.0,1\nv1,50.99,3.0,2\n")
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+        arr = F.split("value", ",")
+        pos = raw.select(
+            arr[0].alias("track_id"),
+            arr[1].cast("double").alias("lat"),
+            arr[2].cast("double").alias("lon"),
+            arr[3].cast("double").alias("ts"),
+        )
+        out = stateful_geofence_stream(pos, [Waypoint("harbor", 51.0, 3.0, 5.0)])
+        rows: list = []
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            assert _drain(q, lambda: True, timeout_s=30)
+            assert [(r["event"]) for r in rows] == ["ENTER"]  # 50.80 -> 50.99
+            # batch 2: leave again — state carried across micro-batches
+            (watch / "b2.txt").write_text("v1,50.80,3.0,3\n")
+            assert _drain(q, lambda: len(rows) >= 2, timeout_s=30)
+        finally:
+            q.stop()
+        assert [(r["event"]) for r in rows] == ["ENTER", "LEAVE"]
+        assert rows[1]["track_id"] == "v1" and rows[1]["wp_id"] == "harbor"

@@ -1490,6 +1490,39 @@ FROM events e
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (hot-key safe): must equal a plain
+    GROUP BY — the oracle is exactly that plain GROUP BY."""
+    from dcafs_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "sum_value": ("sum", "value"),
+            "n": ("count", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 3).alias("sum_value"),
+        F.col("n").cast("long").alias("n"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+SQL_SKEW = """
+SELECT event_type, round(sum(value), 3) AS sum_value, count(value) AS n,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1513,6 +1546,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
+    "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
     "charsplit_rexsplit": (q_charsplit_rexsplit, SQL_CHARSPLIT),
     "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),

@@ -19,6 +19,8 @@ HEADLINE = [
     ("pricing_summary", "filter pushdown + partial agg before the 2-key shuffle"),
     ("filter_fork", "rule predicates collapse into the scan filter"),
     ("join_enrich", "3-level dim enrichment, all broadcast, zero sort-merge"),
+    ("regional_revenue", "Q5 shape: fact-fact join + 4 broadcast dims"),
+    ("skew_salted_agg", "two-phase salted aggregate (hot-key safe)"),
     ("topk_customers", "TakeOrderedAndProject — no global sort"),
     ("dedup_minhash_lsh", "checkpointed signatures; band-bucket equi-join"),
     ("similarity_ivf", "cell assignment + nprobe-bounded probe join"),

@@ -90,6 +90,42 @@ def jdbc_batch_sink(
     return _sink
 
 
+_SQLITE_TO_DTYPE = {
+    "INTEGER": "integer",
+    "BIGINT": "long",
+    "REAL": "real",
+    "DOUBLE": "real",
+    "FLOAT": "real",
+    "TEXT": "text",
+    "VARCHAR": "text",
+    "BOOLEAN": "flag",
+    "TIMESTAMP": "text",
+    "BLOB": "text",
+}
+
+
+def fields_from_table(db_path: str, table: str):
+    """Infer a Generic ingest mapping from an existing table's columns —
+    the reference's `gens:fromtable` (reads the DB schema and generates
+    the delimited→typed mapping, `src/util/database/SQLDB.java:254-288`,
+    `src/worker/LabelWorker.java:613-625`). Returns
+    ``list[projection.Field]`` positioned in column order."""
+    from dcafs_spark.operators.projection import Field
+
+    con = sqlite3.connect(db_path)
+    try:
+        cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+    finally:
+        con.close()
+    if not cols:
+        raise ValueError(f"table {table!r} not found in {db_path}")
+    fields = []
+    for cid, name, decl_type, _notnull, _default, _pk in cols:
+        base = (decl_type or "TEXT").upper().split("(")[0].strip()
+        fields.append(Field(name=name, index=cid, dtype=_SQLITE_TO_DTYPE.get(base, "text")))
+    return fields
+
+
 @dataclass
 class SqliteSink:
     """Single-writer SQLite sink with dead-letter retention.

@@ -115,3 +115,63 @@ class TestCompareGrammarConsistency:
             py = compile_compare_py(spec)
             py_true = {v for v in vals if py(v)}
             assert spark_true == py_true, f"grammar mismatch for {spec!r}"
+
+
+class TestMathfabFuzz:
+    def test_random_formulas_match_python(self, spark):
+        """Fuzz the formula compiler: random arithmetic over i0..i2
+        evaluated by Catalyst must match Python's own arithmetic.
+        One job: every formula is a column over the same input rows."""
+        import operator
+
+        from dcafs_spark.functions.mathfab import compile_math
+
+        rng = random.Random(42)
+        ops = [("+", operator.add), ("-", operator.sub), ("*", operator.mul), ("/", operator.truediv)]
+
+        def gen(depth=0):
+            if depth >= 2 or rng.random() < 0.4:
+                if rng.random() < 0.5:
+                    k = rng.randrange(3)
+                    return f"i{k}", lambda f, k=k: f[k]
+                v = round(rng.uniform(0.5, 9.5), 2)
+                return repr(v), lambda f, v=v: v
+            sym, fn = rng.choice(ops)
+            ls, lf = gen(depth + 1)
+            rs, rf = gen(depth + 1)
+            return f"({ls} {sym} {rs})", lambda f, fn=fn, lf=lf, rf=rf: fn(lf(f), rf(f))
+
+        formulas = [gen() for _ in range(40)]
+        rows = [(rng.uniform(1.0, 50.0), rng.uniform(1.0, 50.0), rng.uniform(1.0, 50.0)) for _ in range(20)]
+        df = spark.createDataFrame(rows, "f0 double, f1 double, f2 double")
+        cols = [
+            compile_math(src).column(fields=lambda k: F.col(f"f{k}")).alias(f"e{i}")
+            for i, (src, _fn) in enumerate(formulas)
+        ]
+        got = df.select(*[F.col(c) for c in df.columns], *cols).collect()
+        for r in got:
+            fields = (r["f0"], r["f1"], r["f2"])
+            for i, (_src, fn) in enumerate(formulas):
+                expected = fn(fields)
+                assert r[f"e{i}"] == pytest.approx(expected, rel=1e-12), formulas[i][0]
+
+
+class TestFieldsFromTable:
+    def test_infer_generic_mapping(self, spark, tmp_path):
+        import sqlite3
+
+        from dcafs_spark.operators.projection import Generic
+        from dcafs_spark.sinks.db import fields_from_table
+
+        db = str(tmp_path / "m.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE ctd (station TEXT, temp REAL, depth INTEGER, ok BOOLEAN)")
+        con.commit(); con.close()
+        fields = fields_from_table(db, "ctd")
+        assert [(f.name, f.dtype, f.index) for f in fields] == [
+            ("station", "text", 0), ("temp", "real", 1), ("depth", "integer", 2), ("ok", "flag", 3),
+        ]
+        # the inferred mapping parses a line end-to-end
+        df = spark.createDataFrame([("st1,12.5,100,true",)], "value string")
+        row = Generic(fields=fields).apply(df).first()
+        assert (row["station"], row["temp"], row["depth"], row["ok"]) == ("st1", 12.5, 100, True)

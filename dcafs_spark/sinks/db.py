@@ -22,10 +22,32 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import sqlite3
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+
+def _adapt(v):
+    """Coerce Spark row values to types sqlite3 can bind.
+
+    DecimalType → float, timestamp/date → ISO text (the sqlite dialect
+    stores temporals as TEXT, `SqlTable.java:661-669`), bool → int.
+    Without this, a literal like `1.0` (DecimalType) or a timestamp
+    column would fail binding and wrongly land in the dead letter."""
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (list, dict)):
+        return str(v)
+    return v
 
 _SQLITE_TYPES = {  # SqlTable.java:661-669 sqlite map
     "int": "INTEGER",
@@ -158,7 +180,7 @@ class SqliteSink:
             buf: list[tuple] = []
             # toLocalIterator: one partition in driver memory at a time
             for row in df.toLocalIterator():
-                buf.append(tuple(row))
+                buf.append(tuple(_adapt(v) for v in row))
                 if len(buf) >= 10000:
                     n += self._flush(cur, insert, buf)
                     buf = []

@@ -153,3 +153,86 @@ class TestStatefulGeofence:
             q.stop()
         assert [(r["event"]) for r in rows] == ["ENTER", "LEAVE"]
         assert rows[1]["track_id"] == "v1" and rows[1]["wp_id"] == "harbor"
+
+
+class TestCheckpointRecovery:
+    def test_restart_resumes_without_duplicates(self, spark, tmp_path):
+        """foreachBatch + checkpointLocation: stop after batch 1,
+        restart the SAME query (same checkpoint) — file 1 is not
+        reprocessed, file 2 is; the sqlite upsert sink stays exact."""
+        import sqlite3
+
+        from dcafs_spark.sinks.db import SqliteSink
+        from dcafs_spark.streaming import StreamingPath
+
+        watch = tmp_path / "w"
+        watch.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        db = str(tmp_path / "r.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE lines (value TEXT PRIMARY KEY, origin TEXT, n REAL)")
+        con.commit(); con.close()
+
+        def mk_path():
+            sink = SqliteSink(db, "lines", create=False, key_cols=["value"])
+
+            def write(df, bid):
+                sink.write_batch(df.selectExpr("value", "origin", "1.0 AS n"), bid)
+
+            return StreamingPath(
+                spark,
+                source={"kind": "text", "path": str(watch)},
+                path={"steps": []},
+                sinks=[write],
+                checkpoint=ckpt,
+            )
+
+        (watch / "f1.txt").write_text("a\nb\n")
+        q1 = mk_path().start("ckpt_q")
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop(); q1.awaitTermination(10)
+
+        (watch / "f2.txt").write_text("c\n")
+        q2 = mk_path().start("ckpt_q")
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop(); q2.awaitTermination(10)
+
+        con = sqlite3.connect(db)
+        rows = sorted(r[0] for r in con.execute("SELECT value FROM lines").fetchall())
+        con.close()
+        assert rows == ["a", "b", "c"]  # each line exactly once across restart
+
+
+class TestSessionWindowStreaming:
+    def test_native_session_window(self, spark, tmp_path):
+        """Spark-native session_window aggregation on a stream (the
+        streaming flavor of the batch `sessionize` gate query)."""
+        watch = tmp_path / "sw"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(
+            "u1,2026-01-01 00:00:01\nu1,2026-01-01 00:00:05\nu1,2026-01-01 00:10:00\n"
+        )
+        raw = spark.readStream.text(str(watch))
+        arr = F.split("value", ",")
+        ev = raw.select(arr[0].alias("user"), F.to_timestamp(arr[1]).alias("ts")).withWatermark(
+            "ts", "1 second"
+        )
+        agg = ev.groupBy(F.session_window("ts", "30 seconds").alias("w"), "user").count()
+        rows: list = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            (watch / "b2.txt").write_text("u1,2026-01-01 01:00:00\n")  # advance watermark
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        counts = sorted(r["count"] for r in rows)
+        assert counts[:2] == [1, 2]  # session of 2 events + the 00:10 singleton

@@ -97,17 +97,35 @@ def valmap(
     split: str = ":",
     multi_delimiter: str | None = None,
     column: str = "value",
+    remaps: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """key<split>value lines (optionally several records per line) →
-    (key, value) rows. Reference `src/worker/ValMap.java:41-75`."""
+    (key, value) rows. Reference `src/worker/ValMap.java:41-75`.
+
+    `remaps` is the reference's per-key value-conversion table
+    (`ValMap.Mapping.convert`, `ValMap.java:93-116` via addText):
+    {key: {raw_value: stored_text}} — a raw value with no entry passes
+    through unchanged. Compiled to a map literal + element_at, so the
+    lookup stays in codegen (no join, no UDF) — at 100 TB this is a
+    per-row O(1) probe against a broadcast-free constant."""
     col = F.col(column)
     if multi_delimiter:
         df = df.withColumn(column, F.explode(F.split(col, F.lit(multi_delimiter), -1)))
         col = F.col(column)
     key = F.substring_index(col, split, 1)
     val = F.expr(f"substring({column}, instr({column}, '{split}') + {len(split)})")
+    val = F.when(col.contains(split), val)
+    if remaps:
+        flat = [
+            x
+            for k, table in remaps.items()
+            for raw, stored in table.items()
+            for x in (F.lit(f"{k}\x00{raw}"), F.lit(stored))
+        ]
+        lut = F.create_map(*flat)
+        val = F.coalesce(F.element_at(lut, F.concat_ws("\x00", key, val)), val)
     return df.select(
         *[c for c in df.columns if c != column],
         key.alias("key"),
-        F.when(col.contains(split), val).alias("value"),
+        val.alias("value"),
     )

@@ -322,6 +322,37 @@ FROM (SELECT event_id,
 """
 
 
+def q_valmap_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValMap with per-key value-remap tables (`ValMap.java:93-116`
+    Mapping.convert): the 'type' key's raw values map through a lookup
+    (click→CLK …); unmapped raw values pass through unchanged."""
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("type:"), F.col("event_type"), F.lit(";user:"), F.col("user_id")
+        ).alias("value"),
+    )
+    return valmap(
+        lines,
+        split=":",
+        multi_delimiter=";",
+        remaps={"type": {"click": "CLK", "error": "ERR", "purchase": "BUY"}},
+    ).select("event_id", "key", "value")
+
+
+SQL_VALMAP_REMAP = """
+SELECT event_id, split_part(kv, ':', 1) AS key,
+       CASE WHEN split_part(kv, ':', 1) = 'type' THEN
+            CASE split_part(kv, ':', 2) WHEN 'click' THEN 'CLK' WHEN 'error' THEN 'ERR'
+                 WHEN 'purchase' THEN 'BUY' ELSE split_part(kv, ':', 2) END
+            ELSE split_part(kv, ':', 2) END AS value
+FROM (SELECT event_id,
+             unnest(string_split('type:' || event_type || ';user:' || CAST(user_id AS VARCHAR), ';')) AS kv
+      FROM events)
+"""
+
+
 def q_current_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rtvals store, batch flavor: last/min/max/avg/stdev per key."""
     ev = _events(spark, sf_dir)
@@ -1523,6 +1554,150 @@ FROM events GROUP BY event_type
 """
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, order-year) revenue with GROUPING id —
+    grouping-sets surface (SURVEY §2.7 'include natively'). Dims are
+    broadcast (region 5 rows, nation 25): at 100 TB the orders fact
+    never shuffles for this join, and cube adds one exchange on the
+    grouping keys."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    joined = orders.join(dim, orders.o_custkey == dim.c_custkey).select(
+        "r_name", F.year("o_orderdate").cast("long").alias("o_year"), "o_totalprice"
+    )
+    return joined.cube("r_name", "o_year").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_CUBE = """
+SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders,
+       CAST(grouping(r_name) * 2 + grouping(year(o_orderdate)) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, year(o_orderdate))
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per segment — reference has no distinct
+    at all (SURVEY §2.8). Spark plans this as a partial-agg expand,
+    no driver-side set."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").cast("long").alias("n_nations"),
+        F.count("*").alias("n_custs"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       count(*) AS n_custs, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → one sum-column per type, keyed by user
+    bucket (ValMap §2.6 'pivot or map lookup' shape). Explicit value
+    list keeps it one pass — no distinct-collect pre-query; at scale
+    the pivot is a plain hash aggregate over #buckets × #types cells."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 3))
+    )
+    return out.select(
+        "user_bucket", *[F.col(t).alias(f"sum_{t}") for t in _EVENT_TYPES]
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id % 10 AS user_bucket,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 3) AS sum_click,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 3) AS sum_error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 3) AS sum_purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 3) AS sum_signup,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 3) AS sum_view
+FROM events GROUP BY user_id % 10
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer-key sets (set-op surface,
+    SURVEY §2.8: reference has only implicit UNION ALL). Both are
+    hash-partitioned on the key — no broadcast needed, scales with
+    the bigger side."""
+    orders = _t(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey", F.year("o_orderdate").alias("y"))
+    y_lo = buyers.filter(F.col("y") < 1998).select("o_custkey")
+    y_hi = buyers.filter(F.col("y") >= 1998).select("o_custkey")
+    both = y_lo.intersect(y_hi).select("o_custkey", F.lit("both").alias("op"))
+    only_lo = (
+        y_lo.distinct()
+        .exceptAll(y_hi.distinct())  # distinct inputs → EXCEPT semantics
+        .select("o_custkey", F.lit("early_only").alias("op"))
+    )
+    return both.unionByName(only_lo)
+
+
+SQL_SET_OPS = """
+SELECT o_custkey, 'both' AS op FROM
+  (SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998)
+UNION ALL
+SELECT o_custkey, 'early_only' AS op FROM
+  (SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998
+   EXCEPT
+   SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998)
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time window (width 2 h, slide 1 h) — the streaming-
+    native window shape the reference's tumbling rollover can't do
+    (SURVEY §2.8 'sliding/session native extras'). Each event lands in
+    width/slide = 2 windows; Spark's `window()` expands then hash-aggs."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING = """
+SELECT strftime(date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1533,6 +1708,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
     "generic_projection": (q_generic_projection, SQL_GENERIC),
     "valmap_kv": (q_valmap, SQL_VALMAP),
+    "valmap_remap": (q_valmap_remap, SQL_VALMAP_REMAP),
     "current_values": (q_current_values, SQL_CURRENT_VALUES),
     "history_window": (q_history_window, SQL_HISTORY),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
@@ -1571,4 +1747,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
+    "pivot_events": (q_pivot_events, SQL_PIVOT),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "sliding_window": (q_sliding_window, SQL_SLIDING),
 }

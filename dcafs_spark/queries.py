@@ -42,6 +42,12 @@ from dcafs_spark.store.rtvals import current_values, history_window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark 4
+    # rejects (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, and the
+    # caller's session (e.g. the driver's correctness harness) may not come
+    # from dcafs_spark.session.get_spark — so set it here, before every read;
+    # _events() converts the resulting bigint back to a µs timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -257,6 +263,61 @@ SELECT l_orderkey, l_linenumber,
        round({_SAL}, 6) AS salinity_psu,
        round({_sql_soundvel(_SAL, "(l_tax * 100)", "(l_quantity * 2)")}, 6) AS soundvel_ms
 FROM lineitem
+"""
+
+
+def q_true_wind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COAPS true wind speed/direction as pure column exprs over
+    synthetic nav channels derived from lineitem (parity target:
+    reference Calculations.java:198-391). cog is driven through −1 to
+    exercise the cog<0 → heading fallback branch."""
+    from dcafs_spark.functions.ocean import true_wind_dir, true_wind_speed
+
+    li = _t(spark, sf_dir, "lineitem")
+    nav = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 3.0).alias("windvel"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 53) % 360).cast("double").alias("winddir"),
+        (F.col("l_discount") * 100.0).alias("sog"),
+        ((F.col("l_orderkey") % 361) - 1).cast("double").alias("cog"),
+        ((F.col("l_orderkey") * 13) % 360).cast("double").alias("heading"),
+    )
+    args = [F.col(c) for c in ("windvel", "winddir", "sog", "cog", "heading")]
+    return nav.select(
+        "l_orderkey",
+        "l_linenumber",
+        true_wind_speed(*args).alias("tw_speed"),
+        true_wind_dir(*args).alias("tw_dir"),
+    )
+
+
+SQL_TRUE_WIND = """
+WITH nav AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity / 3.0 AS windvel,
+         CAST((l_orderkey * 7 + l_linenumber * 53) % 360 AS DOUBLE) AS winddir,
+         l_discount * 100.0 AS sog,
+         CAST((l_orderkey % 361) - 1 AS DOUBLE) AS cog,
+         CAST((l_orderkey * 13) % 360 AS DOUBLE) AS heading
+  FROM lineitem
+),
+uv AS (
+  SELECT l_orderkey, l_linenumber,
+    windvel * cos(radians(270.0 - (heading + winddir)))
+      + sog * 0.5144444 * cos(radians(90.0 - (CASE WHEN cog < 0 THEN heading ELSE cog END))) AS tu,
+    windvel * sin(radians(270.0 - (heading + winddir)))
+      + sog * 0.5144444 * sin(radians(90.0 - (CASE WHEN cog < 0 THEN heading ELSE cog END))) AS tv
+  FROM nav
+)
+SELECT l_orderkey, l_linenumber,
+  round(sqrt(tu*tu + tv*tv), 5) AS tw_speed,
+  CASE WHEN tu <> 0 AND tv <> 0 THEN
+    (CASE WHEN fmod(round(270.0 - degrees(atan2(tv, tu)), 1), 360.0) < 0
+          THEN fmod(round(270.0 - degrees(atan2(tv, tu)), 1), 360.0) + 360.0
+          ELSE fmod(round(270.0 - degrees(atan2(tv, tu)), 1), 360.0) END)
+  ELSE -999.0 END AS tw_dir
+FROM uv
 """
 
 
@@ -1147,11 +1208,29 @@ WHERE rank <= 5
 """
 
 
+SQL_MULTIMODAL = """
+WITH b AS (
+  SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+),
+h AS (
+  SELECT media_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         substr(hex(payload), 1, 32) AS hx FROM b
+)
+SELECT media_id, n_bytes,
+  round(CAST(n_bytes AS DOUBLE), 1) AS f_len,
+  round(CAST(list_sum(list_transform(range(1, len(hx)+1, 2),
+        i -> (strpos('0123456789ABCDEF', hx[i]) - 1) * 16
+             + (strpos('0123456789ABCDEF', hx[i+1]) - 1))) % 256 AS DOUBLE), 1) AS f_sum16
+FROM h
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over real table data: documents' text bytes
     as opaque binary payloads → Arrow-batched mapInPandas feature
-    extraction (decode stubbed — deterministic byte stats). No SQL
-    oracle: mapInPandas is outside DuckDB's surface → rows-only check."""
+    extraction (byte-stats tier; see multimodal._decode_image). Oracle:
+    the emitted stats are plain byte arithmetic DuckDB can replay over
+    encode(text) (hex-pair decode of the first 16 bytes)."""
     from dcafs_spark.operators.multimodal import FEATURE_SCHEMA, extract_features
 
     docs = _docs(spark, sf_dir)
@@ -1705,6 +1784,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
     "math_forward": (q_math_forward, SQL_MATH_FORWARD),
     "ocean_functions": (q_ocean_functions, SQL_OCEAN),
+    "true_wind": (q_true_wind, SQL_TRUE_WIND),
     "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
     "generic_projection": (q_generic_projection, SQL_GENERIC),
     "valmap_kv": (q_valmap, SQL_VALMAP),
@@ -1742,7 +1822,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),

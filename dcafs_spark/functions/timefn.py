@@ -16,23 +16,48 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Java DateTimeFormatter letters that Spark doesn't accept, with the
-# closest Spark equivalent (Spark: spark.apache.org datetime-pattern).
-_REPLACEMENTS = [
-    ("yyyy", "yyyy"),
-    ("uuuu", "yyyy"),  # Java proleptic year → Spark year
-    ("YYYY", "yyyy"),  # week-based year rarely intended; map to year
-    ("n", "SSS"),  # nano-of-second (approx: millis)
-]
-
+# Java DateTimeFormatter letters that Spark doesn't accept, mapped to
+# the closest Spark equivalent (spark.apache.org datetime-pattern).
+# Translation is run-aware and skips single-quoted literal text: a
+# literal like 'min' must survive untouched, and Java 'nnnnnnnnn'
+# (nano-of-second) maps to one 'SSS', not 9 substitutions.
 _UNSUPPORTED = re.compile(r"[NAnVzOXxZ]{3,}")
 
 
 def java_pattern_to_spark(pattern: str) -> str:
-    out = pattern
-    for a, b in _REPLACEMENTS:
-        out = out.replace(a, b)
-    return out
+    out: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "'":
+            # quoted literal: copy verbatim through the closing quote
+            # ('' inside is an escaped quote)
+            j = i + 1
+            while j < n:
+                if pattern[j] == "'":
+                    if j + 1 < n and pattern[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(pattern[i : j + 1])
+            i = j + 1
+        elif ch.isalpha():
+            j = i
+            while j < n and pattern[j] == ch:
+                j += 1
+            run = pattern[i:j]
+            if ch in ("u", "Y"):  # proleptic / week-based year → year
+                run = "y" * len(run)
+            elif ch in ("n", "N"):  # nano-of-second/day → millis fraction
+                run = "SSS"
+            out.append(run)
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def redate(col: Column, from_pattern: str, to_pattern: str) -> Column:

@@ -64,9 +64,12 @@ def waypoint_events(
     )
     w = Window.partitionBy(track, "wp_id").orderBy(ts)
     prev = F.lag("inside").over(w)
+    # First fix per key has prev=NULL → no event: the reference's UNKNOWN
+    # state transitions silently to INSIDE/OUTSIDE (Waypoint.java:92-96);
+    # a track already inside at its first fix must NOT emit ENTER.
     event = (
-        F.when(F.col("inside") & ~F.coalesce(prev, F.lit(False)), F.lit("ENTER"))
-        .when(~F.col("inside") & F.coalesce(prev, F.lit(False)), F.lit("LEAVE"))
+        F.when(prev.isNotNull() & F.col("inside") & ~prev, F.lit("ENTER"))
+        .when(prev.isNotNull() & ~F.col("inside") & prev, F.lit("LEAVE"))
         .otherwise(F.lit(None).cast("string"))
     )
     return joined.withColumn("event", event)
@@ -189,28 +192,41 @@ class StreamingGeofence:
         self.events: list[tuple] = []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0, **cols) -> None:
+        """Only two sparse result sets reach the driver: (a) the
+        transition rows the plan already found (event ≠ NULL — rare by
+        nature), and (b) ONE first/last boundary row per (track,
+        waypoint) via min_by/max_by — never the full batch. Driver work
+        is O(#transitions + #keys), independent of batch row count."""
         evd = waypoint_events(batch_df, self.waypoints, **cols)
         track = cols.get("track", "track_id")
         ts = cols.get("ts", "ts")
-        rows = evd.select(track, "wp_id", ts, "inside", "event", "dist_km").orderBy(ts).collect()
-        # within-batch transitions come from the plan; here we only stitch
-        # the batch boundary: first row per key vs carried state
-        seen: set[tuple[str, str]] = set()
-        for r in rows:
-            key = (r[track], r["wp_id"])
-            if key not in seen:
-                seen.add(key)
-                carried = self.state.get(key)
-                if carried is not None:
-                    ev = None
-                    if r["inside"] and not carried:
-                        ev = "ENTER"
-                    elif not r["inside"] and carried:
-                        ev = "LEAVE"
-                    if ev:
-                        self.events.append((r[track], r["wp_id"], r[ts], ev, r["dist_km"]))
-                    self.state[key] = bool(r["inside"])
-                    continue
-            if r["event"] is not None:
-                self.events.append((r[track], r["wp_id"], r[ts], r["event"], r["dist_km"]))
-            self.state[key] = bool(r["inside"])
+        sel = evd.select(
+            F.col(track).alias("_track"),
+            "wp_id",
+            F.col(ts).alias("_ts"),
+            "inside",
+            "event",
+            "dist_km",
+        )
+        trans = sel.filter(F.col("event").isNotNull()).collect()
+        bounds = (
+            sel.groupBy("_track", "wp_id")
+            .agg(
+                F.min_by(F.struct("_ts", "inside", "dist_km"), "_ts").alias("first"),
+                F.max_by(F.struct("_ts", "inside", "dist_km"), "_ts").alias("last"),
+            )
+            .collect()
+        )
+        new_events: list[tuple] = []
+        for r in bounds:
+            key = (r["_track"], r["wp_id"])
+            carried = self.state.get(key)
+            fi = r["first"]
+            if carried is not None and bool(fi["inside"]) != carried:
+                ev = "ENTER" if fi["inside"] else "LEAVE"
+                new_events.append((key[0], key[1], fi["_ts"], ev, fi["dist_km"]))
+            self.state[key] = bool(r["last"]["inside"])
+        for r in trans:
+            new_events.append((r["_track"], r["wp_id"], r["_ts"], r["event"], r["dist_km"]))
+        new_events.sort(key=lambda e: e[2])
+        self.events.extend(new_events)

@@ -939,11 +939,12 @@ WITH pos AS (
   FROM d
 )
 SELECT event_id, 'wp1' AS wp_id,
-       CASE WHEN inside AND NOT coalesce(prev_inside, false) THEN 'ENTER'
-            WHEN NOT inside AND coalesce(prev_inside, false) THEN 'LEAVE' END AS event,
+       CASE WHEN inside AND NOT prev_inside THEN 'ENTER'
+            WHEN NOT inside AND prev_inside THEN 'LEAVE' END AS event,
        round(dist_km, 6) AS dist_km
 FROM s
-WHERE (inside AND NOT coalesce(prev_inside, false)) OR (NOT inside AND coalesce(prev_inside, false))
+WHERE prev_inside IS NOT NULL
+  AND ((inside AND NOT prev_inside) OR (NOT inside AND prev_inside))
 """
 
 

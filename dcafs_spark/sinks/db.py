@@ -166,7 +166,11 @@ class SqliteSink:
     def write_batch(self, df: DataFrame, batch_id: int = 0) -> int:
         cols = df.columns
         placeholders = ",".join("?" for _ in cols)
-        insert = f'INSERT INTO "{self.table}" ({", ".join(repr(c)[1:-1] for c in cols)}) VALUES ({placeholders})'
+        # quote identifiers exactly like ddl_for: a column named a SQL
+        # keyword ('order', 'group') or containing spaces must not break
+        # the INSERT and silently dead-letter every row
+        qcols = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+        insert = f'INSERT INTO "{self.table}" ({qcols}) VALUES ({placeholders})'
         if self.key_cols:
             sets = ", ".join(f'"{c}" = excluded."{c}"' for c in cols if c not in self.key_cols)
             keys = ", ".join(f'"{c}"' for c in self.key_cols)

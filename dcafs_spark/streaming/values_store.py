@@ -65,10 +65,18 @@ class _KeyState:
 
 
 class ValuesStore:
-    """Driver-side running store fed by per-batch aggregate deltas."""
+    """Driver-side running store fed by per-batch aggregate deltas.
 
-    def __init__(self, history_n: int = 10):
+    ``max_keys`` guards the driver footprint: the design contract is
+    rtval-style bounded key cardinality (hundreds of sensor ids, like
+    the reference's flat in-memory map). Exceeding it raises with a
+    pointer to ``streaming/stateful.py``'s applyInPandasWithState
+    variant, which holds per-key state in the executor state store and
+    scales to unbounded keys."""
+
+    def __init__(self, history_n: int = 10, max_keys: int = 100_000):
         self.history_n = history_n
+        self.max_keys = max_keys
         self.state: dict[tuple[str, str], _KeyState] = {}
         self.texts: dict[tuple[str, str], str] = {}  # TextVal store
         self.flags: dict[tuple[str, str], bool] = {}  # FlagVal store
@@ -108,7 +116,37 @@ class ValuesStore:
 
     def merge_batch(self, batch_df: DataFrame, **cols) -> None:
         """foreachBatch body: merge per-key deltas into running state,
-        evaluate trigger rules with hysteresis."""
+        evaluate trigger rules per record (reference parity:
+        RealVal.java:464-533 fires on every update, so a value that
+        crosses a threshold and returns WITHIN one batch still fires,
+        and 'changed' fires once per change, not once per batch).
+
+        Ruled keys are few (one per configured triggered cmd), so only
+        THEIR full ordered value sequences come back to the driver —
+        every other key still reduces to one delta row distributedly."""
+        ruled = {(r.group, r.name) for r in self.rules}
+        group = cols.get("group", "group")
+        name = cols.get("name", "name")
+        value = cols.get("value", "value")
+        ts = cols.get("ts", "ts")
+        seqs: dict[tuple[str, str], list[float]] = {}
+        if ruled:
+            key_expr = F.struct(F.col(group).alias("g"), F.col(name).alias("n"))
+            wanted = [F.struct(F.lit(g).alias("g"), F.lit(n).alias("n")) for g, n in sorted(ruled)]
+            seq_rows = (
+                batch_df.filter(key_expr.isin(*wanted))
+                .groupBy(F.col(group).alias("group"), F.col(name).alias("name"))
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
+                        ),
+                        lambda s: s["v"],
+                    ).alias("vals")
+                )
+                .collect()
+            )
+            seqs = {(r["group"], r["name"]): list(r["vals"]) for r in seq_rows}
         for row in self.batch_deltas(batch_df, **cols).collect():
             key = (row["group"], row["name"])
             st = self.state.setdefault(key, _KeyState())
@@ -120,25 +158,36 @@ class ValuesStore:
             st.total += row["d_sum"]
             st.last_ts = row["d_ts"]
             st.history = (st.history + list(row["d_tail"]))[-self.history_n :]
-            self._eval_rules(key, prev, st.last)
+            if key in seqs:
+                self._eval_rules_seq(key, prev, seqs[key])
+        if len(self.state) > self.max_keys:
+            raise RuntimeError(
+                f"ValuesStore key cardinality {len(self.state)} exceeds max_keys="
+                f"{self.max_keys}; this driver-side store is for bounded rtval "
+                "cardinality — use dcafs_spark.streaming.stateful for unbounded keys"
+            )
 
     # -------------------------------------------------------------- rules
-    def _eval_rules(self, key: tuple[str, str], prev: float | None, new: float) -> None:
+    def _eval_rules_seq(self, key: tuple[str, str], prev: float | None, values: list[float]) -> None:
+        """Per-record trigger evaluation over the batch's ordered values."""
         for rule in self.rules:
             if (rule.group, rule.name) != key:
                 continue
-            if rule.kind == "always":
-                self._fire(rule, key, new)
-            elif rule.kind == "changed":
-                if prev is None or prev != new:
+            p = prev
+            for new in values:
+                if rule.kind == "always":
                     self._fire(rule, key, new)
-            elif rule.kind == "comparison":
-                ok = rule._check(new)
-                if ok and not rule.fired:  # fire once, then hold
-                    rule.fired = True
-                    self._fire(rule, key, new)
-                elif not ok and rule.fired:  # condition cleared → re-arm
-                    rule.fired = False
+                elif rule.kind == "changed":
+                    if p is None or p != new:
+                        self._fire(rule, key, new)
+                elif rule.kind == "comparison":
+                    ok = rule._check(new)
+                    if ok and not rule.fired:  # fire once, then hold
+                        rule.fired = True
+                        self._fire(rule, key, new)
+                    elif not ok and rule.fired:  # condition cleared → re-arm
+                        rule.fired = False
+                p = new
 
     def _fire(self, rule: TriggerRule, key: tuple[str, str], value: float) -> None:
         self.fired_log.append((key[0], key[1], rule.kind, value))

@@ -903,6 +903,45 @@ FROM events
 """
 
 
+_SETTINGS_XML = """
+<dcafs>
+  <paths>
+    <path id="ev" delimiter=",">
+      <filter>
+        <rule type="start">$EV</rule>
+        <rule type="minitems">4</rule>
+      </filter>
+      <math><op type="complex">i2=i2*0.5</op></math>
+      <editor><edit type="replace" find="$EV">EV</edit></editor>
+      <generic keep="event_id">
+        <text index="1">etype</text>
+        <real index="2">val_half</real>
+        <integer index="3">user</integer>
+      </generic>
+    </path>
+  </paths>
+</dcafs>
+"""
+
+
+def q_xml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same path as q_pipeline_dsl, but declared in reference-style
+    settings.xml and parsed by plans.xmlconfig (PathForward.java:115-263
+    element grammar) — an existing dcafs deployment's XML config drives
+    the Spark plan directly."""
+    from dcafs_spark.plans import compile_path
+    from dcafs_spark.plans.xmlconfig import load_paths
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        "event_id",
+        F.concat_ws(",", F.lit("$EV"), "event_type", F.col("value").cast("string"), "user_id").alias("value"),
+    )
+    spec = load_paths(_SETTINGS_XML)["ev"]
+    main, _rejects = compile_path(lines, spec)
+    return main
+
+
 def q_waypoint_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence ENTER/LEAVE over synthetic tracks: state = lag(inside)
     per (track, waypoint) — Waypoint.java:71-105 as a pure plan."""
@@ -1815,6 +1854,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bits_calibration": (q_bits_calibration, SQL_BITS),
     "utm_projection": (q_utm_projection, _sql_utm()),
     "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
+    "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
     "decimation": (q_decimation, SQL_DECIMATION),

@@ -1,0 +1,144 @@
+"""XML settings → path spec parsing (plans/xmlconfig.py) and the
+compiled pipeline's behavior against hand-computed expectations."""
+
+import pytest
+
+from dcafs_spark.plans.xmlconfig import load_paths
+
+
+FULL_XML = """
+<dcafs>
+  <paths>
+    <path id="sbe38" delimiter=";">
+      <filter negate="false" ignores="2">
+        <rule type="start">$GPGGA</rule>
+        <rule type="start">$GPGLL</rule>
+        <rule type="minlength">10</rule>
+      </filter>
+      <math suffix="">
+        <def ref="KNOT">0.5144444</def>
+        <op type="complex" scale="3">i1=i1*KNOT</op>
+        <op type="salinity" index="4">i1,i2,i3</op>
+      </math>
+      <editor>
+        <edit type="redate" from="yy:dd:MM">dd_MM_yy</edit>
+        <edit type="replace" find="a">b</edit>
+        <edit type="prepend">T:</edit>
+        <edit type="insert" position="2">!</edit>
+        <edit type="cutend">1</edit>
+        <edit type="listreplace" first="1">cat,dog</edit>
+      </editor>
+      <generic delimiter="," startswith="$" keep="origin">
+        <text index="0">name</text>
+        <real index="2" def="0.0">speed</real>
+        <integer index="3">count</integer>
+        <flag index="4">ok</flag>
+      </generic>
+      <valmap split=":" multi=";"/>
+    </path>
+    <path id="second" delimiter=","><filter type="contain">x</filter></path>
+  </paths>
+</dcafs>
+"""
+
+
+class TestXmlParsing:
+    def test_two_paths_found(self):
+        specs = load_paths(FULL_XML)
+        assert set(specs) == {"sbe38", "second"}
+        assert specs["sbe38"]["delimiter"] == ";"
+
+    def test_filter_rules_with_multi_start(self):
+        f = load_paths(FULL_XML)["sbe38"]["steps"][0]
+        assert f["type"] == "filter"
+        # two start rules OR-combine into one multi-option rule
+        assert ["start", "$GPGGA,$GPGLL"] in f["rules"]
+        assert ["minlength", "10"] in f["rules"]
+        assert f["ignores"] == 2
+
+    def test_single_rule_filter_on_element(self):
+        f = load_paths(FULL_XML)["second"]["steps"][0]
+        assert f["rules"] == [["contain", "x"]]
+
+    def test_math_defs_and_ops(self):
+        m = load_paths(FULL_XML)["sbe38"]["steps"][1]
+        assert m["consts"] == {"KNOT": 0.5144444}
+        assert m["ops"][0] == {"target": "i1", "formula": "i1*KNOT", "scale": 3}
+        assert m["ops"][1] == {"target": "i4", "formula": "i1,i2,i3", "special": "salinity"}
+
+    def test_editor_edits(self):
+        e = load_paths(FULL_XML)["sbe38"]["steps"][2]
+        kinds = [d["kind"] for d in e["edits"]]
+        assert kinds == ["redate", "replace", "prepend", "insert", "cutend", "listreplace"]
+        assert e["edits"][0]["args"] == {"from": "yy:dd:MM", "to": "dd_MM_yy"}
+        assert e["edits"][1]["args"] == {"find": "a", "replacement": "b"}
+        assert e["edits"][3]["args"] == {"position": 2, "text": "!"}
+        assert e["edits"][5]["args"] == {"first": 1, "list": ["cat", "dog"]}
+
+    def test_generic_fields(self):
+        g = load_paths(FULL_XML)["sbe38"]["steps"][3]
+        assert g["delimiter"] == ","
+        assert g["startswith"] == "$"
+        assert g["keep"] == ["origin"]
+        assert g["fields"][0] == {"name": "name", "index": 0, "dtype": "text"}
+        assert g["fields"][1] == {"name": "speed", "index": 2, "dtype": "real", "default": 0.0}
+        assert g["fields"][3] == {"name": "ok", "index": 4, "dtype": "flag"}
+
+    def test_valmap(self):
+        v = load_paths(FULL_XML)["sbe38"]["steps"][4]
+        assert v == {"type": "valmap", "split": ":", "multi": ";"}
+
+    def test_bare_path_element(self):
+        specs = load_paths('<path id="p1" delimiter=","><filter type="start">$</filter></path>')
+        assert specs["p1"]["steps"][0]["rules"] == [["start", "$"]]
+
+    def test_special_xml_escapes(self):
+        specs = load_paths(
+            '<path id="p"><editor><edit type="prepend">{0x3C}b{0x3E}</edit></editor></path>'
+        )
+        assert specs["p"]["steps"][0]["edits"][0]["args"]["text"] == "<b>"
+
+    def test_unknown_step_raises(self):
+        with pytest.raises(ValueError, match="unknown path step"):
+            load_paths('<path id="p"><bogus/></path>')
+
+    def test_unknown_edit_raises(self):
+        with pytest.raises(ValueError, match="unknown edit type"):
+            load_paths('<path id="p"><editor><edit type="nope">x</edit></editor></path>')
+
+
+class TestXmlCompiled:
+    def test_xml_path_end_to_end(self, spark):  # noqa: F811
+        from dcafs_spark.plans import compile_path
+
+        xml = """
+        <path id="t" delimiter=",">
+          <filter><rule type="start">$T</rule><rule type="minitems">3</rule></filter>
+          <math><op>i1=i1*2</op></math>
+          <generic keep="line_id">
+            <real index="1">doubled</real>
+            <text index="2">tag</text>
+          </generic>
+        </path>
+        """
+        df = spark.createDataFrame(
+            [(1, "$T,1.5,a"), (2, "$T,2.0,b"), (3, "XX,9.9,c"), (4, "$T,0.25,d")],
+            "line_id int, value string",
+        )
+        spec = load_paths(xml)["t"]
+        out, _ = compile_path(df, spec)
+        rows = {r["line_id"]: (r["doubled"], r["tag"]) for r in out.collect()}
+        assert rows == {1: (3.0, "a"), 2: (4.0, "b"), 4: (0.5, "d")}
+
+    def test_reject_route(self, spark):  # noqa: F811
+        from dcafs_spark.plans import compile_path
+
+        xml = """
+        <path id="t" delimiter=",">
+          <filter reject="bad"><rule type="start">$</rule></filter>
+        </path>
+        """
+        df = spark.createDataFrame([("$ok",), ("no",)], "value string")
+        out, rejects = compile_path(df, load_paths(xml)["t"])
+        assert out.count() == 1
+        assert rejects["bad"].count() == 1

@@ -153,3 +153,94 @@ class Engine:
 
     def add_trigger(self, rule: TriggerRule) -> None:
         self.store.add_rule(rule)
+
+    # ------------------------------------------------------ command strings
+    _UNKNOWN = "unknown command: "
+
+    def command(self, line: str) -> Any:
+        """`prefix:args` command-string dispatch — the reference's second
+        entry point (telnet/CommandPool, `src/das/CommandPool.java:123-183`).
+        Data verbs return values/DataFrames; management verbs mutate the
+        catalog and return status strings, like telnet replies."""
+        line = line.strip()
+        prefix, _, rest = line.partition(":")
+        prefix = prefix.strip().lower()
+        args = [a.strip() for a in rest.split(",")] if rest else []
+
+        if prefix == "sql":
+            return self.sql(rest)
+        if prefix in ("rtvals", "rvs", "rv"):
+            snap = self.values()
+            if args[:1] == ["group"] and len(args) > 1:
+                snap = [s for s in snap if s["group"] == args[1]]
+            elif args[:1] == ["name"] and len(args) > 1:
+                snap = [s for s in snap if s["name"] == args[1]]
+            return "\n".join(
+                f"{s['group']} -> {s['name']} : {s['last_value']:g}" for s in snap
+            ) or "no values"
+        if prefix == "rtval":
+            if len(args) != 2:
+                return self._UNKNOWN + line
+            return self.get(args[0], args[1])
+        if prefix in ("fv", "flags"):
+            if not args:
+                return "\n".join(
+                    f"{g} -> {n} : {v}" for (g, n), v in sorted(self.store.flags.items())
+                ) or "no flags"
+            op, *key = args
+            if op in ("raise", "lower", "toggle") and len(key) == 2:
+                return self.store.set_flag(key[0], key[1], op)
+            return self._UNKNOWN + line
+        if prefix in ("tv", "texts"):
+            if len(args) == 2:
+                return self.store.get_text(args[0], args[1])
+            return "\n".join(
+                f"{g} -> {n} : {v}" for (g, n), v in sorted(self.store.texts.items())
+            ) or "no texts"
+        if prefix == "pf":
+            if args[:1] == ["list"] or not args:
+                return "\n".join(
+                    f"{pid} : {len(h.spec.get('steps', []))} steps"
+                    f" [{'running' if h.query else 'stopped'}]"
+                    for pid, h in sorted(self.paths.items())
+                ) or "no paths"
+            if args[0] == "load" and len(args) >= 2:
+                # pf:load,<file-or-xml> — settings.xml paths into the catalog
+                from dcafs_spark.plans.xmlconfig import load_paths
+
+                specs = load_paths(rest.partition(",")[2])
+                for pid, spec in specs.items():
+                    self.add_path(pid, source=spec.get("src", {}), spec=spec)
+                return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}"
+            if args[0] == "stop" and len(args) == 2:
+                self.stop(args[1])
+                return f"stopped {args[1]}"
+            return self._UNKNOWN + line
+        if prefix in ("st", "ss", "streams"):
+            lines = [
+                f"{pid} : {'running' if h.query else 'stopped'}"
+                for pid, h in sorted(self.paths.items())
+            ]
+            lines.append(f"values: {len(self.store.state)} keys")
+            lines.append(f"tasks: {len(self.tasks.tasks)}")
+            return "\n".join(lines)
+        if prefix == "tm":
+            if args[:1] == ["run"] and len(args) == 2:
+                if args[1] in self.tasks.tasksets:
+                    return self.tasks.run_taskset(args[1])
+                if args[1] in self.tasks.tasks:
+                    return self.tasks.fire(self.tasks.tasks[args[1]])
+                return self._UNKNOWN + line
+            if args[:1] == ["list"] or not args:
+                return "\n".join(
+                    [f"task {t}" for t in sorted(self.tasks.tasks)]
+                    + [f"taskset {t}" for t in sorted(self.tasks.tasksets)]
+                ) or "no tasks"
+            return self._UNKNOWN + line
+        if prefix in ("help", "h", "?"):
+            return (
+                "sql:<query> | rtvals[:group,<g>|:name,<n>] | rtval:<g>,<n> | "
+                "fv:raise|lower|toggle,<g>,<n> | tv:<g>,<n> | "
+                "pf:list|load,<xml>|stop,<id> | st | tm:run,<id>|list"
+            )
+        return self._UNKNOWN + line

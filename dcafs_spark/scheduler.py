@@ -83,9 +83,17 @@ class Task:
     keyword: str | None = None
     check: Check | None = None
     retries: int = 0  # RETRY: re-run while check fails, up to N times
+    # link to other task(s) applied after a successful run
+    # (Task.java:74-78,221-230): linktype ∈ disable24h | nottoday |
+    # donow | skipone, link = ';'-separated task ids
+    link: str | None = None
+    linktype: str = "none"
     # runtime
     last_fire: float | None = None
     fire_count: int = 0
+    do_today: bool = True  # cleared by disable24h/nottoday links
+    skip_executions: int = 0  # set by skipone links
+    disabled_until: datetime | None = None  # UTC re-enable time
 
 
 @dataclass
@@ -107,6 +115,8 @@ class TaskManager:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.log: list[tuple[str, str]] = []
+        # injectable UTC clock so link-expiry (24h / midnight) is testable
+        self.now_utc: Callable[[], datetime] = lambda: datetime.now(timezone.utc)
 
     def add_task(self, task: Task) -> None:
         self.tasks[task.id] = task
@@ -120,8 +130,49 @@ class TaskManager:
     def _gate(self, task: Task) -> bool:
         return task.check is None or task.check.passes(self.store)
 
+    def _link_gate(self, task: Task) -> bool:
+        """Gate on link state (TaskManager.java:579-580): skip while a
+        skipone is pending or the task is disabled for today; the skip
+        counter burns down on the skipped attempt (:835-836)."""
+        if task.disabled_until is not None and self.now_utc() >= task.disabled_until:
+            task.do_today = True
+            task.disabled_until = None
+        if task.skip_executions > 0:
+            task.skip_executions -= 1
+            self.log.append((task.id, "skipped"))
+            return False
+        if not task.do_today:
+            self.log.append((task.id, "not_today"))
+            return False
+        return True
+
+    def _apply_links(self, task: Task) -> None:
+        """After a successful run, apply the task's link to each linked
+        task (TaskManager.java:796-818)."""
+        if task.link is None or task.linktype == "none":
+            return
+        now = self.now_utc()
+        for linked_id in task.link.split(";"):
+            t = self.tasks.get(linked_id.strip())
+            if t is None:
+                continue
+            if task.linktype == "disable24h":
+                t.do_today = False
+                t.disabled_until = now + timedelta(hours=24)
+            elif task.linktype == "nottoday":
+                t.do_today = False
+                t.disabled_until = (now + timedelta(days=1)).replace(
+                    hour=0, minute=0, second=0, microsecond=0
+                )
+            elif task.linktype == "donow":
+                self.fire(t)
+            elif task.linktype == "skipone":
+                t.skip_executions = 1
+
     def fire(self, task: Task) -> bool:
-        """Evaluate check; run action on pass. Returns success."""
+        """Evaluate link gate + check; run action on pass. Returns success."""
+        if not self._link_gate(task):
+            return False
         attempts = task.retries + 1
         for i in range(attempts):
             if self._gate(task):
@@ -130,6 +181,7 @@ class TaskManager:
                 task.last_fire = _time.monotonic()
                 task.fire_count += 1
                 self.log.append((task.id, "fired"))
+                self._apply_links(task)
                 return True
             if i < attempts - 1:
                 _time.sleep(self.tick_s)

@@ -153,6 +153,145 @@ class TestEngine:
         assert vals.filter(F.col("name") == "$CTD01").first()["min_value"] == 2.5
 
 
+class TestEngineCommands:
+    """Engine.command round-trip: the reference's prefix:args surface
+    (CommandPool.java:123-183) driving paths/values/triggers/tasks."""
+
+    def _engine_with_values(self, spark):
+        eng = Engine(spark)
+        df = spark.createDataFrame(
+            [("ctd", "temp", 12.5, 1.0), ("ctd", "sal", 35.1, 2.0), ("nav", "sog", 4.2, 3.0)],
+            "group string, name string, value double, ts double",
+        )
+        eng.store.merge_batch(df)
+        return eng
+
+    def test_rtvals_listing_and_filters(self, spark):
+        eng = self._engine_with_values(spark)
+        full = eng.command("rtvals")
+        assert "ctd -> temp : 12.5" in full and "nav -> sog : 4.2" in full
+        grouped = eng.command("rtvals:group,ctd")
+        assert "nav" not in grouped and "sal" in grouped
+        assert eng.command("rtval:ctd,temp") == 12.5
+
+    def test_flag_and_text_commands(self, spark):
+        eng = Engine(spark)
+        assert eng.command("fv:raise,sys,armed") is True
+        assert eng.command("fv:toggle,sys,armed") is False
+        eng.store.texts[("sys", "mode")] = "survey"
+        assert eng.command("tv:sys,mode") == "survey"
+
+    def test_pf_load_from_xml_and_list(self, spark):
+        eng = Engine(spark)
+        out = eng.command(
+            'pf:load,<path id="p1" delimiter=","><filter type="start">$</filter></path>'
+        )
+        assert "p1" in out
+        assert "p1 : 1 steps [stopped]" in eng.command("pf:list")
+        df = spark.createDataFrame([("$yes",), ("no",)], "value string")
+        main, _ = eng.run_batch("p1", df)
+        assert main.count() == 1
+
+    def test_sql_and_status_and_unknown(self, spark):
+        eng = self._engine_with_values(spark)
+        assert eng.command("sql:SELECT 1 AS one").first()["one"] == 1
+        st = eng.command("st")
+        assert "values: 3 keys" in st
+        assert eng.command("bogus:1").startswith("unknown command")
+
+    def test_tm_run_taskset(self, spark):
+        from dcafs_spark.scheduler import Task, TaskSet
+
+        eng = self._engine_with_values(spark)
+        fired = []
+        eng.tasks.add_taskset(
+            TaskSet("s1", "oneshot", [Task("t1", fired.append, value="go {r:ctd_temp}")])
+        )
+        assert eng.command("tm:run,s1") is True
+        assert fired == ["go 12.5"]
+        assert "taskset s1" in eng.command("tm:list")
+
+
+class TestTaskLinks:
+    """Link types DISABLE_24H / NOT_TODAY / DO_NOW / SKIP_ONE
+    (Task.java:74, TaskManager.java:796-836)."""
+
+    def _tm(self):
+        from datetime import datetime, timezone
+
+        from dcafs_spark.scheduler import TaskManager
+
+        tm = TaskManager()
+        tm._now = datetime(2026, 8, 13, 10, 0, 0, tzinfo=timezone.utc)
+        tm.now_utc = lambda: tm._now
+        return tm
+
+    def test_do_now_fires_linked(self):
+        from dcafs_spark.scheduler import Task
+
+        tm = self._tm()
+        fired = []
+        tm.add_task(Task("b", lambda s: fired.append("b")))
+        tm.add_task(Task("a", lambda s: fired.append("a"), link="b", linktype="donow"))
+        assert tm.fire(tm.tasks["a"])
+        assert fired == ["a", "b"]
+
+    def test_skip_one_skips_exactly_one(self):
+        from dcafs_spark.scheduler import Task
+
+        tm = self._tm()
+        fired = []
+        tm.add_task(Task("b", lambda s: fired.append("b")))
+        tm.add_task(Task("a", lambda s: fired.append("a"), link="b", linktype="skipone"))
+        tm.fire(tm.tasks["a"])
+        assert tm.fire(tm.tasks["b"]) is False  # skipped once
+        assert tm.fire(tm.tasks["b"]) is True  # then runs again
+        assert fired == ["a", "b"]
+
+    def test_disable_24h_reenables_after_24h(self):
+        from datetime import timedelta
+
+        from dcafs_spark.scheduler import Task
+
+        tm = self._tm()
+        fired = []
+        tm.add_task(Task("b", lambda s: fired.append("b")))
+        tm.add_task(Task("a", lambda s: fired.append("a"), link="b", linktype="disable24h"))
+        tm.fire(tm.tasks["a"])
+        assert tm.fire(tm.tasks["b"]) is False
+        tm._now += timedelta(hours=23)
+        assert tm.fire(tm.tasks["b"]) is False
+        tm._now += timedelta(hours=1, seconds=1)
+        assert tm.fire(tm.tasks["b"]) is True
+
+    def test_not_today_reenables_at_utc_midnight(self):
+        from datetime import timedelta
+
+        from dcafs_spark.scheduler import Task
+
+        tm = self._tm()
+        fired = []
+        tm.add_task(Task("b", lambda s: fired.append("b")))
+        tm.add_task(Task("a", lambda s: fired.append("a"), link="b", linktype="nottoday"))
+        tm.fire(tm.tasks["a"])
+        assert tm.fire(tm.tasks["b"]) is False
+        tm._now += timedelta(hours=13)  # 23:00 same day
+        assert tm.fire(tm.tasks["b"]) is False
+        tm._now += timedelta(hours=1, minutes=1)  # past midnight UTC
+        assert tm.fire(tm.tasks["b"]) is True
+
+    def test_multi_link_targets(self):
+        from dcafs_spark.scheduler import Task
+
+        tm = self._tm()
+        fired = []
+        tm.add_task(Task("b", lambda s: fired.append("b")))
+        tm.add_task(Task("c", lambda s: fired.append("c")))
+        tm.add_task(Task("a", lambda s: fired.append("a"), link="b;c", linktype="donow"))
+        tm.fire(tm.tasks["a"])
+        assert fired == ["a", "b", "c"]
+
+
 class TestSkewAndTextFlags:
     def test_salted_agg_matches_plain_groupby(self, spark, sf_dir):
         from dcafs_spark.operators.skew import salted_agg

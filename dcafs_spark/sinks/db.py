@@ -62,7 +62,7 @@ _SQLITE_TYPES = {  # SqlTable.java:661-669 sqlite map
     "binary": "BLOB",
 }
 
-_SERVER_TYPES = {  # server map (:399-407): real timestamps, not TEXT
+_SERVER_TYPES = {  # generic server map (:399-407): real timestamps, not TEXT
     "int": "INTEGER",
     "bigint": "BIGINT",
     "smallint": "SMALLINT",
@@ -75,17 +75,68 @@ _SERVER_TYPES = {  # server map (:399-407): real timestamps, not TEXT
     "binary": "BLOB",
 }
 
+_POSTGRES_TYPES = {  # SQLDB.java:84-95 POSTGRESQL; timestamptz per SqlTable.java:667
+    **_SERVER_TYPES,
+    "string": "TEXT",
+    "timestamp": "TIMESTAMPTZ",
+    "binary": "BYTEA",
+}
+
+_MYSQL_TYPES = {  # SQLDB.java:84-95 MYSQL/MARIADB
+    **_SERVER_TYPES,
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "TEXT",
+    "boolean": "TINYINT(1)",
+    "timestamp": "DATETIME(6)",
+    "binary": "BLOB",
+}
+
+_MSSQL_TYPES = {  # SQLDB.java:84-95 MSSQL
+    **_SERVER_TYPES,
+    "double": "FLOAT",
+    "float": "REAL",
+    "string": "NVARCHAR(MAX)",
+    "boolean": "BIT",
+    "timestamp": "DATETIME2",
+    "binary": "VARBINARY(MAX)",
+}
+
+_DIALECT_TYPES = {
+    "sqlite": _SQLITE_TYPES,
+    "server": _SERVER_TYPES,
+    "postgresql": _POSTGRES_TYPES,
+    "postgres": _POSTGRES_TYPES,
+    "mysql": _MYSQL_TYPES,
+    "mariadb": _MYSQL_TYPES,
+    "mssql": _MSSQL_TYPES,
+}
+
+
+def _quote_ident(name: str, dialect: str) -> str:
+    if dialect in ("mysql", "mariadb"):
+        return "`" + name.replace("`", "``") + "`"
+    if dialect == "mssql":
+        return "[" + name.replace("]", "]]") + "]"
+    return '"' + name.replace('"', '""') + '"'
+
 
 def ddl_for(df: DataFrame, table: str, dialect: str = "sqlite", if_not_exists: bool = True) -> str:
-    """CREATE TABLE from a DataFrame schema, per dialect."""
-    types = _SQLITE_TYPES if dialect == "sqlite" else _SERVER_TYPES
+    """CREATE TABLE from a DataFrame schema, per dialect (the five the
+    reference ships: sqlite/mssql/mariadb/mysql/postgresql —
+    SQLDB.java:84-95 — plus a generic 'server' map)."""
+    types = _DIALECT_TYPES.get(dialect, _SERVER_TYPES)
     cols = []
     for f in df.schema.fields:
         t = f.dataType.simpleString()
         base = t.split("(")[0]
-        cols.append(f'"{f.name}" {types.get(base, "TEXT")}')
-    ine = "IF NOT EXISTS " if if_not_exists else ""
-    return f'CREATE TABLE {ine}"{table}" ({", ".join(cols)})'
+        cols.append(f"{_quote_ident(f.name, dialect)} {types.get(base, 'TEXT')}")
+    body = f"CREATE TABLE {_quote_ident(table, dialect)} ({', '.join(cols)})"
+    if not if_not_exists:
+        return body
+    if dialect == "mssql":  # T-SQL has no IF NOT EXISTS clause
+        return f"IF OBJECT_ID(N'{table}', N'U') IS NULL {body}"
+    return body.replace("CREATE TABLE ", "CREATE TABLE IF NOT EXISTS ", 1)
 
 
 def jdbc_batch_sink(

@@ -60,6 +60,15 @@ def decimate(df: DataFrame, skipcount: int, order_col: str, key_cols: list[str] 
 
 @dataclass
 class FileCollector:
+    """``zip_rollover`` maps the reference's zip-on-rollover
+    (FileCollector.java:157-168) to the Spark-native equivalent: the
+    writer emits gzip-compressed part files directly (text/csv codec
+    option; parquet compresses internally) — no post-hoc rezip pass, and
+    compression scales with write tasks. ``max_records_per_file`` maps
+    the max-size split (:175-184): Spark's maxRecordsPerFile splits each
+    task's output at N records, the distributed analogue of a byte
+    limit (bytes/record is stable for sensor lines)."""
+
     path: str
     fmt: str = "text"  # text | csv | parquet
     rollover: str | None = None  # min|hour|day|week|month|year
@@ -67,6 +76,8 @@ class FileCollector:
     header: str | None = None
     ts_col: str = "ts"
     value_col: str = "value"
+    zip_rollover: bool = False
+    max_records_per_file: int | None = None
 
     def _prepare(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
         parts: list[str] = []
@@ -103,6 +114,10 @@ class FileCollector:
         writer = out.write.mode(mode)
         if parts:
             writer = writer.partitionBy(*parts)
+        if self.zip_rollover and self.fmt in ("text", "csv"):
+            writer = writer.option("compression", "gzip")
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
         writer.format(self.fmt).save(self.path)
 
     def foreach_batch(self):

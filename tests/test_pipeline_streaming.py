@@ -196,6 +196,34 @@ class TestFileCollector:
         kept = decimate(df, skipcount=4, order_col="ts").collect()
         assert sorted(r["ts"] for r in kept) == [0, 5]  # write 1, skip 4
 
+    def test_zip_rollover_writes_gzip_parts(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(f"line{i}", datetime(2026, 8, 13, 14, i, tzinfo=timezone.utc)) for i in range(4)],
+            "value string, ts timestamp",
+        )
+        fc = FileCollector(str(tmp_path / "z"), rollover="hour", zip_rollover=True)
+        fc.write_batch(df)
+        import gzip
+
+        gz = glob.glob(str(tmp_path / "z" / "rollover=*" / "part-*.gz"))
+        assert gz, "expected gzip part files"
+        lines = sorted(
+            line for p in gz for line in gzip.open(p, "rt").read().splitlines()
+        )
+        assert lines == [f"line{i}" for i in range(4)]
+
+    def test_max_records_per_file_splits(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(f"r{i}", datetime(2026, 8, 13, 14, 0, tzinfo=timezone.utc)) for i in range(10)],
+            "value string, ts timestamp",
+        ).coalesce(1)
+        fc = FileCollector(str(tmp_path / "s"), max_records_per_file=3)
+        fc.write_batch(df)
+        parts = [p for p in glob.glob(str(tmp_path / "s" / "part-*")) if not p.endswith(".crc")]
+        assert len(parts) >= 4  # 10 rows / 3-per-file
+        total = sum(len(open(p).read().splitlines()) for p in parts)
+        assert total == 10
+
     def test_streaming_sink(self, spark, tmp_path):
         watch = tmp_path / "w"
         os.makedirs(watch)
@@ -232,6 +260,22 @@ class TestDbSinks:
         con = sqlite3.connect(db)
         assert con.execute("SELECT count(*), sum(v) FROM t").fetchone() == (2, 6.0)
         con.close()
+
+    def test_dialect_ddl_maps(self, spark):
+        """The five reference dialects (SQLDB.java:84-95) + quoting."""
+        df = spark.createDataFrame(
+            [(1, "a", 2.5, True, datetime(2026, 1, 1, tzinfo=timezone.utc))],
+            "id int, name string, v double, ok boolean, at timestamp",
+        )
+        my = ddl_for(df, "order", "mysql")
+        assert my.startswith("CREATE TABLE IF NOT EXISTS `order`")
+        assert "`v` DOUBLE" in my and "`ok` TINYINT(1)" in my and "`at` DATETIME(6)" in my
+        pg = ddl_for(df, "t", "postgresql")
+        assert '"at" TIMESTAMPTZ' in pg and '"name" TEXT' in pg
+        ms = ddl_for(df, "t", "mssql")
+        assert ms.startswith("IF OBJECT_ID(N't', N'U') IS NULL CREATE TABLE [t]")
+        assert "[v] FLOAT" in ms and "[ok] BIT" in ms and "[name] NVARCHAR(MAX)" in ms
+        assert ddl_for(df, "t", "mariadb") == ddl_for(df, "t", "mysql")
 
     def test_sqlite_dead_letter(self, spark, tmp_path):
         db = str(tmp_path / "t2.db")

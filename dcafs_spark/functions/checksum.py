@@ -58,8 +58,31 @@ def _crc16_table() -> list[int]:
 
 def crc16_modbus(data: Column) -> Column:
     """CRC16 (modbus poly 0xA001, init 0xFFFF) of a binary column,
-    returned as an int. Pandas UDF (byte loops aren't expressible as
-    Catalyst exprs); table-driven so the inner loop is per byte."""
+    returned as an int — pure Catalyst, no Python in the path.
+
+    Table-driven fold entirely in expressions: hex() renders the bytes,
+    regexp_extract_all splits hex pairs, and aggregate() threads
+    crc = (crc >> 8) XOR table[(crc XOR byte) & 0xFF] per byte with the
+    256-entry table as a constant-folded literal array. The reference
+    treats CRC16 as a first-class stream op (ModbusStream.java;
+    MathUtils.java:1258-1297) — here it rides whole-stage codegen like
+    any other column function."""
+    table = F.array(*[F.lit(x) for x in _crc16_table()])
+    hex_pairs = F.regexp_extract_all(F.hex(data), F.lit(".."), 0)
+    bytes_arr = F.transform(hex_pairs, lambda h: F.conv(h, 16, 10).cast("int"))
+    return F.aggregate(
+        bytes_arr,
+        F.lit(0xFFFF),
+        lambda crc, b: F.shiftright(crc, 8).bitwiseXOR(
+            F.element_at(table, crc.bitwiseXOR(b).bitwiseAND(F.lit(0xFF)) + 1)
+        ),
+    )
+
+
+def crc16_modbus_pandas(data: Column) -> Column:
+    """Arrow-batched pandas-UDF variant of :func:`crc16_modbus` — kept
+    as the cross-check oracle for the Catalyst fold (tests assert both
+    agree) and as the pattern for checksums that genuinely need Python."""
     import pandas
     from pyspark.sql.functions import pandas_udf
 

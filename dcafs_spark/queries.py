@@ -1013,6 +1013,39 @@ FROM l
 """
 
 
+def q_crc16_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC16-modbus over event frames as a pure Catalyst table-fold
+    (no Python; MathUtils.java:1258-1297, ModbusStream framing)."""
+    from dcafs_spark.functions.checksum import crc16_modbus
+
+    ev = _events(spark, sf_dir)
+    line = F.concat_ws(",", "event_type", "props")
+    return ev.select(
+        "event_id", crc16_modbus(F.encode(line, "utf-8")).alias("crc16")
+    )
+
+
+def _sql_crc16() -> str:
+    from dcafs_spark.functions.checksum import _crc16_table
+
+    tab_sql = "[" + ",".join(str(x) for x in _crc16_table()) + "]"
+    return f"""
+WITH p AS (
+  SELECT event_id, hex(encode(event_type || ',' || props)) AS hx FROM events
+),
+b AS (
+  SELECT event_id, list_transform(range(1, len(hx)+1, 2),
+      i -> (strpos('0123456789ABCDEF', hx[i]) - 1) * 16
+           + (strpos('0123456789ABCDEF', hx[i+1]) - 1)) AS bl
+  FROM p
+)
+SELECT event_id,
+  CAST(list_reduce(list_prepend(65535, bl),
+    (crc, b) -> xor(crc >> 8, {tab_sql}[(xor(crc, b) & 255) + 1])) AS INT) AS crc16
+FROM b
+"""
+
+
 def q_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FileCollector `skipcount` decimation: write 1, skip 4 per event
     type, deterministic under repartitioning (FileCollector.java:40)."""
@@ -1857,6 +1890,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
+    "crc16_frames": (q_crc16_frames, _sql_crc16()),
     "decimation": (q_decimation, SQL_DECIMATION),
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

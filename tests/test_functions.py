@@ -52,6 +52,26 @@ def test_crc16_modbus(spark):
     assert got == 0x80B8
 
 
+def test_crc16_catalyst_matches_pandas_udf(spark):
+    """The Catalyst table-fold and the pandas-UDF oracle agree on
+    random frames, and the plan contains no Python eval."""
+    from dcafs_spark.functions.checksum import crc16_modbus_pandas
+
+    import random
+
+    rnd = random.Random(7)
+    frames = [bytearray(rnd.randrange(256) for _ in range(rnd.randrange(1, 40))) for _ in range(50)]
+    frames.append(bytearray())  # empty frame → init value 0xFFFF
+    df = spark.createDataFrame([(f,) for f in frames], "data binary")
+    out = df.select(
+        crc16_modbus(F.col("data")).alias("native"),
+        crc16_modbus_pandas(F.col("data")).alias("oracle"),
+    ).collect()
+    assert all(r["native"] == r["oracle"] for r in out)
+    plan = df.select(crc16_modbus(F.col("data")))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_haversine_bearing(spark):
     # Paris → London ≈ 344 km, initial bearing ≈ 330°
     d = one(spark, haversine_km(F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)))

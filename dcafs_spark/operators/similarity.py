@@ -108,23 +108,34 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine but only within the query's LSH
-    bucket. Recall improves with multi-probe (neighboring buckets at
-    hamming 1) — round-2 extension."""
+    bucket. With ``multiprobe`` the query also probes every hamming-1
+    neighbor bucket (one flipped hyperplane bit) — recall rises toward
+    brute force at ~(H+1)× the candidate count, still with zero corpus
+    shuffle: only the tiny query side explodes."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(query_vec_col), lsh_bucket(F.col(query_vec_col), planes).alias("bucket")
-        )
+    qsel = queries.select(
+        F.col(query_id_col), F.col(query_vec_col), lsh_bucket(F.col(query_vec_col), planes).alias("bucket")
     )
-    scored = c.join(q, "bucket").select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")), 6).alias(
-            "cos_sim"
-        ),
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+        qsel = qsel.withColumn("bucket", F.explode(probes))
+    q = F.broadcast(qsel)
+    scored = (
+        c.join(q, "bucket")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")), 6
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
@@ -132,3 +143,54 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Per iteration: centroids ride the plan as literal arrays (implicit
+    broadcast), assignment is one narrow map (argmin over k dot
+    products), and the update is a groupBy(cid) with `dim` avg
+    aggregates — map-side combined, so the shuffle carries k×dim
+    partial sums per task, independent of corpus size. Only the k×dim
+    centroid matrix ever reaches the driver. Deterministic init: the
+    first k vectors by id (no RNG → reproducible plans)."""
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    w = Window.orderBy("_id")
+    cents = [
+        list(r["_v"])
+        for r in v.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).orderBy("_id").collect()
+    ]
+    for _ in range(iters):
+        best_cid = None
+        best_dot = None
+        for cid, cv in enumerate(cents):
+            n = math.sqrt(sum(x * x for x in cv)) or 1.0
+            plane = F.array(*[F.lit(float(x) / n) for x in cv])
+            d = dot(F.col("_v"), plane)
+            if best_cid is None:
+                best_cid, best_dot = F.lit(cid), d
+            else:
+                cond = d > best_dot
+                best_cid = F.when(cond, F.lit(cid)).otherwise(best_cid)
+                best_dot = F.when(cond, d).otherwise(best_dot)
+        assigned = v.select(best_cid.alias("cid"), "_v")
+        rows = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.element_at("_v", i + 1)).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in rows:
+            new_cents[r["cid"]] = [r[f"d{i}"] for i in range(dim)]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents

@@ -739,19 +739,37 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64)
 
 
-def _sql_similarity_lsh() -> str:
+def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe flavor: each query also probes its 8 hamming-1
+    neighbor buckets — recall recovers toward brute force while the
+    corpus still never shuffles (only the exploded query side does)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, multiprobe=True)
+
+
+def _sql_similarity_lsh(multiprobe: bool = False) -> str:
     planes = hyperplanes(64, 8, 42)
     plane_lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(8)
     )
+    if multiprobe:
+        probe_list = "[bucket0, " + ", ".join(f"xor(bucket0, {1 << j})" for j in range(8)) + "]"
+        qb = f"""qb0 AS (SELECT query_id, v AS qv, {bucket} AS bucket0 FROM q),
+qb AS (SELECT query_id, qv, unnest({probe_list}) AS bucket FROM qb0)"""
+    else:
+        qb = f"qb AS (SELECT query_id, v AS qv, {bucket} AS bucket FROM q)"
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
-qb AS (SELECT query_id, v AS qv, {bucket} AS bucket FROM q),
+{qb},
 cb AS (SELECT vec_id, v AS cv, {bucket} AS bucket FROM c),
 scored AS (
-  SELECT qb.query_id, cb.vec_id,
+  SELECT DISTINCT qb.query_id, cb.vec_id,
          round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
   FROM cb JOIN qb USING (bucket)
 )
@@ -1874,6 +1892,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "similarity_lsh_multiprobe": (q_similarity_lsh_multiprobe, _sql_similarity_lsh(multiprobe=True)),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
     "charsplit_rexsplit": (q_charsplit_rexsplit, SQL_CHARSPLIT),

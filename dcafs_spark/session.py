@@ -72,7 +72,21 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_parts:
+    # Estimate scan splits from file sizes vs maxPartitionBytes — pure
+    # metadata, no .rdd materialization (which forces plan analysis and
+    # reads misleading numbers under AQE). Non-file-backed plans (no
+    # inputFiles) just repartition.
+    try:
+        files = df.inputFiles()
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        splits = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            sz = os.path.getsize(p) if os.path.exists(p) else max_bytes
+            splits += max(1, -(-sz // max_bytes))
+    except Exception:  # noqa: BLE001 — e.g. streaming/in-memory sources
+        splits = 0
+    if splits < min_parts:
         return df.repartition(min_parts)
     return df
 

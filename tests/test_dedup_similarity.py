@@ -81,3 +81,49 @@ def test_lsh_topk_self_bucket(spark):
     out = lsh_topk(emb, q, k=1, n_planes=4, dim=4).collect()
     # identical vector lands in the same bucket and ranks first
     assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] == 1.0
+
+
+def test_lsh_multiprobe_recall_superset(spark):
+    """Multi-probe candidates are a superset of single-bucket, and the
+    planted near-identical vector always ranks first."""
+    emb = _vectors(spark)
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    single = {r["vec_id"] for r in lsh_topk(emb, q, k=5, n_planes=4, dim=4).collect()}
+    multi_rows = lsh_topk(emb, q, k=5, n_planes=4, dim=4, multiprobe=True).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    assert single <= multi
+    best = min(multi_rows, key=lambda r: r["rank"])
+    assert best["vec_id"] == 0 and best["cos_sim"] == 1.0
+    # no duplicate (query, vec) pairs despite overlapping probes
+    pairs = [(r["query_id"], r["vec_id"]) for r in multi_rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_kmeans_train_matches_numpy_lloyds(spark, sf_dir):
+    """Distributed spherical Lloyd's equals a numpy replica: same init
+    (first k vectors), same assignment rule, same means."""
+    import numpy as np
+
+    from dcafs_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    got = kmeans_train(emb, k=4, dim=64, iters=3)
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    cents = X[:4].copy()
+    for _ in range(3):
+        normed = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        dots = X @ normed.T
+        # argmax with first-wins tiebreak == the Spark fold's > comparison
+        assign = np.argmax(dots, axis=1)
+        new = cents.copy()
+        for c in range(4):
+            if (assign == c).any():
+                new[c] = X[assign == c].mean(axis=0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    assert np.allclose(np.array(got), cents, atol=1e-9)

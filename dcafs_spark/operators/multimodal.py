@@ -60,11 +60,58 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm(payload: bytes) -> list[float] | None:
+    """Pure-python P6 PPM decode → [w, h, mean_pixel, max_pixel].
+    Strict: dims must parse and the pixel block must be exactly
+    3·w·h bytes, else None (fall through to byte stats)."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        return None
+    w, h, maxv = int(m[1]), int(m[2]), int(m[3])
+    off = m.end()
+    if maxv != 255 or len(payload) - off != 3 * w * h or w * h == 0:
+        return None
+    import numpy as np
+
+    px = np.frombuffer(payload, dtype=np.uint8, offset=off)
+    return [float(w), float(h), round(float(px.mean()), 3), float(px.max())]
+
+
+def _decode_bmp(payload: bytes) -> list[float] | None:
+    """Pure-python BMP (BITMAPINFOHEADER) decode → [w, h, mean, bpp].
+    Strict header/size validation, else None."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    import struct
+
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40 or file_size != len(payload) or not (54 <= data_off <= len(payload)):
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if w <= 0 or h == 0:
+        return None
+    import numpy as np
+
+    px = np.frombuffer(payload, dtype=np.uint8, offset=data_off)
+    mean = round(float(px.mean()), 3) if px.size else 0.0
+    return [float(w), float(abs(h)), mean, float(bpp)]
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB — replace with PIL decode + downsample. Deterministic fake:
-    a 4-dim feature from byte statistics so tests are stable."""
+    """Three-tier decode: real parse for the self-describing formats a
+    pure-python reader can handle (P6 PPM, uncompressed BMP), byte
+    statistics for everything else. Swap in PIL/libav for JPEG/PNG/
+    video in production — the mapInPandas plumbing doesn't change."""
     if payload is None or len(payload) == 0:
-        raise NotImplementedError("image decode requires PIL (not in container)")
+        raise NotImplementedError("empty media payload")
+    decoded = _decode_ppm(payload) or _decode_bmp(payload)
+    if decoded is not None:
+        return decoded
     n = len(payload)
     return [float(n), float(payload[0]), float(payload[-1]), float(sum(payload[:16]) % 256)]
 

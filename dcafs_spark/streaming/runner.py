@@ -32,6 +32,29 @@ from dcafs_spark.plans.dsl import PathSpec, compile_path
 from dcafs_spark.streaming.values_store import ValuesStore
 
 
+def kafka_options(spec: dict) -> dict[str, str]:
+    """Kafka reader options from a source spec (pure function so the
+    assembly is testable without the kafka connector jar present).
+
+    Spec keys: servers (required), exactly one of topics/pattern/assign,
+    optional starting_offsets (earliest|latest|json), max_per_trigger,
+    group_id — mirroring the reference's MQTT/TCP subscribe settings
+    (`src/mqtt/MqttWorker.java` topics, `src/io/stream/StreamManager`)."""
+    opts = {"kafka.bootstrap.servers": spec["servers"]}
+    subs = [k for k in ("topics", "pattern", "assign") if spec.get(k)]
+    if len(subs) != 1:
+        raise ValueError("kafka spec needs exactly one of topics/pattern/assign")
+    key = {"topics": "subscribe", "pattern": "subscribePattern", "assign": "assign"}[subs[0]]
+    opts[key] = spec[subs[0]]
+    if "starting_offsets" in spec:
+        opts["startingOffsets"] = spec["starting_offsets"]
+    if "max_per_trigger" in spec:
+        opts["maxOffsetsPerTrigger"] = str(spec["max_per_trigger"])
+    if "group_id" in spec:
+        opts["kafka.group.id"] = spec["group_id"]
+    return opts
+
+
 def build_source(spark: SparkSession, spec: dict) -> DataFrame:
     """Streaming source from a spec.
 
@@ -65,11 +88,15 @@ def build_source(spark: SparkSession, spec: dict) -> DataFrame:
     elif kind == "kafka":
         df = (
             spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", spec["servers"])
-            .option("subscribe", spec["topics"])
+            .options(**kafka_options(spec))
             .load()
             .select(F.col("value").cast("string").alias("value"), F.col("timestamp"))
         )
+    elif kind == "format":
+        # escape hatch for external connectors (MQTT, Pulsar, ...):
+        # pass the Spark format name + raw options straight through
+        raw = spark.readStream.format(spec["format"]).options(**spec.get("options", {}))
+        df = raw.load(spec["path"]) if "path" in spec else raw.load()
     else:
         raise ValueError(f"unknown source kind: {kind}")
     if "value" not in df.columns:

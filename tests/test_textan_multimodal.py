@@ -85,3 +85,77 @@ def test_decode_stub_raises_on_empty():
 
     with pytest.raises(NotImplementedError):
         _decode_image(b"")
+
+
+def _make_ppm(w, h, val=100):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes([val] * (3 * w * h))
+
+
+def _make_bmp(w, h, val=50, bpp=8):
+    import struct
+
+    pixels = bytes([val] * (w * h))
+    data_off = 54
+    file_size = data_off + len(pixels)
+    hdr = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0)
+    return hdr + info + pixels
+
+
+def test_decode_ppm_real_parse():
+    from dcafs_spark.operators.multimodal import _decode_image
+
+    assert _decode_image(_make_ppm(4, 3, 100)) == [4.0, 3.0, 100.0, 100.0]
+
+
+def test_decode_bmp_real_parse():
+    from dcafs_spark.operators.multimodal import _decode_image
+
+    assert _decode_image(_make_bmp(6, 2, 50)) == [6.0, 2.0, 50.0, 8.0]
+
+
+def test_decode_falls_back_to_byte_stats():
+    from dcafs_spark.operators.multimodal import _decode_image
+
+    # text that merely STARTS like a magic number must not mis-decode
+    fake = b"P6 is a nice format, BMs are too"
+    n = len(fake)
+    assert _decode_image(fake) == [float(n), float(fake[0]), float(fake[-1]), float(sum(fake[:16]) % 256)]
+
+
+def test_decode_through_spark_pipeline(spark):
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        (1, "image", _make_ppm(4, 3), ("image/x-portable-pixmap", 4, 3, 0, 0)),
+        (2, "image", _make_bmp(6, 2), ("image/bmp", 6, 2, 0, 0)),
+        (3, "image", b"opaque-blob-data", ("application/octet-stream", 0, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: list(r["feature"]) for r in extract_features(df).collect()}
+    assert out[1][:2] == [4.0, 3.0] and out[2][:2] == [6.0, 2.0]
+    assert out[3][0] == float(len(b"opaque-blob-data"))
+
+
+def test_kafka_options_assembly():
+    from dcafs_spark.streaming.runner import kafka_options
+
+    opts = kafka_options(
+        {"servers": "b1:9092,b2:9092", "topics": "sensors", "starting_offsets": "earliest",
+         "max_per_trigger": 5000, "group_id": "dcafs"}
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "sensors",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+        "kafka.group.id": "dcafs",
+    }
+    assert kafka_options({"servers": "b", "pattern": "s.*"})["subscribePattern"] == "s.*"
+    with pytest.raises(ValueError):
+        kafka_options({"servers": "b"})
+    with pytest.raises(ValueError):
+        kafka_options({"servers": "b", "topics": "t", "pattern": "p"})

@@ -1299,6 +1299,50 @@ WHERE rank <= 5
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling of the corpus (portable
+    md5 bucketing — reproducible across engines and repartitions; a
+    narrow scan-side filter at any scale)."""
+    from dcafs_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 1.0}, strata_col="lang", key_col="doc_id", seed=7
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_bucket(key: str, seed: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{seed}'), 1, 15)) AS BIGINT)"
+        " % 1000000"
+    )
+
+
+SQL_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sql_bucket('doc_id', 7)} <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 WHEN 'fr' THEN 1000000 ELSE 0 END
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/test labeling: a doc keeps its split forever as
+    the corpus grows — no leakage across incremental runs."""
+    from dcafs_spark.operators.sampling import train_test_split
+
+    docs = _docs(spark, sf_dir)
+    out = train_test_split(docs, 0.2, key_col="doc_id", seed=13)
+    return out.groupBy("split").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+SQL_SPLIT = f"""
+SELECT CASE WHEN {_sql_bucket('doc_id', 13)} < 200000 THEN 'test' ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 SQL_MULTIMODAL = """
 WITH b AS (
   SELECT doc_id AS media_id, encode(text) AS payload FROM documents
@@ -1917,6 +1961,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "train_test_split": (q_train_test_split, SQL_SPLIT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),

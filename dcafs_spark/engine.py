@@ -170,13 +170,19 @@ class Engine:
         if prefix == "sql":
             return self.sql(rest)
         if prefix in ("rtvals", "rvs", "rv"):
+            if args[:1] == ["resetgroup"] and len(args) == 2:
+                return f"Reset {self.store.reset_group(args[1])} vals."
+            if args[:1] == ["updategroup"] and len(args) == 3:
+                return f"Updated {self.store.update_group(args[1], float(args[2]))} vals."
             snap = self.values()
             if args[:1] == ["group"] and len(args) > 1:
                 snap = [s for s in snap if s["group"] == args[1]]
             elif args[:1] == ["name"] and len(args) > 1:
                 snap = [s for s in snap if s["name"] == args[1]]
             return "\n".join(
-                f"{s['group']} -> {s['name']} : {s['last_value']:g}" for s in snap
+                f"{s['group']} -> {s['name']} : "
+                + ("None" if s["last_value"] is None else f"{s['last_value']:g}")
+                for s in snap
             ) or "no values"
         if prefix == "rtval":
             if len(args) != 2:

@@ -224,6 +224,38 @@ class ValuesStore:
     def get_flag(self, group: str, name: str) -> bool:
         return self.flags.get((group, name), False)
 
+    # ---------------------------------------------------------- group ops
+    def reset_group(self, group: str) -> int:
+        """Reset every value in a group to pristine stats
+        (`rtvals:resetgroup` — RealtimeValues.java:854-858, RealVal
+        reset :202-207): min/max/avg/history restart; the key stays
+        registered. Returns #keys reset."""
+        n = 0
+        for key in list(self.state):
+            if key[0] == group:
+                self.state[key] = _KeyState()
+                n += 1
+        return n
+
+    def update_group(self, group: str, value: float) -> int:
+        """Set every value in a group (updateRealGroup,
+        RealtimeValues.java:855-856): the forced value flows through
+        min/max/avg/history like a real update. Returns #keys touched."""
+        n = 0
+        for key, st in self.state.items():
+            if key[0] != group:
+                continue
+            prev = st.last
+            st.last = value
+            st.min = min(st.min, value)
+            st.max = max(st.max, value)
+            st.count += 1
+            st.total += value
+            st.history = (st.history + [value])[-self.history_n :]
+            self._eval_rules_seq(key, prev, [value])
+            n += 1
+        return n
+
     # ------------------------------------------------------------- reads
     def snapshot(self) -> list[dict]:
         """Current-values table (rv-style listing)."""
@@ -241,8 +273,8 @@ class ValuesStore:
                     "group": g,
                     "name": n,
                     "last_value": st.last,
-                    "min_value": st.min,
-                    "max_value": st.max,
+                    "min_value": st.min if st.count else None,
+                    "max_value": st.max if st.count else None,
                     "avg_value": round(st.total / st.count, 3) if st.count else None,
                     "hist_avg": round(mean, 3) if mean is not None else None,
                     "hist_stdev": stdev,  # NaN-until-full contract → None

@@ -199,6 +199,17 @@ class TestEngineCommands:
         assert "values: 3 keys" in st
         assert eng.command("bogus:1").startswith("unknown command")
 
+    def test_group_reset_and_update(self, spark):
+        eng = self._engine_with_values(spark)
+        assert eng.command("rtvals:updategroup,ctd,0.0") == "Updated 2 vals."
+        assert eng.get("ctd", "temp") == 0.0 and eng.get("ctd", "sal") == 0.0
+        assert eng.get("nav", "sog") == 4.2  # other group untouched
+        assert eng.command("rtvals:resetgroup,ctd") == "Reset 2 vals."
+        snap = {(s["group"], s["name"]): s for s in eng.values()}
+        assert snap[("ctd", "temp")]["last_value"] is None
+        assert snap[("ctd", "temp")]["min_value"] is None
+        assert snap[("nav", "sog")]["last_value"] == 4.2
+
     def test_tm_run_taskset(self, spark):
         from dcafs_spark.scheduler import Task, TaskSet
 

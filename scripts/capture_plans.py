@@ -26,6 +26,9 @@ HEADLINE = [
     ("similarity_ivf", "cell assignment + nprobe-bounded probe join"),
     ("asof_join", "union + running last_value — sort-merge cost, no range blowup"),
     ("sessionize", "single window pass + partial agg"),
+    ("crc16_frames", "CRC16 table-fold — whole-stage codegen, no Python"),
+    ("similarity_lsh_multiprobe", "query-side probe explode; corpus side stays put"),
+    ("stratified_sample", "hash-bucket sampling as a scan-side filter"),
 ]
 
 

@@ -123,6 +123,57 @@ class TestValuesStore:
             self._feed(spark, store, batch)
         assert fired == [1.0, 2.0]  # first sight + actual change
 
+    def test_within_batch_crossing_fires(self, spark):
+        """Per-record trigger parity (RealVal.java:464-533): a value
+        that crosses the threshold and returns WITHIN one batch still
+        fires, and the rule re-arms in the same batch."""
+        store = ValuesStore()
+        fired = []
+        store.add_rule(
+            TriggerRule("ctd", "temp", "comparison", comparison="above 25",
+                        cmd=lambda g, n, v: fired.append(v))
+        )
+        # one batch: cross up (30), come back (10), cross up again (40)
+        self._feed(spark, store, [10.0, 30.0, 10.0, 40.0])
+        assert fired == [30.0, 40.0]
+
+    def test_10k_keys_bounded_driver_state(self, spark):
+        """Driver work is O(#keys): 10k keys x 4 rows reduce to one
+        delta row per key; the max_keys guard trips past the bound."""
+        rows = [
+            (f"g{k % 100}", f"n{k}", float(i), k * 10 + i)
+            for k in range(10_000)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "group string, name string, value double, ts long")
+        store = ValuesStore(history_n=3)
+        store.merge_batch(df)
+        assert len(store.state) == 10_000
+        st = store.state[("g1", "n1")]
+        assert st.count == 4 and st.last == 3.0 and st.history == [1.0, 2.0, 3.0]
+        tight = ValuesStore(max_keys=100)
+        with pytest.raises(RuntimeError, match="max_keys"):
+            tight.merge_batch(df)
+
+    def test_geofence_driver_collects_only_boundaries(self, spark):
+        """StreamingGeofence reaches the driver with transitions +
+        one boundary row per key — correctness on a dense batch."""
+        from dcafs_spark.operators.waypoint import StreamingGeofence, Waypoint
+
+        # track inside→outside→inside across two batches
+        def pos(ts, lat):
+            return ("t1", lat, 3.0, float(ts))
+
+        schema = "track_id string, lat double, lon double, ts double"
+        g = StreamingGeofence([Waypoint("wp", 51.0, 3.0, 25.0)])
+        b1 = spark.createDataFrame([pos(1, 51.0), pos(2, 55.0)], schema)  # in → out
+        b2 = spark.createDataFrame([pos(3, 55.0), pos(4, 51.0)], schema)  # out, back in
+        g.process_batch(b1, track="track_id", ts="ts")
+        g.process_batch(b2, track="track_id", ts="ts")
+        kinds = [(e[3], e[2]) for e in g.events]
+        assert kinds == [("LEAVE", 2.0), ("ENTER", 4.0)]
+        assert g.state[("t1", "wp")] is True
+
 
 class TestStreamingPath:
     def test_file_stream_to_store_and_sink(self, spark, tmp_path):

@@ -40,6 +40,19 @@ def nmea_checksum_ok(sentence: Column) -> Column:
     return (claimed != "") & (claimed == nmea_checksum(sentence))
 
 
+def lrc_checksum(body: Column) -> Column:
+    """LRC: two's complement of the byte sum, as two uppercase hex
+    digits (Calculations.java:425-436) — pure Catalyst fold."""
+    chars = F.split(body, "")
+    s = F.aggregate(
+        chars,
+        F.lit(0),
+        lambda acc, ch: F.when(F.length(ch) > 0, acc + F.ascii(ch)).otherwise(acc),
+    )
+    val = (F.lit(256) - (s % 256)) % 256
+    return F.lpad(F.upper(F.hex(val)), 2, "0")
+
+
 _CRC16_TABLE: list[int] | None = None
 
 

@@ -156,3 +156,15 @@ class TestSqliteUpsert:
         assert con.execute("SELECT v FROM t WHERE id=2").fetchone()[0] == 9.0
         assert sink.dead_letter == []
         con.close()
+
+
+def test_lrc_checksum(spark):
+    from dcafs_spark.functions.checksum import lrc_checksum
+
+    # sum('010300000002') % 256 = 0x46 → two's complement BA
+    assert one(spark, lrc_checksum(F.lit("010300000002"))) == "BA"
+    assert one(spark, lrc_checksum(F.lit(""))) == "00"
+    # python replica on arbitrary text
+    s = "$CTD01,16:25:12,12.9"
+    exp = f"{(256 - sum(ord(c) for c in s) % 256) % 256:02X}"
+    assert one(spark, lrc_checksum(F.lit(s))) == exp

@@ -27,7 +27,32 @@ class Edit:
     args: dict
 
 
-def _apply_edit(col: Column, e: Edit, delimiter: str) -> Column:
+def _filler_parts(text: str, rtvals: dict[str, Column] | None, error: str) -> list[Column]:
+    """Literal filler text, with `{r:name}`/`{t:name}` refs resolved
+    through the rtvals column mapping (ValTools.parseRTline — the
+    stream-static lookup; unresolvable refs become the error default,
+    EditorForward.java:499-505)."""
+    import re
+
+    parts: list[Column] = []
+    pos = 0
+    for m in re.finditer(r"\{[ritf]:([^}]+)\}", text):
+        if m.start() > pos:
+            parts.append(F.lit(text[pos : m.start()]))
+        name = m.group(1)
+        if rtvals and name in rtvals:
+            parts.append(rtvals[name].cast("string"))
+        else:
+            parts.append(F.lit(error))
+        pos = m.end()
+    if pos < len(text):
+        parts.append(F.lit(text[pos:]))
+    return parts
+
+
+def _apply_edit(
+    col: Column, e: Edit, delimiter: str, rtvals: dict[str, Column] | None = None
+) -> Column:
     k, a = e.kind.lower(), e.args
     if k == "resplit":
         # split on delim, re-template 'i0-i1...' with literal filler
@@ -37,17 +62,18 @@ def _apply_edit(col: Column, e: Edit, delimiter: str) -> Column:
 
         parts: list[Column] = []
         template: str = a["template"]
+        error = a.get("error", "NaN")
         pos = 0
         used: set[int] = set()
         for m in re.finditer(r"i(\d+)", template):
             if m.start() > pos:
-                parts.append(F.lit(template[pos : m.start()]))
+                parts.extend(_filler_parts(template[pos : m.start()], rtvals, error))
             idx = int(m.group(1))
             used.add(idx)
             parts.append(F.try_element_at(arr, F.lit(idx + 1)))
             pos = m.end()
         if pos < len(template):
-            parts.append(F.lit(template[pos:]))
+            parts.extend(_filler_parts(template[pos:], rtvals, error))
         out = F.concat(*parts) if parts else F.lit("")
         if a.get("leftover", "remove") == "append":
             n = (max(used) + 1) if used else 0
@@ -114,11 +140,15 @@ class EditorForward:
     edits: list[Edit]
     delimiter: str = ","
     column: str = "value"
+    # {r:name} refs in resplit fillers resolve to these Columns — the
+    # caller joins/broadcasts the values snapshot and maps names here
+    # (same stream-static pattern as MathForward.rtvals)
+    rtvals: dict[str, Column] = None  # type: ignore[assignment]
 
     def apply(self, df: DataFrame, drop_failed: bool = True) -> DataFrame:
         col = F.col(self.column)
         for e in self.edits:
-            col = _apply_edit(col, e, self.delimiter)
+            col = _apply_edit(col, e, self.delimiter, self.rtvals)
         out = df.withColumn(self.column, col)
         if drop_failed:
             out = out.filter(F.col(self.column).isNotNull())

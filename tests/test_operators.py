@@ -158,3 +158,19 @@ def test_valmap_multi(spark):
         ("rssi", "-67"),
         ("fw", "1.2.3"),
     ]
+
+
+def test_resplit_rtval_refs(spark):
+    """Resplit fillers resolve {r:name} through the rtvals mapping;
+    unknown refs become the error default (EditorForward.java:499-505)."""
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.editor_forward import Edit, EditorForward
+
+    df = spark.createDataFrame([("16:25:12",)], "value string")
+    ed = EditorForward(
+        edits=[Edit("resplit", {"template": "i0[{r:station}]-i2{r:missing}", "delimiter": ":"})],
+        rtvals={"station": F.lit("CTD01")},
+    )
+    out = ed.apply(df).first()["value"]
+    assert out == "16[CTD01]-12NaN"

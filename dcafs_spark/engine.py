@@ -221,6 +221,9 @@ class Engine:
             if args[0] == "stop" and len(args) == 2:
                 self.stop(args[1])
                 return f"stopped {args[1]}"
+            if args[0] == "start" and len(args) == 2:
+                self.start(args[1])
+                return f"started {args[1]}"
             return self._UNKNOWN + line
         if prefix in ("st", "ss", "streams"):
             lines = [

@@ -236,3 +236,35 @@ class TestSessionWindowStreaming:
             q.stop()
         counts = sorted(r["count"] for r in rows)
         assert counts[:2] == [1, 2]  # session of 2 events + the 00:10 singleton
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """Streaming exact dedup: duplicate lines across micro-batches
+        are suppressed by keyed state within the watermark window
+        (SURVEY §2.8 — a capability the reference lacks entirely)."""
+        watch = tmp_path / "wd"
+        watch.mkdir()
+        (watch / "b1.txt").write_text("alpha\nbeta\nalpha\n")
+
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+        dedup = (
+            raw.withColumn("ts", F.current_timestamp())
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["value"])
+        )
+        rows: list = []
+        q = (
+            dedup.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(lambda df, bid: rows.extend(r["value"] for r in df.collect()))
+            .start()
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+            # second batch re-sends alpha plus a new line
+            (watch / "b2.txt").write_text("alpha\ngamma\n")
+            assert _drain(q, lambda: "gamma" in rows)
+        finally:
+            q.stop()
+        assert sorted(rows) == ["alpha", "beta", "gamma"]  # alpha only once

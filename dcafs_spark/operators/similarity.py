@@ -88,34 +88,27 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """H-bit bucket id: bit j = sign(dot(vec, plane_j)) ≥ 0.
 
-    Single fold over the dimensions with an H-wide accumulator and the
-    planes as ONE flat literal array — one lambda tree instead of H
-    separate 64-literal fold trees. Same bits, ~8× less generated code:
-    measured 2.1→1.5 s on the full LSH query, where plan/codegen
-    compile (not execution) dominates at bench scale. (`F.pow` for the
-    bit weight: `shiftleft` needs a literal shift count.)"""
+    The planes ride as ONE shared flat literal array indexed inside H
+    scalar folds, instead of H fold trees each inlining its own 64
+    literals — far less generated code (plan/codegen compile dominates
+    this operator at bench scale) while keeping scalar accumulators
+    (an H-wide zip_with accumulator allocates per element and measured
+    ~40% slower on the self-join dedup). Same bits as the naive form."""
     n_planes = len(planes)
     dim = len(planes[0])
     flat = F.array(*[F.lit(float(x)) for p in planes for x in p])
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    sums = F.aggregate(
-        idx,
-        F.array_repeat(F.lit(0.0), n_planes),
-        lambda acc, i: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda a, j: a
-            + F.element_at(vec, i + 1).cast("double") * F.element_at(flat, j * dim + i + 1),
-        ),
-    )
-    bits = F.zip_with(
-        sums,
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda s, j: F.when(s >= 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def plane_dot(j: int):
+        return lambda acc, i: acc + F.element_at(vec, i + 1).cast("double") * F.element_at(
+            flat, j * dim + i + 1
+        )
+
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        d = F.aggregate(idx, F.lit(0.0), plane_dot(j))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
 
 
 def lsh_topk(

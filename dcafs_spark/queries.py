@@ -1174,7 +1174,9 @@ def _perturbed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ affine-perturbed copies of vec_id<20 (× 1.001 +
     0.002 per component — near but not exactly cosine 1.0), giving the
     embedding near-dup detector true positives."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
     dup = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.001 + 0.002).alias("v"),

@@ -59,6 +59,33 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 _MINHASH_M = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
+def shingle_hashes(shingles: Column) -> Column:
+    """Distinct shingles → 60-bit md5-prefix longs (portable across
+    engines). Downstream set ops (Jaccard, minhash) on 8-byte longs
+    instead of ~30-byte shingle strings: the candidate-verify shuffle
+    shrinks ~4× and comparisons are integer equality."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
+    """K minhashes from pre-hashed shingles (same scheme as
+    :func:`minhash_signature`, md5 already applied)."""
+    a, b = minhash_coeffs(num_hashes)
+    base = F.transform(hashes, lambda h: h % _MINHASH_M)
+    init = F.array_repeat(F.lit(_MINHASH_M).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(h * F.lit(a[j]) + F.lit(b[j])) % _MINHASH_M for j in range(num_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
 def minhash_coeffs(num_hashes: int, seed: int = 1) -> tuple[list[int], list[int]]:
     """Deterministic (a_j, b_j) for the K permutation hashes — shared by
     the Spark implementation and the generated SQL oracle."""
@@ -190,13 +217,16 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over LSH-pruned candidate pairs.
 
     Candidates come from a 1-row-per-band minhash join (cheap), then
-    exact Jaccard = |A∩B| / |A∪B| verifies. At 100 TB the verify join
-    re-shuffles only candidate ids + shingle arrays of candidates."""
+    exact Jaccard = |A∩B| / |A∪B| verifies. Shingles are 60-bit hashed
+    longs (:func:`shingle_hashes`), so the verify join shuffles 8-byte
+    ints, not shingle strings — at 100 TB that shrinks the only
+    payload-bearing shuffle ~4× (collisions at 60 bits are negligible
+    and the oracle hashes identically)."""
     sh = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).localCheckpoint(eager=False)  # shared by both self-join sides (see minhash_lsh_pairs)
-    sig = sh.select("id", "sh", F.explode(minhash_signature(F.col("sh"), bucket_hashes)).alias("bucket"))
+    sig = sh.select("id", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket"))
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
     union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
     jac = inter.cast("double") / union

@@ -669,11 +669,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ngram_jaccard() -> str:
+    # shingles hashed to 60-bit longs exactly like operators.dedup.shingle_hashes
+    hashed = "list_transform(sh0, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    minhash = _sql_minhash(4).replace(
+        "list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT",
+        f"list_transform(sh, h -> h",
+    )
     return f"""
 WITH corpus AS {_SQL_NEAR_CORPUS},
 w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM corpus),
-sh AS (SELECT doc_id, {_sql_shingles(3)} AS sh FROM w),
-sig AS (SELECT doc_id, sh, unnest({_sql_minhash(4).replace("shingles", "sh")}) AS bucket FROM sh),
+sh0 AS (SELECT doc_id, {_sql_shingles(3)} AS sh0 FROM w),
+sh AS (SELECT doc_id, {hashed} AS sh FROM sh0),
+sig AS (SELECT doc_id, sh, unnest({minhash}) AS bucket FROM sh),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
   FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.doc_id < r.doc_id

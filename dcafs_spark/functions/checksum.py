@@ -40,6 +40,23 @@ def nmea_checksum_ok(sentence: Column) -> Column:
     return (claimed != "") & (claimed == nmea_checksum(sentence))
 
 
+def file_md5(spark, path: str):
+    """MD5 per file (reference computes file digests for update
+    verification, `src/util/tools/FileTools.java` / MathUtils MD5).
+    Spark-first: the binaryFile source reads each file as one row —
+    digests compute in parallel across executors, no driver I/O.
+    Returns (path, length, md5)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length"),
+            F.lower(F.md5(F.col("content"))).alias("md5"),
+        )
+    )
+
+
 def lrc_checksum(body: Column) -> Column:
     """LRC: two's complement of the byte sum, as two uppercase hex
     digits (Calculations.java:425-436) — pure Catalyst fold."""

@@ -168,3 +168,15 @@ def test_lrc_checksum(spark):
     s = "$CTD01,16:25:12,12.9"
     exp = f"{(256 - sum(ord(c) for c in s) % 256) % 256:02X}"
     assert one(spark, lrc_checksum(F.lit(s))) == exp
+
+
+def test_file_md5(spark, tmp_path):
+    import hashlib
+
+    from dcafs_spark.functions.checksum import file_md5
+
+    (tmp_path / "a.bin").write_bytes(b"hello dcafs")
+    (tmp_path / "b.bin").write_bytes(b"\x00\x01\x02")
+    out = {r["path"].split("/")[-1]: (r["length"], r["md5"]) for r in file_md5(spark, str(tmp_path)).collect()}
+    assert out["a.bin"] == (11, hashlib.md5(b"hello dcafs").hexdigest())
+    assert out["b.bin"] == (3, hashlib.md5(b"\x00\x01\x02").hexdigest())

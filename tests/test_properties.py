@@ -175,3 +175,65 @@ class TestFieldsFromTable:
         df = spark.createDataFrame([("st1,12.5,100,true",)], "value string")
         row = Generic(fields=fields).apply(df).first()
         assert (row["station"], row["temp"], row["depth"], row["ok"]) == ("st1", 12.5, 100, True)
+
+
+class TestFilterRuleProperties:
+    """Property test: every FilterForward rule agrees with a plain
+    python evaluation of the same rule over random delimited lines
+    (the reference's FilterForward.java:315-379 semantics)."""
+
+    def _py_eval(self, rtype, value, line, delim):
+        if rtype == "start":
+            return any(line.startswith(o) for o in value.split(","))
+        if rtype == "nostart":
+            return not any(line.startswith(o) for o in value.split(","))
+        if rtype == "end":
+            return line.endswith(value)
+        if rtype == "contain":
+            return any(o in line for o in value.split(","))
+        if rtype == "minlength":
+            return len(line) >= int(value)
+        if rtype == "maxlength":
+            return len(line) <= int(value)
+        if rtype == "minitems":
+            return len(line.split(delim)) >= int(value)
+        if rtype == "maxitems":
+            return len(line.split(delim)) <= int(value)
+        if rtype == "items":
+            return len(line.split(delim)) == int(value)
+        if rtype == "c_start":
+            pos, ch = value.split(",", 1)
+            return len(line) >= int(pos) and line[int(pos) - 1] == ch
+        raise AssertionError(rtype)
+
+    def test_rules_match_python_reference(self, spark):
+        import random
+
+        from dcafs_spark.operators.filter_forward import FilterForward
+
+        rnd = random.Random(99)
+        alphabet = "$ABC,12;x"
+        lines = ["".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 14))) for _ in range(300)]
+        rules = [
+            ("start", "$A,$B"),
+            ("nostart", "$"),
+            ("end", "2"),
+            ("contain", "BC,1"),
+            ("minlength", "5"),
+            ("maxlength", "8"),
+            ("minitems", "3"),
+            ("maxitems", "2"),
+            ("items", "2"),
+            ("c_start", "2,A"),
+        ]
+        df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        for rtype, value in rules:
+            ff = FilterForward(rules=[(rtype, value)], delimiter=",")
+            got = {r["value"] for r in ff.apply(df).collect()}
+            # multiset semantics: compare per-line keep decisions
+            want = [ln for ln in lines if self._py_eval(rtype, value, ln, ",")]
+            assert sorted(got) == sorted(set(want)), f"rule {rtype}:{value}"
+            # negate inverts exactly
+            neg = FilterForward(rules=[(rtype, value)], delimiter=",", negate=True)
+            got_n = [r["value"] for r in neg.apply(df).collect()]
+            assert len(got_n) == len(lines) - len(want), f"negate {rtype}"

@@ -246,6 +246,22 @@ class Engine:
                     + [f"taskset {t}" for t in sorted(self.tasks.tasksets)]
                 ) or "no tasks"
             return self._UNKNOWN + line
+        if prefix == "conv":
+            # coordinate conversion (CommandPool 'conv', Tools.java:772-801):
+            # each ';'-separated item is decimal degrees or 'deg min sec'
+            out = []
+            for item in rest.split(";"):
+                nrs = item.strip().split(" ")
+                if len(nrs) == 1:
+                    out.append(float(nrs[0]))
+                elif len(nrs) == 3:
+                    d, m, s = (float(x) for x in nrs)
+                    out.append(round(d + (m + round(s / 60.0, 7)) / 60.0, 7))
+                else:
+                    return self._UNKNOWN + line
+            return "\n".join(
+                f"Result: {out[i]:g} and {out[i + 1]:g}" for i in range(0, len(out) - 1, 2)
+            ) or str(out[0])
         if prefix in ("help", "h", "?"):
             return (
                 "sql:<query> | rtvals[:group,<g>|:name,<n>] | rtval:<g>,<n> | "

@@ -199,6 +199,12 @@ class TestEngineCommands:
         assert "values: 3 keys" in st
         assert eng.command("bogus:1").startswith("unknown command")
 
+    def test_conv_coordinates(self, spark):
+        eng = Engine(spark)
+        # 51° 24' 36" = 51.41, 3° 30' 0" = 3.5
+        assert eng.command("conv:51 24 36;3 30 0") == "Result: 51.41 and 3.5"
+        assert eng.command("conv:51.5") == "51.5"
+
     def test_group_reset_and_update(self, spark):
         eng = self._engine_with_values(spark)
         assert eng.command("rtvals:updategroup,ctd,0.0") == "Updated 2 vals."

@@ -1399,6 +1399,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1→N row expansion inside mapInPandas (video
+    duration drives frame count; the batch iterator streams, so a
+    multi-GB payload never materializes more than one Arrow batch).
+    Oracle: deterministic fake frames are replayable as a range join."""
+    from dcafs_spark.operators.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=250)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, encode(text) AS payload, n_chars AS duration FROM documents
+)
+SELECT media_id,
+       CAST(unnest(range(greatest(duration // 250, 1))) AS INT) AS frame_idx,
+       substr(hex(payload), 1, 32) AS frame_hex
+FROM m
+"""
+
+
 def q_editor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Editor op sampler: prepend/insert/replace/cutend/listreplace
     chained in order (EditorForward dispatch :191-287)."""
@@ -1970,6 +2009,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "train_test_split": (q_train_test_split, SQL_SPLIT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -873,6 +873,52 @@ FROM s
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-corpus pipeline in ONE plan:
+    quality filter → language filter → exact dedup survivors →
+    deterministic 70% sample → token accounting. Every stage is a
+    narrow map or a 16-byte-key aggregation; document bodies are
+    scanned once and never shuffled (only hashes and ids move)."""
+    from dcafs_spark.operators.dedup import normalize_text
+    from dcafs_spark.operators.sampling import hash_bucket
+    from dcafs_spark.operators.textan import lang_id, quality_features, token_count_ws
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qf = quality_features(docs).select("doc_id", "quality_score")
+    base = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+        hash_bucket(F.col("doc_id"), 3).alias("bucket"),
+    ).join(qf, "doc_id")
+    kept = base.filter((F.col("quality_score") >= 0.6) & (F.col("lang_pred") == "en"))
+    survivors = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    out = kept.join(survivors, ["h", "doc_id"]).filter(F.col("bucket") < 700000)
+    return out.select("doc_id", "n_tokens", "quality_score")
+
+
+def _sql_corpus_curation() -> str:
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+l AS ({SQL_LANG_ID}),
+base AS (
+  SELECT d.doc_id,
+         l.lang_pred,
+         CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS h,
+         {_sql_bucket('d.doc_id', 3)} AS bucket,
+         q.quality_score
+  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+),
+kept AS (SELECT * FROM base WHERE quality_score >= 0.6 AND lang_pred = 'en'),
+survivors AS (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY h)
+SELECT k.doc_id, k.n_tokens, k.quality_score
+FROM kept k JOIN survivors s ON k.h = s.h AND k.doc_id = s.doc_id
+WHERE k.bucket < 700000
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text"), 8).alias("fp"))
@@ -2016,6 +2062,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
     "cube_revenue": (q_cube_revenue, SQL_CUBE),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
     "pivot_events": (q_pivot_events, SQL_PIVOT),

@@ -884,17 +884,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dcafs_spark.operators.textan import lang_id, quality_features, token_count_ws
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    qf = quality_features(docs).select("doc_id", "quality_score")
-    base = docs.select(
+    # quality_features keeps its input columns, so the whole stage chain
+    # is ONE projection over a single scan — no self-join on doc_id
+    base = quality_features(docs).select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
         token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
         F.md5(normalize_text(F.col("text"))).alias("h"),
         hash_bucket(F.col("doc_id"), 3).alias("bucket"),
-    ).join(qf, "doc_id")
+        "quality_score",
+    )
     kept = base.filter((F.col("quality_score") >= 0.6) & (F.col("lang_pred") == "en"))
-    survivors = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    out = kept.join(survivors, ["h", "doc_id"]).filter(F.col("bucket") < 700000)
+    # dedup survivor = window-min over the content hash: one scan, one
+    # shuffle keyed by the 16-byte hash (a groupBy+self-join would scan
+    # and re-compute the quality/lang projection twice)
+    w = Window.partitionBy("h")
+    out = (
+        kept.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") == F.col("_min_id")) & (F.col("bucket") < 700000))
+    )
     return out.select("doc_id", "n_tokens", "quality_score")
 
 

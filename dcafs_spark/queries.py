@@ -894,6 +894,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket(F.col("doc_id"), 3).alias("bucket"),
         "quality_score",
     )
+    # Barrier before the filter: PushDownPredicate would substitute the
+    # quality_score/lang_pred aliases with their full regex expression
+    # trees inside the pushed filter, evaluating the heavy stage chain
+    # twice per row (measured 4×: 0.6→2.3 s at sf0.1). The checkpoint
+    # carries only the 6 narrow projected columns — at 100 TB that is
+    # 1-2% of the text it summarizes, far cheaper than double compute.
+    base = base.localCheckpoint(eager=False)
     kept = base.filter((F.col("quality_score") >= 0.6) & (F.col("lang_pred") == "en"))
     # dedup survivor = window-min over the content hash: one scan, one
     # shuffle keyed by the 16-byte hash (a groupBy+self-join would scan

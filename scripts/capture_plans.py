@@ -29,6 +29,7 @@ HEADLINE = [
     ("crc16_frames", "CRC16 table-fold — whole-stage codegen, no Python"),
     ("similarity_lsh_multiprobe", "query-side probe explode; corpus side stays put"),
     ("stratified_sample", "hash-bucket sampling as a scan-side filter"),
+    ("corpus_curation", "quality→lang→dedup→sample: one scan, one hash shuffle"),
 ]
 
 

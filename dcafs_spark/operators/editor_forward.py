@@ -89,7 +89,10 @@ def _apply_edit(
             F.substring(col, b + 1, (bounds[i + 1] - b) if i + 1 < len(bounds) else 10_000)
             for i, b in enumerate(bounds)
         ]
-        return F.concat_ws(d, *pieces)
+        # concat_ws never returns null — guard so a row failed by an
+        # earlier edit STAYS failed (EditorForward.java:113-119) instead
+        # of resurrecting as ''
+        return F.when(col.isNotNull(), F.concat_ws(d, *pieces))
     if k in ("rexsplit", "rexkeep"):
         # keep all regex matches, join with delim (:446-460)
         return F.array_join(F.regexp_extract_all(col, F.lit(a["regex"]), 0), a.get("delimiter", ""))

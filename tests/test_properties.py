@@ -237,3 +237,82 @@ class TestFilterRuleProperties:
             neg = FilterForward(rules=[(rtype, value)], delimiter=",", negate=True)
             got_n = [r["value"] for r in neg.apply(df).collect()]
             assert len(got_n) == len(lines) - len(want), f"negate {rtype}"
+
+
+class TestEditorChainFuzz:
+    """Random edit chains agree with a pure-python reference
+    implementation of the dispatch semantics (EditorForward.java
+    :191-287) over random lines — the editor analogue of the mathfab
+    formula fuzz."""
+
+    @staticmethod
+    def _py_edit(line, kind, a, delim):
+        if line is None:
+            return None
+        if kind == "replace":
+            return line.replace(a["find"], a["replacement"])
+        if kind == "remove":
+            return line.replace(a["find"], "")
+        if kind == "trim":
+            return line.strip()
+        if kind == "prepend":
+            return a["text"] + line
+        if kind == "append":
+            return line + a["text"]
+        if kind == "insert":
+            p = a["position"]
+            return line[:p] + a["text"] + line[p:]
+        if kind == "cutstart":
+            return line[a["count"]:] if len(line) >= a["count"] else None
+        if kind == "cutend":
+            return line[: len(line) - a["count"]] if len(line) >= a["count"] else None
+        if kind == "charsplit":
+            bounds = [0, *a["positions"]]
+            pieces = [
+                line[b : a["positions"][i]] if i < len(a["positions"]) else line[b:]
+                for i, b in enumerate(bounds)
+            ]
+            return delim.join(pieces)
+        raise AssertionError(kind)
+
+    def test_random_chains_match(self, spark):
+        import random
+
+        from dcafs_spark.operators.editor_forward import Edit, EditorForward
+
+        rnd = random.Random(4242)
+        alphabet = "ab,:1 $"
+        kinds = ["replace", "remove", "trim", "prepend", "append", "insert", "cutstart", "cutend", "charsplit"]
+
+        def rand_args(kind):
+            if kind == "replace":
+                return {"find": rnd.choice("ab,1"), "replacement": rnd.choice("xy")}
+            if kind == "remove":
+                return {"find": rnd.choice("ab,1")}
+            if kind in ("prepend", "append"):
+                return {"text": rnd.choice(["T:", "#", " z"])}
+            if kind == "insert":
+                return {"position": rnd.randrange(0, 4), "text": "!"}
+            if kind in ("cutstart", "cutend"):
+                return {"count": rnd.randrange(1, 4)}
+            if kind == "charsplit":
+                return {"positions": sorted(rnd.sample(range(1, 8), 2))}
+            return {}
+
+        lines = ["".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 14))) for _ in range(60)]
+        df = spark.createDataFrame([(i, ln) for i, ln in enumerate(lines)], "i int, value string")
+
+        for _trial in range(12):
+            chain = [(k, rand_args(k)) for k in (rnd.choice(kinds) for _ in range(rnd.randrange(1, 5)))]
+            ed = EditorForward(edits=[Edit(k, dict(a)) for k, a in chain], delimiter=",")
+            got = {r["i"]: r["value"] for r in ed.apply(df).collect()}
+            for i, ln in enumerate(lines):
+                want = ln
+                for k, a in chain:
+                    want = self._py_edit(want, k, a, ",")
+                    if want is None:
+                        break
+                if want is None:
+                    assert i not in got, f"row {i} should be dropped by {chain}"
+                else:
+                    assert got.get(i) == want, f"{chain} on {ln!r}: {got.get(i)!r} != {want!r}"

@@ -316,3 +316,59 @@ class TestEditorChainFuzz:
                     assert i not in got, f"row {i} should be dropped by {chain}"
                 else:
                     assert got.get(i) == want, f"{chain} on {ln!r}: {got.get(i)!r} != {want!r}"
+
+
+class TestGenericProjectionFuzz:
+    """Random delimited lines through Generic typed parsing agree with
+    a python reference (split/try-parse/default — Generic.java:189-337)."""
+
+    def test_random_lines(self, spark):
+        import random
+
+        from dcafs_spark.operators.projection import Field, Generic
+
+        rnd = random.Random(777)
+        tokens = ["1", "2.5", "-3", "x", "", "1e2", " 7 ", "NaN", "true", "9999999999"]
+        lines = [",".join(rnd.choice(tokens) for _ in range(rnd.randrange(0, 6))) for _ in range(200)]
+        df = spark.createDataFrame([(i, ln) for i, ln in enumerate(lines)], "i int, value string")
+
+        g = Generic(
+            fields=[
+                Field("a", 0, "real", default=-1.0),
+                Field("b", 1, "integer", default=0),
+                Field("c", 2, "text"),
+                Field("d", 3, "long", default=-9),
+            ],
+            delimiter=",",
+        )
+        out = {r["i"]: (r["a"], r["b"], r["c"], r["d"]) for r in g.apply(df, keep=["i"]).collect()}
+
+        def parse_real(s, default):
+            try:
+                v = float(s.strip())
+                return v
+            except (ValueError, AttributeError):
+                return default
+
+        def parse_int(s, default, lo=-2**31, hi=2**31 - 1):
+            s = (s or "").strip()
+            try:
+                v = int(s)
+                return v if lo <= v <= hi else default
+            except ValueError:
+                return default
+
+        for i, ln in enumerate(lines):
+            parts = ln.split(",")
+            want_a = parse_real(parts[0] if len(parts) > 0 else None, -1.0)
+            want_b = parse_int(parts[1] if len(parts) > 1 else None, 0)
+            want_c = parts[2] if len(parts) > 2 else None
+            want_d = parse_int(parts[3] if len(parts) > 3 else None, -9, -2**63, 2**63 - 1)
+            got_a, got_b, got_c, got_d = out[i]
+            if want_a != want_a:  # NaN
+                assert got_a != got_a
+            else:
+                assert got_a == want_a, f"row {i} {ln!r} a: {got_a} != {want_a}"
+            assert got_b == want_b, f"row {i} {ln!r} b: {got_b} != {want_b}"
+            assert got_c == want_c, f"row {i} {ln!r} c: {got_c!r} != {want_c!r}"
+            assert got_d == want_d, f"row {i} {ln!r} d: {got_d} != {want_d}"

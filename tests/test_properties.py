@@ -372,3 +372,39 @@ class TestGenericProjectionFuzz:
             assert got_b == want_b, f"row {i} {ln!r} b: {got_b} != {want_b}"
             assert got_c == want_c, f"row {i} {ln!r} c: {got_c!r} != {want_c!r}"
             assert got_d == want_d, f"row {i} {ln!r} d: {got_d} != {want_d}"
+
+
+class TestValMapFuzz:
+    """Random multi-record key:value lines through valmap agree with a
+    python reference (ValMap.java:41-75 split semantics)."""
+
+    def test_random_kv_lines(self, spark):
+        import random
+
+        from dcafs_spark.operators.projection import valmap
+
+        rnd = random.Random(31337)
+        keys = ["t", "sal", "x1", ""]
+        vals = ["1", "2.5", "", "a:b", "z"]
+
+        def record():
+            if rnd.random() < 0.15:
+                return rnd.choice(["bare", "", "nocolonhere"])
+            return f"{rnd.choice(keys)}:{rnd.choice(vals)}"
+
+        lines = [";".join(record() for _ in range(rnd.randrange(1, 4))) for _ in range(150)]
+        df = spark.createDataFrame([(i, ln) for i, ln in enumerate(lines)], "i int, value string")
+        got = [
+            (r["i"], r["key"], r["value"])
+            for r in valmap(df, split=":", multi_delimiter=";").select("i", "key", "value").collect()
+        ]
+
+        want = []
+        for i, ln in enumerate(lines):
+            for rec in ln.split(";"):
+                if ":" in rec:
+                    k, _, v = rec.partition(":")
+                else:
+                    k, v = rec, None
+                want.append((i, k, v))
+        assert sorted(got, key=str) == sorted(want, key=str)

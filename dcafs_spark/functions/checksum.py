@@ -97,7 +97,9 @@ def crc16_modbus(data: Column) -> Column:
     treats CRC16 as a first-class stream op (ModbusStream.java;
     MathUtils.java:1258-1297) — here it rides whole-stage codegen like
     any other column function."""
-    table = F.array(*[F.lit(x) for x in _crc16_table()])
+    # one py4j call for the 256-entry literal (per-element F.lit costs a
+    # roundtrip each — ~150 ms of driver-side plan build per query)
+    table = F.expr("array(" + ",".join(str(x) for x in _crc16_table()) + ")")
     hex_pairs = F.regexp_extract_all(F.hex(data), F.lit(".."), 0)
     bytes_arr = F.transform(hex_pairs, lambda h: F.conv(h, 16, 10).cast("int"))
     return F.aggregate(

@@ -28,6 +28,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dlit_array(vals: list[float]) -> Column:
+    """Double-array literal in ONE py4j call (SQL-parsed server-side).
+
+    `F.array(*[F.lit(x) ...])` costs a py4j roundtrip per element —
+    ~300 ms of pure driver-side plan-build for a 512-element plane set,
+    and it dominated the LSH queries' wall time at bench scale. Python
+    float repr is the shortest round-trip decimal and Double.parseDouble
+    is correctly rounded, so the values are bit-exact."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -88,27 +99,36 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """H-bit bucket id: bit j = sign(dot(vec, plane_j)) ≥ 0.
 
-    The planes ride as ONE shared flat literal array indexed inside H
-    scalar folds, instead of H fold trees each inlining its own 64
-    literals — far less generated code (plan/codegen compile dominates
-    this operator at bench scale) while keeping scalar accumulators
-    (an H-wide zip_with accumulator allocates per element and measured
-    ~40% slower on the self-join dedup). Same bits as the naive form."""
+    The planes ride as ONE shared flat literal array, and the whole
+    bucket is ONE nested higher-order expression: transform over plane
+    index j → scalar fold over components → weight by 2^j → sum. The
+    earlier form unrolled H separate fold trees (H× the expression
+    nodes), so plan analysis + codegen compile dominated this operator
+    at bench scale; per-plane scalar accumulation order is unchanged,
+    so the bits (and driver hashes) are identical. (An H-wide zip_with
+    array accumulator was also tried: allocates per element, measured
+    ~40% slower on the self-join dedup.)"""
     n_planes = len(planes)
     dim = len(planes[0])
-    flat = F.array(*[F.lit(float(x)) for p in planes for x in p])
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    flat = dlit_array([x for p in planes for x in p])
+    didx = F.sequence(F.lit(0), F.lit(dim - 1))
+    jidx = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    weights = F.expr(
+        "array(" + ",".join(f"{1 << j}L" for j in range(n_planes)) + ")"
+    )
 
-    def plane_dot(j: int):
-        return lambda acc, i: acc + F.element_at(vec, i + 1).cast("double") * F.element_at(
-            flat, j * dim + i + 1
+    def bit(j: Column) -> Column:
+        d = F.aggregate(
+            didx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i + 1).cast("double") * F.element_at(flat, j * dim + i + 1),
+        )
+        return F.when(d >= 0, F.element_at(weights, j.cast("int") + 1)).otherwise(
+            F.lit(0).cast("long")
         )
 
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        d = F.aggregate(idx, F.lit(0.0), plane_dot(j))
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    return F.aggregate(F.transform(jidx, bit), F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def lsh_topk(
@@ -177,17 +197,18 @@ def kmeans_train(
     centroid matrix ever reaches the driver. Deterministic init: the
     first k vectors by id (no RNG → reproducible plans)."""
     v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    w = Window.orderBy("_id")
-    cents = [
-        list(r["_v"])
-        for r in v.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).orderBy("_id").collect()
-    ]
+    # first k vectors by id via orderBy+limit -> TakeOrderedAndProject:
+    # each partition ships only its local top-k to the driver. (A global
+    # Window.orderBy row_number would funnel the whole corpus through
+    # one task — a straggler at 100× scale.)
+    first_k = v.orderBy("_id").limit(k).collect()
+    cents = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
     for _ in range(iters):
         best_cid = None
         best_dot = None
         for cid, cv in enumerate(cents):
             n = math.sqrt(sum(x * x for x in cv)) or 1.0
-            plane = F.array(*[F.lit(float(x) / n) for x in cv])
+            plane = dlit_array([x / n for x in cv])
             d = dot(F.col("_v"), plane)
             if best_cid is None:
                 best_cid, best_dot = F.lit(cid), d

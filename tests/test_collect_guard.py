@@ -1,0 +1,78 @@
+"""Regression guard: no driver-side materialization creeps into query paths.
+
+`.collect()` / `.toPandas()` / `.toLocalIterator()` in an operator or
+query path means the operator isn't distributed — at 100 TB it's a
+driver OOM or a serial bottleneck. The engine's only legitimate uses
+are bounded, reviewed driver-side reductions, each allowlisted below
+with why it's bounded. Adding a new collect anywhere else in
+`dcafs_spark/` turns this test red; extend the allowlist only with a
+boundedness argument in the comment.
+"""
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "dcafs_spark"
+
+CALLS = {"collect", "toPandas", "toLocalIterator"}
+
+# (relative file, enclosing function) -> why the collect is bounded
+ALLOWED = {
+    # per-batch rtval deltas: one row per ruled key, #keys is config-bounded
+    ("streaming/values_store.py", "merge_batch"),
+    ("streaming/values_store.py", "merge_text_batch"),
+    # geofence transitions + boundary rows: O(#crossings + #partitions)
+    ("operators/waypoint.py", "process_batch"),
+    # k-means: k seed vectors (TakeOrdered) and k×dim centroid matrices
+    ("operators/similarity.py", "kmeans_train"),
+    # JDBC sink ships rows out by design; toLocalIterator streams batches
+    ("sinks/db.py", "write_batch"),
+}
+
+
+def _enclosing_functions(tree):
+    """Map every node to its enclosing function name chain."""
+    spans = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            spans.append((node.lineno, node.end_lineno, node.name))
+    return spans
+
+
+def test_no_unapproved_driver_collect():
+    violations = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = str(py.relative_to(PKG))
+        tree = ast.parse(py.read_text())
+        spans = _enclosing_functions(tree)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in CALLS
+            ):
+                # innermost enclosing function = matching span starting latest
+                inner = [s for s in spans if s[0] <= node.lineno <= (s[1] or s[0])]
+                fn = max(inner, key=lambda s: s[0])[2] if inner else None
+                if (rel, fn) not in ALLOWED:
+                    violations.append(f"{rel}:{node.lineno} in {fn}(): .{node.func.attr}()")
+    assert not violations, "unapproved driver-side materialization:\n" + "\n".join(violations)
+
+
+def test_allowlist_entries_still_exist():
+    # prune stale allowlist rows so the guard stays meaningful
+    stale = []
+    for rel, fn in ALLOWED:
+        path = PKG / rel
+        if not path.exists():
+            stale.append(f"{rel} missing")
+            continue
+        tree = ast.parse(path.read_text())
+        names = {
+            n.name
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        if fn not in names:
+            stale.append(f"{rel}:{fn} gone")
+    assert not stale, "stale allowlist entries: " + ", ".join(stale)

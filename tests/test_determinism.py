@@ -1,0 +1,60 @@
+"""Partition-order determinism for double-aggregating queries.
+
+Double summation is partition-order dependent: a 3dp round of a float
+sum can flip at a x.xx5 boundary when the shuffle layout changes, which
+flips the driver's value hash (the round-2/3 `sessionize` latent flake).
+These queries now sum `value` as exact integer cents (`_csum`), so their
+results must be bit-identical under any `spark.sql.shuffle.partitions`.
+The sweep re-plans each query under widely different partition counts
+(1 forces a single sequential sum; 97 is prime → maximally different
+row-to-partition layout) and compares full-result digests.
+"""
+
+import hashlib
+import math
+
+import pytest
+
+from dcafs_spark.queries import QUERIES
+
+SWEEP = [1, 7, 97]
+FLAKY_SUSPECTS = [
+    "tumbling_window",
+    "sessionize",
+    "skew_salted_agg",
+    "pivot_events",
+    "sliding_window",
+    "pricing_summary",  # 2dp sums of 2dp inputs — exact already, guard anyway
+]
+
+
+def _digest(df):
+    cols = df.columns
+    rows = df.collect()
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    h = hashlib.md5()
+    for line in sorted("|".join(norm(r[c]) for c in cols) for r in rows):
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", FLAKY_SUSPECTS)
+def test_result_stable_across_shuffle_layouts(spark, sf_dir, name):
+    fn, _sql = QUERIES[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    digests = set()
+    try:
+        for n in SWEEP:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            digests.add(_digest(fn(spark, sf_dir)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert len(digests) == 1

@@ -50,6 +50,8 @@ class Engine:
         self.store = ValuesStore(history_n=history_n)
         self.tasks = TaskManager(self.store)
         self.paths: dict[str, PathHandle] = {}
+        self.collectors: dict[str, FileCollector] = {}  # fc: family
+        self.dbs: dict[str, dict] = {}  # dbm: family catalog
 
     # ------------------------------------------------------------ data verbs
     def sql(self, query: str) -> DataFrame:
@@ -262,10 +264,168 @@ class Engine:
             return "\n".join(
                 f"Result: {out[i]:g} and {out[i + 1]:g}" for i in range(0, len(out) - 1, 2)
             ) or str(out[0])
+        if prefix == "fc":
+            return self._fc_command(args, line)
+        if prefix == "dbm":
+            return self._dbm_command(args, rest, line)
+        if prefix == "gens":
+            # list the generic-projection steps across the path catalog
+            # (ForwardPool 'gens' listing — src/io/forward/ForwardPool.java)
+            out = []
+            for pid, h in sorted(self.paths.items()):
+                for step in h.spec.get("steps", []):
+                    if step.get("type") == "generic":
+                        fields = ",".join(
+                            f"{f['name']}:{f.get('dtype', 'real')}" for f in step.get("fields", [])
+                        )
+                        out.append(f"{pid} : {fields}")
+            return "\n".join(out) or "no generics"
         if prefix in ("help", "h", "?"):
             return (
                 "sql:<query> | rtvals[:group,<g>|:name,<n>] | rtval:<g>,<n> | "
                 "fv:raise|lower|toggle,<g>,<n> | tv:<g>,<n> | "
-                "pf:list|load,<xml>|stop,<id> | st | tm:run,<id>|list"
+                "pf:list|load,<xml>|stop,<id> | st | tm:run,<id>|list | "
+                "fc:addnew,<id>,<src>,<path>|list|addrollover|addheader|addsizelimit|alter | "
+                "dbm:addsqlite,<id>,<path>|addtable,<id>,<table>,<cols>|query,<id>,<sql>|list | "
+                "gens"
             )
+        return self._UNKNOWN + line
+
+    # ----------------------------------------------- fc: collector management
+    def _fc_command(self, args: list[str], line: str) -> str:
+        """FileCollector management verbs (reference CollectorPool
+        `src/io/collector/CollectorPool.java:132-200`), mapped onto the
+        Spark-native FileCollector: rollover → date_trunc partition
+        column, sizelimit → maxRecordsPerFile, zip → writer codec."""
+        if not args or args[0] in ("?", "list") and len(args) == 1:
+            if args and args[0] == "list":
+                return "\n".join(
+                    f"{fid} : path={fc.path} fmt={fc.fmt} rollover={fc.rollover}"
+                    for fid, fc in sorted(self.collectors.items())
+                ) or "no filecollectors"
+            return (
+                "fc:addnew,id,src,path | fc:list | fc:addrollover,id,count,unit,format,zip? | "
+                "fc:addheader,id,header | fc:addsizelimit,id,records,zip? | fc:alter,id,param:value"
+            )
+        verb = args[0]
+        if verb in ("addnew", "add"):
+            if len(args) < 4:
+                return "Not enough arguments: fc:addnew,id,src,path"
+            fid, src, path = args[1], args[2], args[3]
+            fc = FileCollector(path)
+            self.collectors[fid] = fc
+            if src in self.paths:
+                self.add_sink(src, fc.foreach_batch())
+                return f"FileCollector {fid} created, sink attached to {src}."
+            return f"FileCollector {fid} created (source {src} not in catalog yet)."
+        fc = self.collectors.get(args[1]) if len(args) > 1 else None
+        if fc is None:
+            return f"No such fc: {args[1] if len(args) > 1 else '?'}"
+        if verb == "addrollover":
+            if len(args) < 4:
+                return "Not enough arguments: fc:addrollover,id,count,unit,format,zip?"
+            fc.rollover = args[3]
+            fc.zip_rollover = len(args) > 5 and args[5].lower() in ("yes", "true", "1")
+            return "Rollover added"
+        if verb == "addheader":
+            if len(args) < 3:
+                return "Not enough arguments: fc:addheader,id,header"
+            fc.header = args[2]
+            return f"Header line added to {args[1]}"
+        if verb == "addsizelimit":
+            if len(args) < 3:
+                return "Not enough arguments: fc:addsizelimit,id,records,zip?"
+            fc.max_records_per_file = int(args[2])
+            if len(args) > 3:
+                fc.zip_rollover = args[3].lower() in ("yes", "true", "1")
+            return f"Size limit added to {args[1]}"
+        if verb == "alter":
+            if len(args) < 3 or ":" not in args[2]:
+                return "Not enough arguments: fc:alter,id,param:value"
+            param, _, value = args[2].partition(":")
+            if param == "path":
+                fc.path = value
+            elif param == "fmt":
+                fc.fmt = value
+            elif param == "src" and value in self.paths:
+                self.add_sink(value, fc.foreach_batch())
+            else:
+                return f"unknown alter param: {param}"
+            return f"Altered {param} of {args[1]}"
+        return self._UNKNOWN + line
+
+    # ------------------------------------------------ dbm: database management
+    _DB_DIALECTS = ("mysql", "mariadb", "postgresql", "mssql")
+
+    def _dbm_command(self, args: list[str], rest: str, line: str) -> Any:
+        """Database-manager verbs (reference DatabaseManager
+        `src/util/database/DatabaseManager.java:444-570`). addsqlite is
+        live (sqlite3 in-process); the server dialects register a JDBC
+        catalog entry + generated DDL — executing them needs a server,
+        which the sandbox doesn't have."""
+        import sqlite3
+
+        from dcafs_spark.sinks.db import ddl_for
+
+        if not args or args[0] == "?":
+            return (
+                "dbm:addsqlite,id,path | dbm:addmysql|addmariadb|addpostgresql|addmssql,"
+                "id,db,host,user:pass | dbm:addtable,id,table,name:type,... | "
+                "dbm:query,id,sql | dbm:list"
+            )
+        verb = args[0]
+        if verb == "list":
+            return "\n".join(
+                f"{did} : {d['dialect']} {d.get('path', d.get('url', ''))} "
+                f"tables={','.join(sorted(d['tables'])) or '-'}"
+                for did, d in sorted(self.dbs.items())
+            ) or "no databases"
+        if verb == "addsqlite":
+            if len(args) < 3:
+                return "Not enough arguments: dbm:addsqlite,id,path"
+            self.dbs[args[1]] = {"dialect": "sqlite", "path": args[2], "tables": {}}
+            sqlite3.connect(args[2]).close()  # touch the file like the reference
+            return f"Created SQLite at {args[2]} and wrote to settings catalog"
+        if verb.startswith("add") and verb[3:] in self._DB_DIALECTS:
+            if len(args) < 5:
+                return f"Not enough arguments: dbm:{verb},id,db,host,user:pass"
+            dialect = verb[3:]
+            user = args[4].partition(":")[0]
+            self.dbs[args[1]] = {
+                "dialect": dialect,
+                "url": f"jdbc:{dialect}://{args[3]}/{args[2]}",
+                "user": user,
+                "tables": {},
+            }
+            return f"Registered {dialect} db {args[1]} at {args[3]}/{args[2]}"
+        db = self.dbs.get(args[1]) if len(args) > 1 else None
+        if db is None:
+            return f"No such db: {args[1] if len(args) > 1 else '?'}"
+        if verb == "addtable":
+            if len(args) < 4:
+                return "Not enough arguments: dbm:addtable,id,table,name:type,..."
+            table = args[2]
+            fields = [c.partition(":") for c in args[3:]]
+            schema = ", ".join(f"{n} {t or 'string'}" for n, _, t in fields)
+            df = self.spark.createDataFrame([], schema)
+            ddl = ddl_for(df, table, db["dialect"])
+            db["tables"][table] = schema
+            if db["dialect"] == "sqlite":
+                con = sqlite3.connect(db["path"])
+                try:
+                    con.execute(ddl)
+                    con.commit()
+                finally:
+                    con.close()
+                return f"Created table {table}"
+            return ddl  # server dialects: hand back the DDL to run there
+        if verb == "query":
+            sql = rest.partition(",")[2].partition(",")[2]
+            if db["dialect"] != "sqlite":
+                return "query only supported for sqlite in-process"
+            con = sqlite3.connect(db["path"])
+            try:
+                return con.execute(sql).fetchall()
+            finally:
+                con.close()
         return self._UNKNOWN + line

@@ -102,14 +102,103 @@ def _decode_bmp(payload: bytes) -> list[float] | None:
     return [float(w), float(abs(h)), mean, float(bpp)]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth).
+
+    Up/None vectorize; Sub/Average/Paeth recur along x, so those rows
+    fall back to a per-byte loop — fine for the thumbnail-scale images
+    this tier targets; production swaps the whole decoder for PIL."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, offset=pos + 1, count=stride)
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:
+            out[y] = row + prev  # uint8 wraps mod 256 per spec
+        elif ftype in (1, 3, 4):
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    rec = row[x] + a
+                elif ftype == 3:
+                    rec = row[x] + ((a + b) >> 1)
+                else:  # Paeth predictor
+                    c = int(out[y - 1][x - bpp]) if (x >= bpp and y > 0) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec = row[x] + pred
+                cur[x] = rec & 0xFF
+        else:
+            return None
+    return out
+
+
+def _decode_png(payload: bytes) -> list[float] | None:
+    """Pure-python PNG decode → [w, h, mean_pixel, max_pixel].
+
+    Handles 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced (the
+    overwhelming common case); zlib is stdlib so the inflate is real.
+    Anything else (16-bit, palette, Adam7) returns None and falls
+    through to byte stats — same seam as JPEG."""
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        return None
+    import struct
+    import zlib
+
+    pos, w = 8, None
+    idat = b""
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                return None
+            if ctype == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                    return None
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + crc
+        if w is None or not idat or w * h == 0:
+            return None
+        channels = _PNG_CHANNELS[color]
+        stride = w * channels
+        raw = zlib.decompress(idat)
+        if len(raw) != h * (1 + stride):
+            return None
+        px = _png_unfilter(raw, h, stride, channels)
+    except Exception:
+        return None
+    if px is None:
+        return None
+    return [float(w), float(h), round(float(px.mean()), 3), float(px.max())]
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """Three-tier decode: real parse for the self-describing formats a
-    pure-python reader can handle (P6 PPM, uncompressed BMP), byte
-    statistics for everything else. Swap in PIL/libav for JPEG/PNG/
+    """Tiered decode: real parse for the formats a pure-python reader
+    can handle (P6 PPM, uncompressed BMP, 8-bit non-interlaced PNG),
+    byte statistics for everything else. Swap in PIL/libav for JPEG/
     video in production — the mapInPandas plumbing doesn't change."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty media payload")
-    decoded = _decode_ppm(payload) or _decode_bmp(payload)
+    decoded = _decode_ppm(payload) or _decode_bmp(payload) or _decode_png(payload)
     if decoded is not None:
         return decoded
     n = len(payload)

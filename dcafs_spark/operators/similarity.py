@@ -179,6 +179,14 @@ def lsh_topk(
     )
 
 
+def kmeans_seeds(v: DataFrame, k: int) -> DataFrame:
+    """First k vectors by id via orderBy+limit → TakeOrderedAndProject:
+    each partition ships only its local top-k to the driver. (A global
+    Window.orderBy row_number would funnel the whole corpus through one
+    task — a straggler at 100× scale.)"""
+    return v.orderBy("_id").limit(k)
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 8,
@@ -197,11 +205,7 @@ def kmeans_train(
     centroid matrix ever reaches the driver. Deterministic init: the
     first k vectors by id (no RNG → reproducible plans)."""
     v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    # first k vectors by id via orderBy+limit -> TakeOrderedAndProject:
-    # each partition ships only its local top-k to the driver. (A global
-    # Window.orderBy row_number would funnel the whole corpus through
-    # one task — a straggler at 100× scale.)
-    first_k = v.orderBy("_id").limit(k).collect()
+    first_k = kmeans_seeds(v, k).collect()
     cents = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
     for _ in range(iters):
         best_cid = None

@@ -60,6 +60,19 @@ class TestPlanQuality:
         plan = physical_plan(QUERIES["waypoint_geofence"][0](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_kmeans_seed_selection_is_take_ordered(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dcafs_spark.operators.similarity import kmeans_seeds
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("_id"), F.col("embedding").cast("array<double>").alias("_v")
+        )
+        plan = physical_plan(kmeans_seeds(emb, 8))
+        # parallel per-partition top-k, no global sort / window funnel
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan and "Sort [" not in plan.replace("TakeOrdered", "")
+
 
 class TestAsofRangeEdges:
     def test_asof_no_predecessor_is_null(self, spark):
@@ -227,6 +240,68 @@ class TestEngineCommands:
         assert eng.command("tm:run,s1") is True
         assert fired == ["go 12.5"]
         assert "taskset s1" in eng.command("tm:list")
+
+
+class TestCollectorDbCommands:
+    """fc:/dbm:/gens command families (CollectorPool.java:132-200,
+    DatabaseManager.java:444-570) over the Spark-native sinks."""
+
+    def test_fc_lifecycle(self, spark, tmp_path):
+        eng = Engine(spark)
+        out_dir = str(tmp_path / "fcout")
+        eng.command('pf:load,<path id="p1" delimiter=","><filter type="start">$</filter></path>')
+        assert "created" in eng.command(f"fc:addnew,f1,p1,{out_dir}")
+        assert "Rollover added" == eng.command("fc:addrollover,f1,1,hour,fmt,yes")
+        assert "Header line added" in eng.command("fc:addheader,f1,station;temp")
+        assert "Size limit added" in eng.command("fc:addsizelimit,f1,5000")
+        fc = eng.collectors["f1"]
+        assert fc.rollover == "hour" and fc.header == "station;temp"
+        assert fc.max_records_per_file == 5000
+        assert "f1" in eng.command("fc:list")
+        assert eng.command("fc:addheader,zz,x").startswith("No such fc")
+        # the attached sink actually writes batches through the path
+        df = spark.createDataFrame([("$a", 1.0), ("no", 2.0)], "value string, ts double")
+        main, _ = eng.run_batch("p1", df)
+        fc.rollover = None  # text rollover needs a timestamp column; keep it simple
+        fc.write_batch(main.select("value"))
+        import glob
+        import gzip
+        files = glob.glob(out_dir + "/part-*")
+        assert files
+        content = []  # zip? was 'yes' → gzip codec; empty partitions write empty parts
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                content.extend(fh.read().split())
+        assert content == ["$a"]
+
+    def test_dbm_sqlite_roundtrip(self, spark, tmp_path):
+        eng = Engine(spark)
+        db = str(tmp_path / "t.sqlite")
+        assert "Created SQLite" in eng.command(f"dbm:addsqlite,d1,{db}")
+        assert eng.command("dbm:addtable,d1,meas,station:string,temp:double") == "Created table meas"
+        import sqlite3
+        con = sqlite3.connect(db)
+        con.execute("INSERT INTO meas VALUES ('ctd', 12.5)")
+        con.commit(); con.close()
+        assert eng.command("dbm:query,d1,SELECT temp FROM meas") == [(12.5,)]
+        assert "d1 : sqlite" in eng.command("dbm:list")
+
+    def test_dbm_server_dialect_registers_ddl(self, spark):
+        eng = Engine(spark)
+        assert "Registered mysql" in eng.command("dbm:addmysql,m1,sensors,dbhost:3306,user:pw")
+        ddl = eng.command("dbm:addtable,m1,meas,station:string,temp:double")
+        assert ddl.lower().startswith("create table") and "`meas`" in ddl
+        assert eng.dbs["m1"]["url"] == "jdbc:mysql://dbhost:3306/sensors"
+        assert eng.command("dbm:query,m1,SELECT 1") == "query only supported for sqlite in-process"
+
+    def test_gens_listing(self, spark):
+        eng = Engine(spark)
+        eng.command(
+            'pf:load,<path id="g1" delimiter=","><generic><real index="1">temp</real>'
+            "<text index=\'0\'>station</text></generic></path>".replace("\'", '"')
+        )
+        out = eng.command("gens")
+        assert "g1" in out and "temp:real" in out
 
 
 class TestTaskLinks:

@@ -159,3 +159,132 @@ def test_kafka_options_assembly():
         kafka_options({"servers": "b"})
     with pytest.raises(ValueError):
         kafka_options({"servers": "b", "topics": "t", "pattern": "p"})
+
+
+# ------------------------------------------------------------------ PNG tier
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+        ">I", zlib.crc32(ctype + data)
+    )
+
+
+def _make_png(pixels, color_type: int, filters) -> bytes:
+    """Encode a numpy (h, w, channels) uint8 array applying the given
+    PNG filter type per scanline — an independent reference encoder so
+    the decoder's unfiltering is cross-checked, not self-confirmed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    channels = 1 if px.ndim == 2 else px.shape[2]
+    bpp = channels
+    flat = px.reshape(h, w * channels).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+        out = np.zeros_like(row)
+        for x in range(row.size):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if (x >= bpp and y > 0) else 0
+            if ft == 0:
+                out[x] = row[x]
+            elif ft == 1:
+                out[x] = row[x] - a
+            elif ft == 2:
+                out[x] = row[x] - b
+            elif ft == 3:
+                out[x] = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = row[x] - pred
+        raw.append(ft)
+        raw.extend((out & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _ref_stats(px):
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.uint8)
+    return [
+        float(a.shape[1]),
+        float(a.shape[0]),
+        round(float(a.mean()), 3),
+        float(a.max()),
+    ]
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_decode_png_all_filters(filters):
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import _decode_image
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    assert _decode_image(_make_png(px, 2, filters)) == _ref_stats(px)
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_decode_png_color_types(color_type, channels):
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import _decode_image
+
+    rng = np.random.default_rng(color_type)
+    shape = (6, 4) if channels == 1 else (6, 4, channels)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert _decode_image(_make_png(px, color_type, [0, 4])) == _ref_stats(px)
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    from dcafs_spark.operators.multimodal import _decode_png
+
+    # 16-bit depth -> None (falls through to byte stats, no crash)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(payload) is None
+    # truncated IDAT -> None
+    import numpy as np
+
+    good = _make_png(np.zeros((3, 3, 3), dtype=np.uint8), 2, [0])
+    assert _decode_png(good[:40]) is None
+
+
+def test_decode_png_through_spark_pipeline(spark):
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    px = np.full((8, 8, 3), 200, dtype=np.uint8)
+    rows = [(1, "image", _make_png(px, 2, [0, 1, 2, 3, 4]), ("image/png", 8, 8, 0, 0))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]
+    assert feat["feature"] == [8.0, 8.0, 200.0, 200.0]

@@ -320,3 +320,69 @@ def simhash_pairs(
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of dup pairs → (node, cluster) with
+    cluster = min node id of the component — the grouping step real
+    dedup needs (A~B, B~C must condemn {B, C}, not just pairwise).
+
+    Distributed min-label propagation with pointer jumping: per round
+    every node takes the min over (its label, its neighbors' labels,
+    its label's label). The neighbor step moves labels one edge-hop;
+    the jump step (label(node) := label(label(node))) halves pointer
+    paths, so convergence is O(log(diameter)) rounds even for long
+    chains — the classic Hash-to-Min / GraphX-CC shape. Each round is
+    two equi-joins + a min-aggregate, all shuffles on uniformly-hashed
+    ids; `localCheckpoint` cuts lineage so round N does not re-execute
+    rounds 1..N-1. The fixpoint test is a count of changed labels — one
+    bounded action per round, no data collected. Result is independent
+    of partitioning (min is commutative/associative).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("cand"))
+            .withColumnRenamed("src", "node")
+        )
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.label").alias("cand"))
+        )
+        new_labels = (
+            labels.select("node", F.col("label").alias("cand"))
+            .unionByName(neighbor_min)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("cand").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))

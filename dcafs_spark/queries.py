@@ -1762,6 +1762,36 @@ FROM events e JOIN sess s
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: MinHash-LSH pairs → connected
+    components (distributed min-label propagation) — the grouping real
+    dedup needs when A~B and B~C but A!~C. Oracle: DuckDB recursive CTE
+    computing min reachable id per node."""
+    from dcafs_spark.operators.dedup import connected_components
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5)
+    return connected_components(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src AS node, w.label FROM edges e JOIN walk w ON e.dst = w.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS cluster
+FROM walk GROUP BY node
+"""
+
+
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: detect near-dup pairs (MinHash LSH), then keep
     the lowest-id member of each pair — survivors via LEFT ANTI join
@@ -2133,4 +2163,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
     "decimation": (q_decimation, SQL_DECIMATION),
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
 }

@@ -127,3 +127,44 @@ def test_kmeans_train_matches_numpy_lloyds(spark, sf_dir):
             break
         cents = new
     assert np.allclose(np.array(got), cents, atol=1e-9)
+
+
+class TestConnectedComponents:
+    """Min-label propagation: transitive closure of dup pairs."""
+
+    def _cc(self, spark, edges):
+        from dcafs_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        rows = connected_components(df).collect()
+        return {r["node"]: r["cluster"] for r in rows}
+
+    def test_chain_converges_to_min(self, spark):
+        # 1-2-3-4-5 chain: diameter 4 forces several propagation rounds
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_two_components_and_star(self, spark):
+        got = self._cc(spark, [(10, 11), (10, 12), (10, 13), (20, 21)])
+        assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    def test_pair_order_irrelevant(self, spark):
+        # edges given high->low: min label must still win
+        got = self._cc(spark, [(9, 3), (3, 7), (7, 1)])
+        assert set(got.values()) == {1} and len(got) == 4
+
+    def test_partitioning_invariance(self, spark):
+        from dcafs_spark.operators.dedup import connected_components
+
+        edges = [(i, i + 1) for i in range(1, 30)] + [(100, 101), (101, 150)]
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        outs = []
+        try:
+            for n in ("1", "13"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                df = spark.createDataFrame(edges, "id_a long, id_b long")
+                outs.append(sorted(map(tuple, connected_components(df).collect())))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        assert outs[0] == outs[1]
+        assert all(c == 1 for _n, c in outs[0][:30])

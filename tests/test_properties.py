@@ -408,3 +408,46 @@ class TestValMapFuzz:
                     k, v = rec, None
                 want.append((i, k, v))
         assert sorted(got, key=str) == sorted(want, key=str)
+
+
+class TestConnectedComponentsFuzz:
+    """Random graphs vs an independent pure-python union-find."""
+
+    @staticmethod
+    def _union_find(edges):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: every node -> min id of its component
+        comp: dict = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(ns) for r, ns in comp.items() for n in ns}
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        from dcafs_spark.operators.dedup import connected_components
+
+        rng = random.Random(424242)
+        for trial in range(6):
+            n_nodes = rng.randint(2, 60)
+            n_edges = rng.randint(1, 80)
+            edges = [
+                (rng.randint(0, n_nodes), rng.randint(0, n_nodes)) for _ in range(n_edges)
+            ]
+            # self-loops allowed: a doc paired with itself must be harmless
+            expect = self._union_find(edges)
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+            assert got == expect, f"trial {trial}: {sorted(edges)}"

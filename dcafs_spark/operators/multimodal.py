@@ -191,14 +191,60 @@ def _decode_png(payload: bytes) -> list[float] | None:
     return [float(w), float(h), round(float(px.mean()), 3), float(px.max())]
 
 
+def _decode_wav(payload: bytes) -> list[float] | None:
+    """Pure-python RIFF/WAVE PCM decode → [sample_rate, n_channels,
+    duration_ms, rms]. 8/16/32-bit integer PCM (format tag 1);
+    compressed codecs return None (the librosa seam)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import struct
+
+    import numpy as np
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, channels, rate, _bps, _align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1 or channels == 0 or rate == 0 or bits not in (8, 16, 32):
+        return None
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    n_samples = len(data) // (channels * bits // 8)
+    if n_samples == 0:
+        return None
+    px = np.frombuffer(data, dtype=dtype, count=n_samples * channels).astype(np.float64)
+    if bits == 8:
+        px -= 128.0  # 8-bit WAV is unsigned, center it
+    px /= float(2 ** (bits - 1) if bits > 8 else 128)
+    rms = float(np.sqrt(np.mean(px * px)))
+    duration_ms = round(n_samples * 1000.0 / rate, 3)
+    return [float(rate), float(channels), duration_ms, round(rms, 6)]
+
+
 def _decode_image(payload: bytes) -> list[float]:
     """Tiered decode: real parse for the formats a pure-python reader
-    can handle (P6 PPM, uncompressed BMP, 8-bit non-interlaced PNG),
-    byte statistics for everything else. Swap in PIL/libav for JPEG/
-    video in production — the mapInPandas plumbing doesn't change."""
+    can handle (P6 PPM, uncompressed BMP, 8-bit non-interlaced PNG,
+    RIFF/WAVE PCM), byte statistics for everything else. Swap in
+    PIL/librosa/libav for JPEG/MP3/video in production — the
+    mapInPandas plumbing doesn't change."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty media payload")
-    decoded = _decode_ppm(payload) or _decode_bmp(payload) or _decode_png(payload)
+    decoded = (
+        _decode_ppm(payload)
+        or _decode_bmp(payload)
+        or _decode_png(payload)
+        or _decode_wav(payload)
+    )
     if decoded is not None:
         return decoded
     n = len(payload)

@@ -288,3 +288,75 @@ def test_decode_png_through_spark_pipeline(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feat = extract_features(df).collect()[0]
     assert feat["feature"] == [8.0, 8.0, 200.0, 200.0]
+
+
+# ------------------------------------------------------------------ WAV tier
+
+
+def _make_wav(rate, channels, bits, samples):
+    """Independent RIFF/WAVE PCM encoder (stdlib struct only)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    if bits == 8:
+        raw = (a + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = a.astype(np.int16).tobytes()
+    else:
+        raw = a.astype(np.int32).tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_16bit_stereo():
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import _decode_image
+
+    # 1 kHz of interleaved stereo: 8000 frames at 16 kHz = 500 ms
+    vals = np.tile(np.array([16384, -16384], dtype=np.int16), 8000)
+    out = _decode_image(_make_wav(16000, 2, 16, vals))
+    assert out[0] == 16000.0 and out[1] == 2.0 and out[2] == 500.0
+    assert out[3] == round(16384 / 32768, 6)  # constant-magnitude signal → rms
+
+def test_decode_wav_8bit_silence_and_32bit():
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import _decode_wav
+
+    silent = _decode_wav(_make_wav(8000, 1, 8, np.zeros(800, dtype=np.int16)))
+    assert silent == [8000.0, 1.0, 100.0, 0.0]
+    loud = _decode_wav(_make_wav(44100, 1, 32, np.full(441, 2**30)))
+    assert loud[0] == 44100.0 and loud[2] == 10.0 and loud[3] == 0.5
+
+
+def test_decode_wav_rejects_compressed_and_truncated():
+    import struct
+
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import _decode_wav
+
+    good = _make_wav(16000, 1, 16, np.zeros(100, dtype=np.int16))
+    assert _decode_wav(good[:30]) is None
+    # format tag 85 (MP3 in WAV) -> None, falls to byte stats
+    mp3ish = bytearray(good)
+    struct.pack_into("<H", mp3ish, 20, 85)
+    assert _decode_wav(bytes(mp3ish)) is None
+
+
+def test_decode_wav_through_spark_pipeline(spark):
+    import numpy as np
+
+    from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    wav = _make_wav(16000, 1, 16, np.zeros(1600, dtype=np.int16))
+    rows = [(7, "audio", wav, ("audio/wav", 0, 0, 100, 16000))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]
+    assert feat["feature"] == [16000.0, 1.0, 100.0, 0.0]

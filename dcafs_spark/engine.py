@@ -52,6 +52,7 @@ class Engine:
         self.paths: dict[str, PathHandle] = {}
         self.collectors: dict[str, FileCollector] = {}  # fc: family
         self.dbs: dict[str, dict] = {}  # dbm: family catalog
+        self.sources: dict[str, dict] = {}  # ss: family — stream catalog
 
     # ------------------------------------------------------------ data verbs
     def sql(self, query: str) -> DataFrame:
@@ -66,13 +67,23 @@ class Engine:
         return load_tables(self.spark, sf_dir, names)
 
     # ------------------------------------------------------- path management
+    def add_source(self, source_id: str, spec: dict) -> dict:
+        """Register a stream source spec (the reference's ss:add* —
+        `src/io/stream/StreamManager.java:879-911`); paths reference it
+        by id."""
+        spec = {**spec, "id": source_id}
+        self.sources[source_id] = spec
+        return spec
+
     def add_path(
         self,
         path_id: str,
-        source: dict,
+        source: dict | str,
         spec: PathSpec,
         store_cols: dict | None = None,
     ) -> PathHandle:
+        if isinstance(source, str):  # reference a registered ss: stream by id
+            source = self.sources[source]
         handle = PathHandle(path_id, source, spec)
         handle.store_cols = store_cols  # type: ignore[attr-defined]
         self.paths[path_id] = handle
@@ -228,9 +239,14 @@ class Engine:
                 return f"started {args[1]}"
             return self._UNKNOWN + line
         if prefix in ("st", "ss", "streams"):
+            if args and args[0].startswith("add"):
+                return self._ss_add(args, line)
             lines = [
                 f"{pid} : {'running' if h.query else 'stopped'}"
                 for pid, h in sorted(self.paths.items())
+            ]
+            lines += [
+                f"source {sid} : {s['kind']}" for sid, s in sorted(self.sources.items())
             ]
             lines.append(f"values: {len(self.store.state)} keys")
             lines.append(f"tasks: {len(self.tasks.tasks)}")
@@ -289,6 +305,34 @@ class Engine:
                 "dbm:addsqlite,<id>,<path>|addtable,<id>,<table>,<cols>|query,<id>,<sql>|list | "
                 "gens"
             )
+        return self._UNKNOWN + line
+
+    # --------------------------------------------------- ss: stream management
+    def _ss_add(self, args: list[str], line: str) -> str:
+        """ss:addtcp,id,host:port / ss:addfile,id,dir / ss:addkafka,
+        id,servers,topics — register stream sources for paths to
+        reference (StreamManager.java:879-911 addtcp/addudp/addfile;
+        UDP has no Spark source — use a local bridge to TCP/file)."""
+        verb = args[0]
+        if len(args) < 3:
+            return f"Bad amount of arguments: ss:{verb},id,..."
+        sid = args[1].lower()
+        if sid in self.sources:
+            return f"Connection exists with that id ({sid}) not creating it"
+        if verb == "addtcp":
+            if ":" not in args[2]:
+                return "No port number specified"
+            host, _, port = args[2].partition(":")
+            self.add_source(sid, {"kind": "socket", "host": host, "port": int(port)})
+            return f"Connected to {sid}, reference it as source '{sid}' in a path"
+        if verb == "addfile":
+            self.add_source(sid, {"kind": "text", "path": args[2]})
+            return f"Watching {args[2]} as source '{sid}'"
+        if verb == "addkafka":
+            if len(args) < 4:
+                return "Bad amount of arguments: ss:addkafka,id,servers,topics"
+            self.add_source(sid, {"kind": "kafka", "servers": args[2], "topics": args[3]})
+            return f"Subscribed source '{sid}' to {args[3]} at {args[2]}"
         return self._UNKNOWN + line
 
     # ----------------------------------------------- fc: collector management

@@ -431,3 +431,60 @@ class TestSkewAndTextFlags:
         assert store.set_flag("nav", "alarm", "toggle") is False
         assert store.get_flag("nav", "alarm") is False
         assert store.get_flag("nav", "unknown") is False
+
+
+class TestStreamSourceCommands:
+    """ss:add* stream catalog (StreamManager.java:879-911) + path
+    reference-by-id, driven end-to-end through a real socket."""
+
+    def test_ss_add_and_listing(self, spark, tmp_path):
+        eng = Engine(spark)
+        assert "Connected to s1" in eng.command("ss:addtcp,S1,127.0.0.1:9999")
+        assert "No port number" in eng.command("ss:addtcp,s2,127.0.0.1")
+        assert "exists with that id" in eng.command("ss:addtcp,s1,127.0.0.1:8888")
+        assert "Watching" in eng.command(f"ss:addfile,f1,{tmp_path}")
+        assert "Subscribed" in eng.command("ss:addkafka,k1,broker:9092,sensors")
+        st = eng.command("st")
+        assert "source s1 : socket" in st and "source k1 : kafka" in st
+        assert eng.sources["k1"]["topics"] == "sensors"
+
+    def test_path_references_source_by_id_end_to_end(self, spark):
+        import socket
+        import threading
+        import time
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        conn_holder: dict = {}
+
+        def accept():
+            c, _ = srv.accept()
+            conn_holder["c"] = c
+
+        threading.Thread(target=accept, daemon=True).start()
+
+        eng = Engine(spark)
+        eng.command(f"ss:addtcp,dev1,127.0.0.1:{port}")
+        eng.command('pf:load,<path id="p1" delimiter=","><filter type="start">$</filter></path>')
+        got: list = []
+        # re-add the loaded path bound to the registered source by id
+        eng.add_path("p1", "dev1", eng.paths["p1"].spec)
+        eng.add_sink("p1", lambda df, bid: got.extend(r["value"] for r in df.collect()))
+        q = eng.start("p1")
+        try:
+            deadline = time.monotonic() + 30
+            while "c" not in conn_holder and time.monotonic() < deadline:
+                time.sleep(0.1)
+            conn_holder["c"].sendall(b"$go,1\nskip\n")
+            while time.monotonic() < deadline and not got:
+                q.processAllAvailable()
+                time.sleep(0.2)
+        finally:
+            eng.stop("p1")
+            for s in (srv, conn_holder.get("c")):
+                if s is not None:
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+        assert got == ["$go,1"]

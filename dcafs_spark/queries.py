@@ -2100,7 +2100,9 @@ GROUP BY 1, 2
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup is subsumed by cube's grouping sets, decimation's
-# FileCollector family keeps its pytest coverage.
+# FileCollector family keeps its pytest coverage, and the nmea rule is
+# double-covered (filter_fork gates the rule family, crc16_frames the
+# checksum family, test_functions the golden values).
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -2140,7 +2142,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
     "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
-    "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "crc16_frames": (q_crc16_frames, _sql_crc16()),
     "cube_revenue": (q_cube_revenue, SQL_CUBE),
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
@@ -2163,5 +2165,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
     "decimation": (q_decimation, SQL_DECIMATION),
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
-    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
 }

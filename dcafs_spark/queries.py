@@ -4,9 +4,17 @@ runs on the same parquet tables (driver correctness gate).
 
 Conventions for cross-engine hash-match:
   * every computed column is aliased identically on both sides;
-  * double aggregates are rounded (sums → 2dp, avg/stdev → 4dp,
-    pointwise math → 6dp) so last-ulp differences can't flip the hash;
-  * counts/sizes cast to BIGINT on both sides;
+  * aggregate exactness is chosen by whether the rounding boundary is
+    REACHABLE by the true decimal sum:
+      - raw 2dp column summed, rounded to 2dp → plain double sum (true
+        sum ends .xx00; the 0.005 margin dwarfs fp error — fast path);
+      - 2dp column summed, rounded to >2dp, or any mean → integer
+        cent-sums (`_csum`) / exact integer mean (`_iavg`);
+      - product terms (4-6 true decimals) rounded to 2dp → exact
+        decimal(30,6) sums (`_dsum`) — the true sum CAN land exactly
+        on .xx50 where partition-order fp error flips the digit;
+  * pointwise math rounded to 6dp so last-ulp differences can't flip
+    the hash; counts/sizes cast to BIGINT on both sides;
   * deterministic tiebreaks (id columns) on every top-k / last-value.
 """
 
@@ -78,12 +86,16 @@ def ts_to_ns(df: DataFrame, col: str = "ts") -> DataFrame:
             col, F.timestamp_micros(F.expr(f"{col} DIV 1000"))  # integer div: double /1000 rounds at ns scale
         )
     if dtype == "timestamp_ntz":
+        # timestampdiff on NTZ is pure wall-clock arithmetic (no TZ), and
+        # timestamp_micros builds the instant directly from it — so this
+        # branch is session-timezone-independent, unlike cast(ntz as
+        # timestamp) which re-interprets the wall clock in the session TZ
         return df.withColumn(
             f"{col}_ns",
             F.expr(
                 f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) * 1000"
             ),
-        ).withColumn(col, F.expr(f"cast({col} as timestamp)"))
+        ).withColumn(col, F.timestamp_micros(F.expr(f"{col}_ns DIV 1000")))
     return df.withColumn(f"{col}_ns", F.unix_micros(col) * 1000)
 
 
@@ -134,6 +146,31 @@ def _sql_csum(col: str) -> str:
     return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
 
 
+def _dsum(expr, dp: int = 2):
+    """Exact order-independent sum of a PRODUCT money term → `dp`-rounded
+    double.
+
+    Use this only where the summed term is a product of 2-decimal
+    values (4-6 true decimals): such a sum can land EXACTLY on a .xx50
+    rounding boundary, where each engine's (partition-order-dependent)
+    last-ulp error decides the 2dp digit — the same boundary class that
+    forced `_iavg`. The term's double is within 1 ulp of its true
+    decimal, so the decimal(30,6) cast recovers it exactly in both
+    engines (never at a cast tie); the decimal sum is then exact
+    integer math at any scale (int64 micro-units overflow ~9.2e18).
+
+    Plain sums of raw 2-decimal columns DON'T need this: their true sum
+    ends .xx00, a 0.005 margin that dwarfs fp accumulation error, and
+    double sums are ~2x faster in wide aggregates — keep F.round(F.sum)
+    for those."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(F.sum(col.cast("decimal(30,6)")), dp).cast("double")
+
+
+def _sql_dsum(expr: str, dp: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(30,6))), {dp}) AS DOUBLE)"
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship batch query (TPC-H Q1 shape): scan-side filter pushdown,
     map-side partial agg, tiny shuffle on the 2-column group key."""
@@ -144,9 +181,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             # decimal sums: inputs are 2-decimal, so a double mean can sit
             # exactly on the 4dp rounding boundary where summation order
@@ -160,12 +197,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PRICING = """
+SQL_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        CAST(floor((200 * sum(CAST(round(l_quantity * 100) AS BIGINT)) + count(l_quantity)) / (2 * count(l_quantity))) AS DOUBLE) / 10000 AS avg_qty,
        CAST(floor((200 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + count(l_extendedprice)) / (2 * count(l_extendedprice))) AS DOUBLE) / 10000 AS avg_price,
        CAST(floor((200 * sum(CAST(round(l_discount * 100) AS BIGINT)) + count(l_discount)) / (2 * count(l_discount))) AS DOUBLE) / 10000 AS avg_disc,
@@ -535,13 +572,13 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),  # raw 2dp col: double-safe
             F.count("*").alias("n_orders"),
         )
     )
 
 
-SQL_JOIN_ENRICH = """
+SQL_JOIN_ENRICH = f"""
 SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -563,7 +600,7 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOPK = """
+SQL_TOPK = f"""
 SELECT o_custkey, round(sum(o_totalprice), 2) AS total_value, count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 ORDER BY total_value DESC, o_custkey ASC LIMIT 10
@@ -1268,7 +1305,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ROLLUP = """
+SQL_ROLLUP = f"""
 SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -1855,15 +1892,15 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-SQL_REGIONAL = """
+SQL_REGIONAL = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1972,7 +2009,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CUBE = """
+SQL_CUBE = f"""
 SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders,
        CAST(grouping(r_name) * 2 + grouping(year(o_orderdate)) AS BIGINT) AS gid

@@ -24,7 +24,13 @@ FLAKY_SUSPECTS = [
     "skew_salted_agg",
     "pivot_events",
     "sliding_window",
-    "pricing_summary",  # 2dp sums of 2dp inputs — exact already, guard anyway
+    # money sums (decimal(30,6) exact path — _dsum)
+    "pricing_summary",
+    "join_enrich",
+    "topk_customers",
+    "rollup_revenue",
+    "regional_revenue",
+    "cube_revenue",
 ]
 
 

@@ -65,3 +65,25 @@ def test_ts_to_ns_all_runtime_shapes(spark, kind):
     row = out.select("ts_ns", F.unix_micros("ts").alias("us")).collect()[0]
     assert row.ts_ns == ns
     assert row.us == ns // 1000
+
+
+def test_ntz_branch_is_session_tz_independent(spark):
+    """The NTZ normalization must not depend on spark.sql.session.timeZone
+    (the driver's harness session may not pin UTC)."""
+    ns = 1704067798778549000
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    vals = {}
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.range(1).select(
+                F.expr(
+                    f"timestampadd(MICROSECOND, {ns} DIV 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00') AS ts"
+                )
+            )
+            row = ts_to_ns(df).select("ts_ns", F.unix_micros("ts").alias("us")).collect()[0]
+            vals[tz] = (row.ts_ns, row.us)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert set(vals.values()) == {(ns, ns // 1000)}

@@ -30,6 +30,7 @@ HEADLINE = [
     ("similarity_lsh_multiprobe", "query-side probe explode; corpus side stays put"),
     ("stratified_sample", "hash-bucket sampling as a scan-side filter"),
     ("corpus_curation", "quality→lang→dedup→sample: one scan, one hash shuffle"),
+    ("dedup_clusters", "final CC round: label join + min-agg over checkpointed rounds"),
 ]
 
 

@@ -108,6 +108,11 @@ class Engine:
 
     def start(self, path_id: str, **kwargs):
         h = self.paths[path_id]
+        if not h.source or "kind" not in h.source:
+            raise ValueError(
+                f"path '{path_id}' has no stream source bound — register one "
+                f"(ss:addtcp,{path_id}_src,host:port) and re-add the path with it"
+            )
         store_cols = getattr(h, "store_cols", None)
         sp = StreamingPath(
             self.spark,
@@ -235,7 +240,10 @@ class Engine:
                 self.stop(args[1])
                 return f"stopped {args[1]}"
             if args[0] == "start" and len(args) == 2:
-                self.start(args[1])
+                try:
+                    self.start(args[1])
+                except ValueError as exc:  # telnet replies with text, not a stack
+                    return str(exc)
                 return f"started {args[1]}"
             return self._UNKNOWN + line
         if prefix in ("st", "ss", "streams"):

@@ -437,6 +437,12 @@ class TestStreamSourceCommands:
     """ss:add* stream catalog (StreamManager.java:879-911) + path
     reference-by-id, driven end-to-end through a real socket."""
 
+    def test_start_without_source_is_clear_error(self, spark):
+        eng = Engine(spark)
+        eng.command('pf:load,<path id="p0" delimiter=","><filter type="start">$</filter></path>')
+        with pytest.raises(ValueError, match="no stream source bound"):
+            eng.start("p0")
+
     def test_ss_add_and_listing(self, spark, tmp_path):
         eng = Engine(spark)
         assert "Connected to s1" in eng.command("ss:addtcp,S1,127.0.0.1:9999")

@@ -1799,6 +1799,35 @@ FROM events e JOIN sess s
 """
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (p50/p90/p99) — the
+    corpus-profiling pass a training-data pipeline runs before setting
+    length filters. Exact `percentile` (linear interpolation, matching
+    DuckDB quantile_cont bit-for-bit on integer lengths); at 100 TB
+    swap to approx_percentile — same plan shape, sketch-mergeable."""
+    docs = _docs(spark, sf_dir)
+    ln = F.length("text").cast("double")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(cast(length(text) as double), 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(cast(length(text) as double), 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(cast(length(text) as double), 0.99)"), 4).alias("p99"),
+        F.round(F.min(ln), 4).alias("min_len"),
+        F.round(F.max(ln), 4).alias("max_len"),
+    )
+
+
+SQL_DOC_QUANTILES = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(length(text)::DOUBLE, 0.5), 4) AS p50,
+       round(quantile_cont(length(text)::DOUBLE, 0.9), 4) AS p90,
+       round(quantile_cont(length(text)::DOUBLE, 0.99), 4) AS p99,
+       round(min(length(text)::DOUBLE), 4) AS min_len,
+       round(max(length(text)::DOUBLE), 4) AS max_len
+FROM documents GROUP BY source
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dup clusters: MinHash-LSH pairs → connected
     components (distributed min-label propagation) — the grouping real
@@ -2203,4 +2232,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decimation": (q_decimation, SQL_DECIMATION),
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
+    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
 }

@@ -169,12 +169,20 @@ class ValuesStore:
 
     # -------------------------------------------------------------- rules
     def _eval_rules_seq(self, key: tuple[str, str], prev: float | None, values: list[float]) -> None:
-        """Per-record trigger evaluation over the batch's ordered values."""
-        for rule in self.rules:
-            if (rule.group, rule.name) != key:
-                continue
-            p = prev
-            for new in values:
+        """Per-record trigger evaluation over the batch's ordered values.
+
+        Value-major: each update runs through ALL of the key's rules
+        before the next update (RealVal.java:464-533 fires every
+        trigger per update). Rule-major iteration would let a
+        clear-side rule revisit an EARLIER value after a later one
+        already fired its raise-side pair — un-sequencing paired
+        raise/resolve rules within a multi-record batch."""
+        rules = [r for r in self.rules if (r.group, r.name) == key]
+        if not rules:
+            return
+        p = prev
+        for new in values:
+            for rule in rules:
                 if rule.kind == "always":
                     self._fire(rule, key, new)
                 elif rule.kind == "changed":
@@ -187,7 +195,7 @@ class ValuesStore:
                         self._fire(rule, key, new)
                     elif not ok and rule.fired:  # condition cleared → re-arm
                         rule.fired = False
-                p = new
+            p = new
 
     def _fire(self, rule: TriggerRule, key: tuple[str, str], value: float) -> None:
         self.fired_log.append((key[0], key[1], rule.kind, value))

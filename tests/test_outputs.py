@@ -150,3 +150,47 @@ def test_scheduler_task_fires_email(spark):
     assert tm.fire(task) is True
     srv.join(10)
     assert "temp is 31.5" in srv.data
+
+
+def test_full_alert_loop_issue_plus_webhook(spark):
+    """Threshold crossing -> issue raised + webhook alert; clearing
+    resolves the issue; re-crossing re-alerts (hysteresis) — the
+    reference's trigger->IssuePool->notification loop end to end."""
+    from dcafs_spark.issues import IssuePool
+    from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+    httpd = HTTPServer(("127.0.0.1", 0), _Hook)
+    port = httpd.server_address[1]
+    n_before = len(_Hook.received)
+
+    def serve_n(n):
+        for _ in range(n):
+            threading.Thread(target=httpd.handle_request, daemon=True).start()
+
+    serve_n(2)
+    store = ValuesStore()
+    pool = IssuePool(clock=lambda: 1000.0)
+    pool.attach(store, "overtemp", "ctd", "temp", "above 30")
+    alert = webhook_action(f"http://127.0.0.1:{port}/alert")
+    store.add_rule(
+        TriggerRule(
+            "ctd", "temp", "comparison", comparison="above 30",
+            cmd=lambda g, n, v: alert(f"{g}.{n}={v}"),
+        )
+    )
+
+    def push(*vals):
+        rows = [("ctd", "temp", float(v), float(i)) for i, v in enumerate(vals)]
+        store.merge_batch(
+            spark.createDataFrame(rows, "group string, name string, value double, ts double")
+        )
+
+    push(25.0, 31.5)  # crossing: raise + one alert
+    assert [i.id for i in pool.active()] == ["overtemp"]
+    push(28.0)  # clears: resolve, rules re-arm
+    assert pool.active() == []
+    push(35.0)  # re-crossing: second alert, issue re-raised
+    assert pool.issues["overtemp"].count == 2
+    httpd.server_close()
+    sent = [p for _path, _a, p in _Hook.received[n_before:]]
+    assert sent == [{"text": "ctd.temp=31.5"}, {"text": "ctd.temp=35.0"}]

@@ -268,3 +268,81 @@ class TestStreamingDedup:
         finally:
             q.stop()
         assert sorted(rows) == ["alpha", "beta", "gamma"]  # alpha only once
+
+
+class TestTriggerBatchInvariance:
+    """Trigger firing must depend only on the VALUE SEQUENCE, never on
+    how the stream was cut into micro-batches (the round-4 value-major
+    sequencing bug class). Reference simulator processes one value at
+    a time; the store replays the same sequence under random batch
+    boundaries."""
+
+    @staticmethod
+    def _reference_fires(values, rules):
+        # rules: list of (kind, comparison_check) — pure python replay
+        from dcafs_spark.functions.compare import compile_compare_py
+
+        state = [
+            {"kind": k, "check": compile_compare_py(c) if c else None, "fired": False}
+            for k, c in rules
+        ]
+        log = []
+        prev = None
+        for v in values:
+            for i, st in enumerate(state):
+                if st["kind"] == "always":
+                    log.append((i, v))
+                elif st["kind"] == "changed":
+                    if prev is None or prev != v:
+                        log.append((i, v))
+                elif st["kind"] == "comparison":
+                    ok = st["check"](v)
+                    if ok and not st["fired"]:
+                        st["fired"] = True
+                        log.append((i, v))
+                    elif not ok and st["fired"]:
+                        st["fired"] = False
+            prev = v
+        return log
+
+    def test_random_sequences_any_batching(self, spark):
+        import random
+
+        from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+        rng = random.Random(77)
+        rules_spec = [
+            ("comparison", "above 50"),
+            ("comparison", "below 20"),
+            ("changed", None),
+        ]
+        for trial in range(4):
+            n = rng.randint(5, 18)
+            # values drawn coarse so repeats + threshold crossings occur
+            values = [float(rng.choice([10, 15, 25, 40, 55, 55, 70])) for _ in range(n)]
+            expect = self._reference_fires(values, rules_spec)
+
+            store = ValuesStore()
+            log: list = []
+            for i, (kind, comp) in enumerate(rules_spec):
+                store.add_rule(
+                    TriggerRule(
+                        "g", "s", kind, comparison=comp,
+                        cmd=(lambda i: lambda g, nm, v: log.append((i, v)))(i),
+                    )
+                )
+            # random batch boundaries over the same sequence
+            pos = 0
+            t = 0
+            while pos < n:
+                size = rng.randint(1, 4)
+                chunk = values[pos : pos + size]
+                rows = [("g", "s", v, float(t + j)) for j, v in enumerate(chunk)]
+                t += len(chunk)
+                pos += size
+                store.merge_batch(
+                    spark.createDataFrame(
+                        rows, "group string, name string, value double, ts double"
+                    )
+                )
+            assert log == expect, f"trial {trial}: seq={values}"

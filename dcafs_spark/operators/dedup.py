@@ -386,3 +386,37 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with a probe/benchmark set (the standard n-gram-overlap
+    check run before training to keep eval data out of the corpus).
+
+    Returns (id, n_hits) per CONTAMINATED document; callers anti-join
+    to drop them. Shingles hash to 60-bit longs (`shingle_hashes`), so
+    the only join ships 8-byte ints; the probe shingle set (benchmarks
+    are small next to a corpus) broadcasts — the corpus never
+    shuffles. With a huge probe set pass broadcast_probes=False for a
+    plain hash join on the uniformly-distributed hash key."""
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    )
+    p_sh = probes.select(
+        F.explode(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias("_sh")
+    ).distinct()
+    if broadcast_probes:
+        p_sh = F.broadcast(p_sh)
+    return (
+        c_sh.join(p_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )

@@ -1799,6 +1799,31 @@ FROM events e JOIN sess s
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 8-gram
+    with a probe/eval set are flagged with their hit counts. Probes =
+    docs 10-19 themselves, so those are guaranteed contaminated; any
+    extra rows are genuine cross-doc 8-gram overlaps."""
+    from dcafs_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    probes = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select("text")
+    return decontaminate(corpus, probes, shingle_n=8)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH cw AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents WHERE doc_id >= 10),
+csh AS (SELECT doc_id, {_sql_shingles(8)} AS shingles FROM cw),
+c AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS _sh FROM csh),
+pw AS (SELECT {_WORDS_SQL} AS words FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+psh AS (SELECT {_sql_shingles(8)} AS shingles FROM pw),
+p AS (SELECT DISTINCT ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS _sh FROM psh)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM c JOIN p USING (_sh) GROUP BY c.doc_id
+"""
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quantiles (p50/p90/p99) — the
     corpus-profiling pass a training-data pipeline runs before setting
@@ -2233,4 +2258,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
 }

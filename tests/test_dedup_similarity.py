@@ -168,3 +168,52 @@ class TestConnectedComponents:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
         assert outs[0] == outs[1]
         assert all(c == 1 for _n, c in outs[0][:30])
+
+
+class TestDecontaminate:
+    def test_flags_overlapping_docs_only(self, spark):
+        from dcafs_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely different words about spark and shuffles here"),
+                (3, "prefix then the quick brown fox jumps over the lazy dog too"),
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [("benchmark says the quick brown fox jumps over the lazy dog",)],
+            "text string",
+        )
+        got = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, probes, shingle_n=8).collect()}
+        # docs 1 and 3 share 8-grams of the fox sentence; doc 2 is clean
+        assert set(got) == {1, 3}
+        assert all(v >= 1 for v in got.values())
+
+    def test_clean_corpus_empty_result(self, spark):
+        from dcafs_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [("one two three four five six seven eight nine ten",)], "text string"
+        )
+        assert decontaminate(corpus, probes, shingle_n=8).count() == 0
+
+    def test_plan_broadcasts_probes(self, spark):
+        from dcafs_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        probes = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
+        plan = (
+            decontaminate(corpus, probes, shingle_n=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the probe join

@@ -1376,6 +1376,35 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
 """
 
 
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: embedding near-dup pairs (sign-LSH
+    buckets + exact cosine verify) → connected components → one
+    cluster id per vector. The transitive step matters: A≈B and B≈C
+    must group {A,B,C} even when cos(A,C) < threshold."""
+    from dcafs_spark.operators.dedup import connected_components
+
+    pairs = q_dedup_embedding(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+def _sql_dedup_embedding_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_dedup_embedding()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src AS node, w.label FROM edges e JOIN walk w ON e.dst = w.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS cluster
+FROM walk GROUP BY node
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors partition into cells by nearest centroid
     (train-free: centroids = first 8 vectors); queries probe their 2
@@ -2259,4 +2288,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
 }

@@ -115,6 +115,7 @@ class TaskManager:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.log: list[tuple[str, str]] = []
+        self._firing: set[str] = set()  # donow-cycle guard (A->B->A links)
         # injectable UTC clock so link-expiry (24h / midnight) is testable
         self.now_utc: Callable[[], datetime] = lambda: datetime.now(timezone.utc)
 
@@ -170,7 +171,14 @@ class TaskManager:
                 t.skip_executions = 1
 
     def fire(self, task: Task) -> bool:
-        """Evaluate link gate + check; run action on pass. Returns success."""
+        """Evaluate link gate + check; run action on pass. Returns success.
+
+        A task already firing in the current link chain is skipped:
+        mutually-donow-linked tasks (A->B->A) would otherwise recurse
+        without bound — each fires once per chain instead."""
+        if task.id in self._firing:
+            self.log.append((task.id, "link_cycle_skipped"))
+            return False
         if not self._link_gate(task):
             return False
         attempts = task.retries + 1
@@ -181,7 +189,11 @@ class TaskManager:
                 task.last_fire = _time.monotonic()
                 task.fire_count += 1
                 self.log.append((task.id, "fired"))
-                self._apply_links(task)
+                self._firing.add(task.id)
+                try:
+                    self._apply_links(task)
+                finally:
+                    self._firing.discard(task.id)
                 return True
             if i < attempts - 1:
                 _time.sleep(self.tick_s)

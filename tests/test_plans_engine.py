@@ -494,3 +494,29 @@ class TestStreamSourceCommands:
                     except OSError:
                         pass
         assert got == ["$go,1"]
+
+
+class TestDonowCycleGuard:
+    def test_mutual_donow_links_terminate(self, spark):
+        from dcafs_spark.scheduler import Task, TaskManager
+
+        tm = TaskManager()
+        log: list = []
+        tm.tasks["a"] = Task("a", log.append, value="A", link="b", linktype="donow")
+        tm.tasks["b"] = Task("b", log.append, value="B", link="a", linktype="donow")
+        assert tm.fire(tm.tasks["a"]) is True
+        # chain fires each task once, then the cycle is cut
+        assert log == ["A", "B"]
+        assert ("a", "link_cycle_skipped") in tm.log
+        # the guard is per-chain: a later independent fire works again
+        assert tm.fire(tm.tasks["b"]) is True
+        assert log == ["A", "B", "B", "A"]
+
+    def test_self_donow_fires_once(self, spark):
+        from dcafs_spark.scheduler import Task, TaskManager
+
+        tm = TaskManager()
+        log: list = []
+        tm.tasks["loop"] = Task("loop", log.append, value="x", link="loop", linktype="donow")
+        assert tm.fire(tm.tasks["loop"]) is True
+        assert log == ["x"]

@@ -202,17 +202,27 @@ class TaskManager:
 
     def run_taskset(self, set_id: str) -> bool:
         """oneshot: fire all (failures don't stop); step: sequential,
-        stop at first failure and run the linked failure set."""
+        stop at first failure and run the linked failure set. Failure
+        sets that (transitively) name an already-running set are
+        skipped — S-fails→F-fails→S would otherwise recurse forever."""
+        key = f"set:{set_id}"  # namespaced: a task and set may share an id
+        if key in self._firing:
+            self.log.append((set_id, "link_cycle_skipped"))
+            return False
         ts = self.tasksets[set_id]
         ok_all = True
-        for t in ts.tasks:
-            ok = self.fire(t)
-            ok_all = ok_all and ok
-            if not ok and ts.run_type == "step":
-                self.log.append((set_id, "step_failed"))
-                if ts.failure_set and ts.failure_set in self.tasksets:
-                    self.run_taskset(ts.failure_set)
-                return False
+        self._firing.add(key)
+        try:
+            for t in ts.tasks:
+                ok = self.fire(t)
+                ok_all = ok_all and ok
+                if not ok and ts.run_type == "step":
+                    self.log.append((set_id, "step_failed"))
+                    if ts.failure_set and ts.failure_set in self.tasksets:
+                        self.run_taskset(ts.failure_set)
+                    return False
+        finally:
+            self._firing.discard(key)
         return ok_all
 
     def on_keyword(self, line: str) -> int:

@@ -520,3 +520,19 @@ class TestDonowCycleGuard:
         tm.tasks["loop"] = Task("loop", log.append, value="x", link="loop", linktype="donow")
         assert tm.fire(tm.tasks["loop"]) is True
         assert log == ["x"]
+
+    def test_failure_set_cycle_terminates(self, spark):
+        from dcafs_spark.scheduler import Check, Task, TaskManager, TaskSet
+
+        tm = TaskManager()
+        fail = Check("sys", "never", "above 5")  # value absent -> check fails
+        log: list = []
+        tm.add_taskset(
+            TaskSet("s1", "step", [Task("t1", log.append, value="x", check=fail)], failure_set="s2")
+        )
+        tm.add_taskset(
+            TaskSet("s2", "step", [Task("t2", log.append, value="y", check=fail)], failure_set="s1")
+        )
+        assert tm.run_taskset("s1") is False
+        assert ("s1", "link_cycle_skipped") in tm.log  # s2's failure link bounced
+        assert log == []

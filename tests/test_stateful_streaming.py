@@ -346,3 +346,83 @@ class TestTriggerBatchInvariance:
                     )
                 )
             assert log == expect, f"trial {trial}: seq={values}"
+
+
+class TestStoreParityDriverVsStateStore:
+    """The driver-side ValuesStore and the applyInPandasWithState
+    variant advertise the SAME aggregation contract — pin it with a
+    random stream replayed through both."""
+
+    def test_snapshots_agree(self, spark, tmp_path):
+        import random
+
+        from dcafs_spark.streaming.values_store import ValuesStore
+
+        rng = random.Random(99)
+        rows = []
+        t = 0.0
+        for _ in range(60):
+            g = rng.choice(["ctd", "nav"])
+            n = rng.choice(["a", "b"])
+            t += 1.0  # unique increasing ts -> deterministic last/history
+            rows.append((g, n, round(rng.uniform(0, 100), 2), t))
+
+        # driver-side store: 4 merge batches
+        store = ValuesStore(history_n=5)
+        for i in range(0, 60, 15):
+            store.merge_batch(
+                spark.createDataFrame(
+                    rows[i : i + 15], "group string, name string, value double, ts double"
+                )
+            )
+        driver_snap = {(s["group"], s["name"]): s for s in store.snapshot()}
+
+        # state-store variant: same rows via 2 streamed files
+        watch = tmp_path / "w"
+        watch.mkdir()
+        for fi, lo in enumerate(range(0, 60, 30)):
+            f = watch / f"b{fi}.txt"
+            f.write_text(
+                "".join(f"{g},{n},{v},{t}\n" for g, n, v, t in rows[lo : lo + 30])
+            )
+            # distinct mtimes: the file source orders by modification time,
+            # and both stores' history is by ARRIVAL (reference stamps at
+            # receive time) — the replay must control arrival order
+            import os
+
+            os.utime(f, (1_700_000_000 + fi, 1_700_000_000 + fi))
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+        arr = F.split("value", ",")
+        keyed = raw.select(
+            arr[0].alias("g"),
+            arr[1].alias("n"),
+            arr[2].cast("double").alias("v"),
+            arr[3].cast("double").alias("t"),
+        )
+        out = stateful_values(keyed, history_n=5, group="g", name="n", value="v", ts="t")
+        seen: dict = {}
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: seen.update({(r["group"], r["name"]): r for r in df.collect()})
+            )
+            .start()
+        )
+        try:
+            assert _drain(q, lambda: len(seen) >= 4 and max(r["n_updates"] for r in seen.values()) > 0 and sum(r["n_updates"] for r in seen.values()) == 60)
+        finally:
+            q.stop()
+
+        assert set(seen) == set(driver_snap)
+        for key, s in seen.items():
+            d = driver_snap[key]
+            assert s["n_updates"] == d["n_updates"], key
+            assert s["last_value"] == pytest.approx(d["last_value"]), key
+            assert s["min_value"] == pytest.approx(d["min_value"]), key
+            assert s["max_value"] == pytest.approx(d["max_value"]), key
+            assert s["avg_value"] == pytest.approx(d["avg_value"], abs=1e-9), key
+            assert s["hist_avg"] == pytest.approx(d["hist_avg"], abs=1e-9), key
+            if d["hist_stdev"] is None:
+                assert s["hist_stdev"] is None, key
+            else:
+                assert s["hist_stdev"] == pytest.approx(d["hist_stdev"], rel=1e-9), key

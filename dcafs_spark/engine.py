@@ -82,8 +82,10 @@ class Engine:
         spec: PathSpec,
         store_cols: dict | None = None,
     ) -> PathHandle:
-        if isinstance(source, str):  # reference a registered ss: stream by id
-            source = self.sources[source]
+        if isinstance(source, str):  # reference an ss: stream by id
+            # resolve now if registered; else defer to start() so XML
+            # paths can load before their stream is added
+            source = self.sources.get(source, source)
         handle = PathHandle(path_id, source, spec)
         handle.store_cols = store_cols  # type: ignore[attr-defined]
         self.paths[path_id] = handle
@@ -108,6 +110,13 @@ class Engine:
 
     def start(self, path_id: str, **kwargs):
         h = self.paths[path_id]
+        if isinstance(h.source, str):  # late-bound ss: stream reference
+            if h.source not in self.sources:
+                raise ValueError(
+                    f"path '{path_id}' references stream '{h.source}' which is "
+                    f"not registered — ss:addtcp,{h.source},host:port first"
+                )
+            h.source = self.sources[h.source]
         if not h.source or "kind" not in h.source:
             raise ValueError(
                 f"path '{path_id}' has no stream source bound — register one "

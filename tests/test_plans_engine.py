@@ -536,3 +536,32 @@ class TestDonowCycleGuard:
         assert tm.run_taskset("s1") is False
         assert ("s1", "link_cycle_skipped") in tm.log  # s2's failure link bounced
         assert log == []
+
+
+class TestLateBoundSource:
+    def test_xml_src_binds_after_load(self, spark, tmp_path):
+        eng = Engine(spark)
+        eng.command(
+            'pf:load,<path id="px" src="dev9" delimiter=","><filter type="start">$</filter></path>'
+        )
+        # not registered yet -> clear error
+        msg = eng.command("pf:start,px")
+        assert "not registered" in msg and "dev9" in msg
+        # register the stream, then start succeeds
+        watch = tmp_path / "w9"
+        watch.mkdir()
+        (watch / "a.txt").write_text("$ok\nno\n")
+        eng.command(f"ss:addfile,dev9,{watch}")
+        got: list = []
+        eng.add_sink("px", lambda df, bid: got.extend(r["value"] for r in df.collect()))
+        q = eng.start("px")
+        try:
+            import time as _t
+
+            deadline = _t.monotonic() + 30
+            while _t.monotonic() < deadline and not got:
+                q.processAllAvailable()
+                _t.sleep(0.1)
+        finally:
+            eng.stop("px")
+        assert got == ["$ok"]

@@ -489,4 +489,15 @@ class Engine:
                 return con.execute(sql).fetchall()
             finally:
                 con.close()
+        if verb == "store":
+            # dbm:store,dbid,table,pathid — wire a path's output into a
+            # table (the reference's <store db="id:table"> wiring)
+            if len(args) < 4:
+                return "Not enough arguments: dbm:store,id,table,pathid"
+            if db["dialect"] != "sqlite":
+                return "store only supported for sqlite in-process"
+            if args[3] not in self.paths:
+                return f"No such path: {args[3]}"
+            self.add_sqlite_sink(args[3], db["path"], args[2])
+            return f"Storing path {args[3]} into {args[1]}.{args[2]}"
         return self._UNKNOWN + line

@@ -565,3 +565,47 @@ class TestLateBoundSource:
         finally:
             eng.stop("px")
         assert got == ["$ok"]
+
+
+class TestDbmStoreWiring:
+    def test_command_driven_pipeline_to_sqlite(self, spark, tmp_path):
+        """Pure command-string setup: stream source + XML path + sqlite
+        store — then a streamed batch lands in the table."""
+        import sqlite3
+        import time as _t
+
+        eng = Engine(spark)
+        db = str(tmp_path / "store.sqlite")
+        watch = tmp_path / "win"
+        watch.mkdir()
+        eng.command(f"ss:addfile,dev2,{watch}")
+        eng.command(
+            'pf:load,<path id="pp" src="dev2" delimiter=","><filter type="start">$</filter>'
+            '<generic keep="origin"><text index="0">tag</text><real index="1">val</real></generic></path>'
+        )
+        eng.command(f"dbm:addsqlite,d2,{db}")
+        assert "Storing path pp" in eng.command("dbm:store,d2,meas,pp")
+        (watch / "x.txt").write_text("$a,1.5\nnoise\n$b,2.5\n")
+        q = eng.start("pp")
+        try:
+            deadline = _t.monotonic() + 30
+            while _t.monotonic() < deadline:
+                q.processAllAvailable()
+                con = sqlite3.connect(db)
+                try:
+                    n = con.execute(
+                        "SELECT count(*) FROM meas"
+                    ).fetchone()[0] if con.execute(
+                        "SELECT name FROM sqlite_master WHERE name='meas'"
+                    ).fetchone() else 0
+                finally:
+                    con.close()
+                if n >= 2:
+                    break
+                _t.sleep(0.2)
+        finally:
+            eng.stop("pp")
+        con = sqlite3.connect(db)
+        rows = sorted(con.execute("SELECT tag, val FROM meas").fetchall())
+        con.close()
+        assert rows == [("$a", 1.5), ("$b", 2.5)]

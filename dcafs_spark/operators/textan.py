@@ -108,3 +108,18 @@ def fingerprint(col: Column, n: int = 8) -> Column:
     k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
     shingles = F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
     return F.array_min(F.transform(shingles, F.md5))
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition: fraction of duplicate word n-grams,
+    1 - |distinct n-grams| / |n-grams| (0 = no repetition). Unlike
+    `word_shingles` this keeps duplicates — that's the signal."""
+    w = words(col)
+    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
+    )

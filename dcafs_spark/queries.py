@@ -1828,6 +1828,35 @@ FROM events e JOIN sess s
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate word 2-/3-gram
+    fractions per document (high values mark boilerplate/spam for the
+    curation pass). Narrow map, zero shuffle."""
+    from dcafs_spark.operators.textan import repetition_ratio
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        repetition_ratio(F.col("text"), 2).alias("dup_2gram"),
+        repetition_ratio(F.col("text"), 3).alias("dup_3gram"),
+    )
+
+
+def _sql_rep(n: int) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(words)-{n - 1}, 1)+1),"
+        f" i -> array_to_string(words[i:i+{n - 1}], ' '))"
+    )
+    return f"round(1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}), 4)"
+
+
+SQL_TEXT_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents)
+SELECT doc_id, {_sql_rep(2)} AS dup_2gram, {_sql_rep(3)} AS dup_3gram
+FROM w
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 8-gram
     with a probe/eval set are flagged with their hit counts. Probes =
@@ -2289,4 +2318,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
 }

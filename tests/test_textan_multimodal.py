@@ -360,3 +360,23 @@ def test_decode_wav_through_spark_pipeline(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feat = extract_features(df).collect()[0]
     assert feat["feature"] == [16000.0, 1.0, 100.0, 0.0]
+
+
+def test_repetition_ratio_known_values(spark):
+    from dcafs_spark.operators.textan import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "one two three four"),   # all bigrams distinct
+            (3, "x x x x"),              # bigrams: xx xx xx -> 1 of 3
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["d2"],)
+        for r in df.select("id", repetition_ratio(F.col("text"), 2).alias("d2")).collect()
+    }
+    assert got[1] == (round(1 - 2 / 5, 4),)
+    assert got[2] == (0.0,)
+    assert got[3] == (round(1 - 1 / 3, 4),)

@@ -368,13 +368,16 @@ def connected_components(
             .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("cand"))
         )
+        # lazy checkpoint: the convergence count below is the round's one
+        # action and materializes it — an eager checkpoint would spend a
+        # second job per round on mostly-fixed overhead at small scale
         new_labels = (
             labels.select("node", F.col("label").alias("cand"))
             .unionByName(neighbor_min)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("cand").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

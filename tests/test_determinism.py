@@ -31,6 +31,12 @@ FLAKY_SUSPECTS = [
     "rollup_revenue",
     "regional_revenue",
     "cube_revenue",
+    # round-4 additions: iterative CC, percentiles, shingle joins
+    "dedup_clusters",
+    "dedup_embedding_clusters",
+    "doc_length_quantiles",
+    "decontaminate",
+    "text_repetition",
 ]
 
 

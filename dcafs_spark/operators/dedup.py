@@ -244,36 +244,43 @@ def ngram_jaccard_pairs(
     )
 
 
+# 2^b for b in 0..31 as one SQL-parsed literal array: a single py4j call,
+# and the per-token loop below divides by these instead of calling the
+# double pow() kernel 32x per token (pow dominated the old profile)
+_POW2_32 = "array(" + ",".join(f"{1 << b}L" for b in range(32)) + ")"
+
+
 def simhash32(col: Column) -> Column:
     """32-bit SimHash over words: bit b is the sign of Σ_tokens ±1
     where the token's md5 bit b decides the sign. Pure Catalyst
-    (aggregate over an int-array state); one pass per document."""
+    (aggregate over an int-array state); one pass per document.
+
+    Hot-loop form: per token the 32 counters update via
+    `acc[b] + (floor(h / 2^b) % 2) * 2 - 1` against a literal 2^b
+    array — integer-only, branch-free. h < 2^32 and 2^b are exact in
+    double, so floor(h/2^b) is the exact bit shift (bit-identical to
+    the previous pow()-based form, ~2x less work per token)."""
     words = F.split(normalize_text(col), " ")
     # per-token 32-bit value from first 8 md5 hex chars — materialized
     # as its own array so each token is md5'd ONCE, not once per bit
     # (inlining tok_hash inside the bit lambda re-expands the md5 tree
     # 32x per token — measured ~8x slower at sf0.1)
     hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
-    # bit b of h = floor(h / 2^b) % 2 (shiftright needs a literal count,
-    # but 2^b is exact in double for b<=31 so pow-division is identical)
-    bit = lambda h, b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
+    pow2 = F.expr(_POW2_32)
     counters = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), 32),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda b: F.when(bit(h, b) == 1, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
-            ),
-            lambda a, d: a + d,
+            pow2,
+            lambda a, p: a + (F.floor(h / p).cast("long") % 2) * 2 - 1,
         ),
     )
     return F.aggregate(
         F.zip_with(
             counters,
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda c, b: F.when(c > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(F.lit(0).cast("long")),
+            pow2,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

@@ -44,6 +44,7 @@ def waypoint_events(
     lon: str = "lon",
     track: str = "track_id",
     ts: str = "ts",
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """Position stream × waypoints → rows with distance, inside-flag,
     and event ∈ {ENTER, LEAVE, NULL}.
@@ -62,7 +63,10 @@ def waypoint_events(
     joined = joined.withColumn("dist_km", dist).withColumn(
         "inside", F.col("dist_km") <= F.col("wp_radius_km")
     )
-    w = Window.partitionBy(track, "wp_id").orderBy(ts)
+    # A colliding-ts fix pair would make lag() partition-order-dependent
+    # without a total order — callers with an id column should pass it.
+    order_cols = [ts] if order_tiebreak is None else [ts, order_tiebreak]
+    w = Window.partitionBy(track, "wp_id").orderBy(*order_cols)
     prev = F.lag("inside").over(w)
     # First fix per key has prev=NULL → no event: the reference's UNKNOWN
     # state transitions silently to INSIDE/OUTSIDE (Waypoint.java:92-96);

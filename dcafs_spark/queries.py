@@ -133,6 +133,23 @@ def _sql_iavg(col: str) -> str:
     )
 
 
+def _sql_ts_us(col: str = "ts") -> str:
+    """Unit-proof truncated-µs epoch for oracle SQL.
+
+    The events timestamp has shipped as both TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS) parquet across rounds, and DuckDB's read type
+    changed too (µs TIMESTAMP in 1.0, exact TIMESTAMP_NS in newer
+    releases). Spark 4.1 always lands on µs-TRUNCATED values
+    (`ts_to_ns`), so the oracle must truncate identically regardless
+    of what resolution its reader preserved. `epoch_ns` is exact for
+    both read shapes and `//` is DuckDB *integer* division (bigint,
+    no double rounding), so this equals Spark's `ts_ns DIV 1000`
+    under every unit. Never use `epoch_us(ts)` or raw `ORDER BY ts`
+    in window/gap logic: at ns resolution they round/sort below the
+    µs that Spark can see."""
+    return f"(epoch_ns({col}) // 1000)"
+
+
 def _csum(col: str):
     """Order-independent exact sum of a 2-decimal double column (events
     `value` is generated at 2dp): integer cent-sum as bigint, back to a
@@ -516,7 +533,7 @@ WITH keyed AS (
   FROM events
 ), last_v AS (
   SELECT "group", name, value AS last_value
-  FROM (SELECT *, row_number() OVER (PARTITION BY "group", name ORDER BY ts DESC, event_id DESC) AS rn FROM keyed)
+  FROM (SELECT *, row_number() OVER (PARTITION BY "group", name ORDER BY (epoch_ns(ts) // 1000) DESC, event_id DESC) AS rn FROM keyed)
   WHERE rn = 1
 )
 SELECT k."group", k.name,
@@ -555,7 +572,7 @@ SELECT event_id, event_type AS "group",
        round(CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END, 4) AS hist_stdev,
        count(value) OVER w AS hist_n
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY event_type ORDER BY (epoch_ns(ts) // 1000), event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -1114,7 +1131,9 @@ def q_waypoint_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (50.0 + (F.col("value") % 200) / 100.0).alias("lat"),
         F.lit(3.0).alias("lon"),
     )
-    out = waypoint_events(pos, [Waypoint("wp1", 51.0, 3.0, 25.0)], ts="pts")
+    out = waypoint_events(
+        pos, [Waypoint("wp1", 51.0, 3.0, 25.0)], ts="pts", order_tiebreak="event_id"
+    )
     return out.filter(F.col("event").isNotNull()).select(
         "event_id", "wp_id", "event", F.round("dist_km", 6).alias("dist_km")
     )
@@ -1133,7 +1152,7 @@ WITH pos AS (
   FROM pos
 ), s AS (
   SELECT *, dist_km <= 25.0 AS inside,
-         lag(dist_km <= 25.0) OVER (PARTITION BY track_id ORDER BY ts) AS prev_inside
+         lag(dist_km <= 25.0) OVER (PARTITION BY track_id ORDER BY (epoch_ns(ts) // 1000), event_id) AS prev_inside
   FROM d
 )
 SELECT event_id, 'wp1' AS wp_id,
@@ -1241,7 +1260,7 @@ def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CROSSINGS = """
 SELECT event_id, user_id, round(value, 6) AS value FROM (
   SELECT *, value > 100.0 AS high,
-         lag(value > 100.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_high
+         lag(value > 100.0) OVER (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000), event_id) AS prev_high
   FROM events)
 WHERE high AND NOT coalesce(prev_high, false)
 """
@@ -1278,18 +1297,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SESSIONIZE = f"""
-WITH flagged AS (
-  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WITH q AS (
+  SELECT *, (epoch_ns(ts) // 1000) AS ts_q FROM events
+), flagged AS (
+  SELECT *, CASE WHEN ts_q - lag(ts_q) OVER w > 1800000000
+                   OR lag(ts_q) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_q, event_id)
 ), sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_q, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       min(ts_q) AS start_us, max(ts_q) AS end_us,
        {_sql_csum('value')} AS sum_value
 FROM sess GROUP BY user_id, session_id
 """
@@ -1797,7 +1818,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ASOF = """
-WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+WITH e AS (SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS ts_us FROM events),
 clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
 purchases AS (SELECT user_id, ts_us AS p_ts, event_id AS purchase_id, value FROM e WHERE event_type = 'purchase')
 SELECT c.event_id, p.purchase_id AS asof_purchase_id, round(p.value, 6) AS asof_value
@@ -1824,7 +1845,7 @@ def _sql_range_join() -> str:
 WITH sess AS ({SQL_SESSIONIZE})
 SELECT e.event_id, s.session_id
 FROM events e JOIN sess s
-  ON e.user_id = s.user_id AND epoch_us(e.ts) BETWEEN s.start_us AND s.end_us
+  ON e.user_id = s.user_id AND (epoch_ns(e.ts) // 1000) BETWEEN s.start_us AND s.end_us
 """
 
 
@@ -1976,7 +1997,7 @@ def q_buffer_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BUFFER_TAIL = """
 SELECT event_type, rn, event_id, round(value, 6) AS value FROM (
   SELECT event_type, event_id, value,
-         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+         row_number() OVER (PARTITION BY event_type ORDER BY (epoch_ns(ts) // 1000) DESC, event_id DESC) AS rn
   FROM events)
 WHERE rn <= 3
 """
@@ -2248,10 +2269,16 @@ GROUP BY 1, 2
 # variants whose family already has an in-cap gate: xml_pipeline duplicates
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
-# in-cap rows, rollup is subsumed by cube's grouping sets, decimation's
-# FileCollector family keeps its pytest coverage, and the nmea rule is
+# in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
+# set_ops are thin relational wrappers (pytest + local replica), decimation's
+# FileCollector family keeps its pytest coverage, the nmea rule is
 # double-covered (filter_fork gates the rule family, crc16_frames the
-# checksum family, test_functions the golden values).
+# checksum family, test_functions the golden values), and similarity_lsh's
+# bucket path is in-cap via similarity_ivf + gated locally with its
+# multiprobe twin. The four LLM-curation operators added in round 4
+# (doc_length_quantiles, decontaminate, dedup_embedding_clusters,
+# text_repetition) sit IN-CAP — the driver gate must exercise the newest
+# mission-relevant work, not only its oldest.
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -2274,7 +2301,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
-    "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
@@ -2293,18 +2319,23 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "crc16_frames": (q_crc16_frames, _sql_crc16()),
-    "cube_revenue": (q_cube_revenue, SQL_CUBE),
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
-    "pivot_events": (q_pivot_events, SQL_PIVOT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
+    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
+    "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE),
+    "pivot_events": (q_pivot_events, SQL_PIVOT),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "similarity_lsh_multiprobe": (q_similarity_lsh_multiprobe, _sql_similarity_lsh(multiprobe=True)),
     "valmap_remap": (q_valmap_remap, SQL_VALMAP_REMAP),
@@ -2315,8 +2346,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decimation": (q_decimation, SQL_DECIMATION),
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
-    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
-    "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
-    "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
 }

@@ -23,6 +23,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dcafs_spark.issues import IssuePool
 from dcafs_spark.plans.dsl import PathSpec, compile_path
 from dcafs_spark.scheduler import TaskManager
 from dcafs_spark.session import TABLES, get_spark, load_tables
@@ -53,6 +54,8 @@ class Engine:
         self.collectors: dict[str, FileCollector] = {}  # fc: family
         self.dbs: dict[str, dict] = {}  # dbm: family catalog
         self.sources: dict[str, dict] = {}  # ss: family — stream catalog
+        self.issuepool = IssuePool()  # issue: family — alarm registry
+        self.bridges: dict[str, Any] = {}  # network-edge bridges (mqtt, ...)
 
     # ------------------------------------------------------------ data verbs
     def sql(self, query: str) -> DataFrame:
@@ -313,6 +316,30 @@ class Engine:
                         )
                         out.append(f"{pid} : {fields}")
             return "\n".join(out) or "no generics"
+        if prefix in ("issue", "issues"):
+            # IssuePool verbs (reference `src/das/IssuePool.java` +
+            # CommandPool dispatch): list/active/add/trip/resolve
+            pool = self.issuepool
+            if args[:1] == ["list"] or not args:
+                return "\n".join(
+                    f"{i.id} : {i.message} [{'ACTIVE' if i.active else 'inactive'}]"
+                    f" raised {i.count}x"
+                    for i in sorted(pool.issues.values(), key=lambda x: x.id)
+                ) or "no issues defined"
+            if args[0] == "active":
+                return "\n".join(
+                    f"{i.id} : {i.message}" for i in pool.active()
+                ) or "no active issues"
+            if args[0] == "add" and len(args) >= 3:
+                pool.define(args[1], ",".join(args[2:]))
+                return f"defined issue {args[1]}"
+            if args[0] in ("trip", "raise") and len(args) >= 2:
+                pool.raise_issue(args[1])
+                return f"raised {args[1]}"
+            if args[0] == "resolve" and len(args) == 2:
+                pool.resolve(args[1])
+                return f"resolved {args[1]}"
+            return self._UNKNOWN + line
         if prefix in ("help", "h", "?"):
             return (
                 "sql:<query> | rtvals[:group,<g>|:name,<n>] | rtval:<g>,<n> | "
@@ -320,7 +347,7 @@ class Engine:
                 "pf:list|load,<xml>|stop,<id> | st | tm:run,<id>|list | "
                 "fc:addnew,<id>,<src>,<path>|list|addrollover|addheader|addsizelimit|alter | "
                 "dbm:addsqlite,<id>,<path>|addtable,<id>,<table>,<cols>|query,<id>,<sql>|list | "
-                "gens"
+                "issue:list|active|add,<id>,<msg>|trip,<id>|resolve,<id> | gens"
             )
         return self._UNKNOWN + line
 
@@ -340,6 +367,8 @@ class Engine:
             if ":" not in args[2]:
                 return "No port number specified"
             host, _, port = args[2].partition(":")
+            if not port.isdigit():  # telnet-style reply, not a ValueError
+                return f"No valid port number: {port}"
             self.add_source(sid, {"kind": "socket", "host": host, "port": int(port)})
             return f"Connected to {sid}, reference it as source '{sid}' in a path"
         if verb == "addfile":
@@ -350,6 +379,25 @@ class Engine:
                 return "Bad amount of arguments: ss:addkafka,id,servers,topics"
             self.add_source(sid, {"kind": "kafka", "servers": args[2], "topics": args[3]})
             return f"Subscribed source '{sid}' to {args[3]} at {args[2]}"
+        if verb == "addmqtt":
+            # ss:addmqtt,id,host:port,topic[;topic2][,spool_dir] — the
+            # pure-python 3.1.1 bridge spools PUBLISH payloads into a
+            # file-drop dir the text source streams (MqttWorker parity
+            # without a connector jar)
+            if len(args) < 4:
+                return "Bad amount of arguments: ss:addmqtt,id,host:port,topics"
+            host, _, port = args[2].partition(":")
+            if not port.isdigit():
+                return f"No valid port number: {port}"
+            import tempfile
+
+            from dcafs_spark.sources.mqtt import MqttBridge
+
+            spool = args[4] if len(args) > 4 else tempfile.mkdtemp(prefix=f"mqtt_{sid}_")
+            bridge = MqttBridge(host, int(port), args[3].split(";"), spool).start()
+            self.bridges[sid] = bridge
+            self.add_source(sid, {"kind": "text", "path": spool, "mqtt": args[2]})
+            return f"Subscribed source '{sid}' to {args[3]} at {args[2]} (spool {spool})"
         return self._UNKNOWN + line
 
     # ----------------------------------------------- fc: collector management

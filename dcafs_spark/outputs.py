@@ -44,7 +44,10 @@ def smtp_action(
         msg = EmailMessage()
         msg["From"] = sender
         msg["To"] = ", ".join(recipients)
-        msg["Subject"] = subject.format(body=text.splitlines()[0] if text else "")
+        # plain replace, not str.format: subjects carrying scheduler
+        # template tokens ({r:id}/{utc:fmt}) or a literal brace must
+        # not crash the transport at send time
+        msg["Subject"] = subject.replace("{body}", text.splitlines()[0] if text else "")
         msg.set_content(text)
         try:
             with smtplib.SMTP(host, port, timeout=timeout) as s:

@@ -83,6 +83,9 @@ class Task:
     keyword: str | None = None
     check: Check | None = None
     retries: int = 0  # RETRY: re-run while check fails, up to N times
+    # WHILE/WAITFOR (Task.java:311-326): N check-passes needed before a
+    # step taskset may advance past this gate task
+    runs: int = 1
     # link to other task(s) applied after a successful run
     # (Task.java:74-78,221-230): linktype ∈ disable24h | nottoday |
     # donow | skipone, link = ';'-separated task ids
@@ -116,6 +119,9 @@ class TaskManager:
         self._thread: threading.Thread | None = None
         self.log: list[tuple[str, str]] = []
         self._firing: set[str] = set()  # donow-cycle guard (A->B->A links)
+        # safety bound for WAITFOR polling (None = reference behavior:
+        # poll forever); WHILE is naturally bounded by its first failure
+        self.max_gate_wait_s: float | None = 30.0
         # injectable UTC clock so link-expiry (24h / midnight) is testable
         self.now_utc: Callable[[], datetime] = lambda: datetime.now(timezone.utc)
 
@@ -200,6 +206,44 @@ class TaskManager:
         self.log.append((task.id, "check_failed"))
         return False
 
+    def _run_gate_task(self, task: Task) -> bool:
+        """WHILE / WAITFOR flow gates inside a step taskset
+        (TaskManager.java:493-518 + :586-589 — a gate task executes no
+        output, it only evaluates its check every `interval_s`):
+
+        * ``while``   — the check must pass `runs` times, re-evaluated
+          each interval; the FIRST failing check cancels the gate (the
+          surrounding step set then stops / runs its failure set).
+        * ``waitfor`` — poll until `runs` CONSECUTIVE passes; a failing
+          check just resets the streak (:515-517) and polling continues,
+          bounded by `max_gate_wait_s` (the reference polls forever —
+          the bound exists so a dead value can't hang the driver)."""
+        need = max(task.runs, 1)
+        passes = 0
+        deadline = (
+            None
+            if self.max_gate_wait_s is None
+            else _time.monotonic() + self.max_gate_wait_s
+        )
+        while True:
+            if self._gate(task):
+                passes += 1
+                task.fire_count += 1
+                self.log.append((task.id, "gate_pass"))
+                if passes >= need:
+                    self.log.append((task.id, "gate_done"))
+                    return True
+            elif task.trigger == "while":
+                self.log.append((task.id, "gate_failed"))
+                return False
+            else:
+                passes = 0
+                self.log.append((task.id, "gate_reset"))
+            if deadline is not None and _time.monotonic() >= deadline:
+                self.log.append((task.id, "gate_timeout"))
+                return False
+            _time.sleep(task.interval_s if task.interval_s is not None else self.tick_s)
+
     def run_taskset(self, set_id: str) -> bool:
         """oneshot: fire all (failures don't stop); step: sequential,
         stop at first failure and run the linked failure set. Failure
@@ -214,7 +258,10 @@ class TaskManager:
         self._firing.add(key)
         try:
             for t in ts.tasks:
-                ok = self.fire(t)
+                if t.trigger in ("while", "waitfor"):
+                    ok = self._run_gate_task(t)
+                else:
+                    ok = self.fire(t)
                 ok_all = ok_all and ok
                 if not ok and ts.run_type == "step":
                     self.log.append((set_id, "step_failed"))
@@ -275,6 +322,68 @@ class TaskManager:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=2)
+
+
+_PERIOD = re.compile(r"(\d+)\s*(ms|s|m|h|d)")
+_PERIOD_S = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def parse_period_s(text: str) -> float:
+    """'5m3s' / '10s' / '250ms' → seconds (TimeTools.parsePeriodString
+    shapes; a bare number is seconds)."""
+    text = text.strip().lower()
+    if not text:
+        raise ValueError("empty period")
+    if text.isdigit():
+        return float(text)
+    total, matched = 0.0, 0
+    for m in _PERIOD.finditer(text):
+        total += int(m.group(1)) * _PERIOD_S[m.group(2)]
+        matched += len(m.group(0))
+    if matched != len(text.replace(" ", "")):
+        raise ValueError(f"unparsable period: {text!r}")
+    return total
+
+
+def parse_trigger(spec: str) -> dict[str, Any]:
+    """Reference trigger grammar (`Task.java:288-355`) → Task kwargs.
+
+    ``time:07:15,thursday`` / ``utctime:``/``localtime:`` → clock (+days),
+    ``retry:10s,5`` → interval+retries, ``while:10s,2`` / ``waitfor:10s,1``
+    → gate task, ``delay:5m3s``, ``interval:10s[,5m3s]`` (delay,interval),
+    anything else → keyword. ``;``→``,`` and ``=``→``:`` normalization
+    matches the reference's lenient parsing."""
+    spec = spec.strip().replace(";", ",").replace("=", ":")
+    low = spec.lower()
+    if not low:
+        return {"trigger": "execute"}
+    cmd, sep, rest = low.partition(":")
+    if not sep:
+        return {"trigger": "keyword", "keyword": spec}
+    items = rest.split(",")
+    if cmd in ("time", "utctime", "localtime"):
+        out: dict[str, Any] = {"trigger": "clock", "clock": items[0][:5]}
+        if len(items) > 1 and items[1]:
+            out["days"] = items[1]
+        return out
+    if cmd in ("retry", "while", "waitfor"):
+        period = parse_period_s(items[0])
+        n = int(items[1]) if len(items) > 1 and items[1] else -1
+        if cmd == "retry":
+            return {"trigger": "execute", "interval_s": period, "retries": n if n > 0 else 0}
+        return {"trigger": cmd, "interval_s": period, "runs": n if n > 0 else 1}
+    if cmd == "delay":
+        return {"trigger": "delay", "initial_delay_s": parse_period_s(items[0])}
+    if cmd == "interval":
+        if len(items) == 1:
+            iv = parse_period_s(items[0])
+            return {"trigger": "interval", "interval_s": iv, "initial_delay_s": iv}
+        return {
+            "trigger": "interval",
+            "initial_delay_s": parse_period_s(items[0]),
+            "interval_s": parse_period_s(items[1]),
+        }
+    return {"trigger": "keyword", "keyword": spec}
 
 
 def next_clock_fire(clock: str, days: str | None, now: datetime) -> datetime:

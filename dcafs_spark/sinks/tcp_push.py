@@ -24,6 +24,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
+_CHUNK_LINES = 1000  # replay-buffer bound: only this many rows are ever held
+
+
 def _send_partition(
     rows: Iterator[Any],
     host: str,
@@ -35,9 +38,13 @@ def _send_partition(
     backoff: float,
     hello: tuple[str, ...],
 ) -> None:
-    # materialize nothing: stream rows straight onto the socket. On a
-    # mid-write failure the whole partition is resent on the next
-    # attempt (at-least-once, like the reference's resend-on-timeout).
+    # Bounded at-least-once: rows stream to the socket in chunks of
+    # _CHUNK_LINES; a flushed chunk is dropped, so executor memory holds
+    # at most one chunk regardless of partition size. On a mid-write
+    # failure the current chunk is resent on a fresh connection
+    # (chunk-granular resend, like the reference's resend-on-timeout —
+    # receivers get at-least-once either way since Spark task retry
+    # replays whole partitions).
     it = iter(rows)
     # don't open a connection for an empty partition: streaming fires
     # the sink on every micro-batch (many are empty), and at scale idle
@@ -46,27 +53,54 @@ def _send_partition(
         first = next(it)
     except StopIteration:
         return
-    buffered: list[str] = [str(first[value_col])]
+    chunk: list[str] = [str(first[value_col])]
     attempt = 0
-    while True:
-        try:
-            with socket.create_connection((host, port), timeout=connect_timeout) as s:
-                f = s.makefile("wb")
-                for line in hello:
-                    f.write((line + newline).encode())
-                for line in buffered:  # first row + rows drained on failed tries
-                    f.write((line + newline).encode())
-                for row in it:
-                    line = str(row[value_col])
-                    buffered.append(line)
-                    f.write((line + newline).encode())
+    sock: socket.socket | None = None
+    f = None
+
+    def _connect():
+        nonlocal sock, f
+        sock = socket.create_connection((host, port), timeout=connect_timeout)
+        f = sock.makefile("wb")
+        for line in hello:
+            f.write((line + newline).encode())
+
+    try:
+        while True:
+            # fill the current chunk from the row iterator
+            for row in it:
+                chunk.append(str(row[value_col]))
+                if len(chunk) >= _CHUNK_LINES:
+                    break
+            if not chunk:
+                return
+            while True:  # flush this chunk, reconnect+resend on failure
+                try:
+                    if sock is None:
+                        _connect()
+                    for line in chunk:
+                        f.write((line + newline).encode())
+                    f.flush()
+                    break
+                except OSError:
+                    if sock is not None:
+                        try:
+                            sock.close()
+                        except OSError:
+                            pass
+                        sock = None
+                    attempt += 1
+                    if attempt > retries:
+                        raise
+                    time.sleep(backoff * (2 ** (attempt - 1)))
+            chunk = []  # flushed — release before filling the next one
+    finally:
+        if sock is not None:
+            try:
                 f.flush()
-            return
-        except OSError:
-            attempt += 1
-            if attempt > retries:
-                raise
-            time.sleep(backoff * (2 ** (attempt - 1)))
+                sock.close()
+            except OSError:
+                pass
 
 
 def tcp_push_sink(

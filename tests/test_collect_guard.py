@@ -27,6 +27,11 @@ ALLOWED = {
     ("operators/similarity.py", "kmeans_train"),
     # JDBC sink ships rows out by design; toLocalIterator streams batches
     ("sinks/db.py", "write_batch"),
+    # telnet session push: limit(max_push_lines) caps the transfer — an
+    # interactive terminal reads a bounded window, never the batch
+    ("telnet.py", "_push_batch"),
+    # telnet DataFrame reply: limit(max_rows+1) before collect
+    ("telnet.py", "_render"),
 }
 
 

@@ -409,6 +409,110 @@ class TestScheduler:
         out = render_template("at {utc:%Y}", None, now=datetime(2026, 8, 13, tzinfo=timezone.utc))
         assert out == "at 2026"
 
+    @staticmethod
+    def _store_with(group, name, value):
+        from dcafs_spark.streaming.values_store import _KeyState
+
+        store = ValuesStore()
+        st = _KeyState()
+        st.last = value
+        store.state[(group, name)] = st
+        return store, st
+
+    def test_while_gate_advances_after_n_passes(self):
+        # while:·,3 — check passes 3x at interval, set advances
+        store, _st = self._store_with("g", "v", 10.0)
+        tm = TaskManager(store, tick_s=0.005)
+        ran = []
+        gate = Task("w", action=lambda s: ran.append("never"), trigger="while",
+                    interval_s=0.005, runs=3, check=Check("g", "v", "above 5"))
+        tm.add_taskset(TaskSet("m", "step", [gate, Task("after", action=lambda s: ran.append("after"))]))
+        assert tm.run_taskset("m") is True
+        # the gate itself executes no output; only the follow-up task ran
+        assert ran == ["after"]
+        assert [e for e in tm.log if e[0] == "w"].count(("w", "gate_pass")) == 3
+        assert ("w", "gate_done") in tm.log
+
+    def test_while_gate_failure_cancels_set(self):
+        # a failing check mid-while cancels the step set → failure set
+        store, st = self._store_with("g", "v", 10.0)
+        tm = TaskManager(store, tick_s=0.005)
+        ran = []
+        passes = {"n": 0}
+
+        def flip_after_two(*_a):
+            # drop the value below the threshold after the 2nd poll
+            passes["n"] += 1
+            if passes["n"] == 2:
+                st.last = 1.0
+
+        orig = Check.passes
+        try:
+            Check.passes = lambda self, s: (flip_after_two(), orig(self, s))[1]
+            gate = Task("w", action=lambda s: None, trigger="while",
+                        interval_s=0.005, runs=5, check=Check("g", "v", "above 5"))
+            tm.add_taskset(TaskSet("m", "step", [gate, Task("after", action=lambda s: ran.append("after"))],
+                                   failure_set="fs"))
+            tm.add_taskset(TaskSet("fs", "oneshot", [Task("cl", action=lambda s: ran.append("cleanup"))]))
+            assert tm.run_taskset("m") is False
+        finally:
+            Check.passes = orig
+        assert ran == ["cleanup"]
+        assert ("w", "gate_failed") in tm.log
+
+    def test_waitfor_resets_streak_and_completes(self):
+        # waitfor:·,2 — failures reset the consecutive-pass counter
+        # (TaskManager.java:515-517), then 2 passes in a row advance
+        store, st = self._store_with("g", "v", 1.0)  # starts failing
+        tm = TaskManager(store, tick_s=0.005)
+        ran = []
+        polls = {"n": 0}
+
+        def rising(*_a):
+            polls["n"] += 1
+            if polls["n"] == 3:
+                st.last = 10.0  # comes good on the 3rd poll
+
+        orig = Check.passes
+        try:
+            Check.passes = lambda self, s: (rising(self), orig(self, s))[1]
+            gate = Task("wf", action=lambda s: None, trigger="waitfor",
+                        interval_s=0.005, runs=2, check=Check("g", "v", "above 5"))
+            tm.add_taskset(TaskSet("m", "step", [gate, Task("after", action=lambda s: ran.append("after"))]))
+            assert tm.run_taskset("m") is True
+        finally:
+            Check.passes = orig
+        assert ran == ["after"]
+        assert ("wf", "gate_reset") in tm.log  # early failing polls reset, not cancel
+        assert ("wf", "gate_done") in tm.log
+
+    def test_waitfor_timeout_bounds_polling(self):
+        store, _st = self._store_with("g", "v", 1.0)  # never passes
+        tm = TaskManager(store, tick_s=0.001)
+        tm.max_gate_wait_s = 0.05
+        gate = Task("wf", action=lambda s: None, trigger="waitfor",
+                    interval_s=0.001, runs=1, check=Check("g", "v", "above 5"))
+        tm.add_taskset(TaskSet("m", "step", [gate]))
+        assert tm.run_taskset("m") is False
+        assert ("wf", "gate_timeout") in tm.log
+
+    def test_parse_trigger_grammar(self):
+        from dcafs_spark.scheduler import parse_period_s, parse_trigger
+
+        assert parse_period_s("5m3s") == 303.0
+        assert parse_period_s("250ms") == 0.25
+        assert parse_period_s("1h") == 3600.0
+        assert parse_trigger("while:10s,2") == {"trigger": "while", "interval_s": 10.0, "runs": 2}
+        assert parse_trigger("waitfor:500ms") == {"trigger": "waitfor", "interval_s": 0.5, "runs": 1}
+        assert parse_trigger("retry:10s,5") == {"trigger": "execute", "interval_s": 10.0, "retries": 5}
+        assert parse_trigger("time:07:15,thursday") == {"trigger": "clock", "clock": "07:15", "days": "thursday"}
+        assert parse_trigger("delay:5m3s") == {"trigger": "delay", "initial_delay_s": 303.0}
+        assert parse_trigger("interval:10s,5m") == {
+            "trigger": "interval", "initial_delay_s": 10.0, "interval_s": 300.0}
+        iv = parse_trigger("interval:2s")
+        assert iv["interval_s"] == 2.0 and iv["initial_delay_s"] == 2.0  # first run not at t=0
+        assert parse_trigger("armed") == {"trigger": "keyword", "keyword": "armed"}
+
     def test_next_clock_fire_weekday(self):
         now = datetime(2026, 8, 13, 12, 0, tzinfo=timezone.utc)  # a Thursday
         nxt = next_clock_fire("09:30", "mo,fr", now)

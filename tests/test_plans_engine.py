@@ -437,6 +437,25 @@ class TestStreamSourceCommands:
     """ss:add* stream catalog (StreamManager.java:879-911) + path
     reference-by-id, driven end-to-end through a real socket."""
 
+    def test_issue_pool_commands(self, spark):
+        eng = Engine(spark)
+        assert eng.command("issue:list") == "no issues defined"
+        assert eng.command("issue:add,pump,pump pressure low") == "defined issue pump"
+        assert eng.command("issue:trip,pump") == "raised pump"
+        assert "pump : pump pressure low" in eng.command("issue:active")
+        assert "[ACTIVE] raised 1x" in eng.command("issue:list")
+        assert eng.command("issue:resolve,pump") == "resolved pump"
+        assert eng.command("issue:active") == "no active issues"
+        # re-raise counts occurrences (IssuePool.java parity)
+        eng.command("issue:trip,pump")
+        assert "raised 2x" in eng.command("issue:list")
+        assert "unknown command" in eng.command("issue:bogus,x")
+
+    def test_addtcp_bad_port_is_text_reply(self, spark):
+        eng = Engine(spark)
+        out = eng.command("ss:addtcp,s1,host:abc")
+        assert "No valid port number" in out  # reply, not a ValueError
+
     def test_start_without_source_is_clear_error(self, spark):
         eng = Engine(spark)
         eng.command('pf:load,<path id="p0" delimiter=","><filter type="start">$</filter></path>')
@@ -536,6 +555,88 @@ class TestDonowCycleGuard:
         assert tm.run_taskset("s1") is False
         assert ("s1", "link_cycle_skipped") in tm.log  # s2's failure link bounced
         assert log == []
+
+
+class TestTelnetServer:
+    """Socket round-trip through the interactive command server
+    (TelnetServer.java / TelnetHandler.java shape): greeting, command
+    dispatch, raw: data subscription via the path-sink machinery."""
+
+    @staticmethod
+    def _lines(sock_file, n, deadline_s=15):
+        import time as _t
+
+        out = []
+        end = _t.monotonic() + deadline_s
+        while len(out) < n and _t.monotonic() < end:
+            line = sock_file.readline()
+            if not line:
+                break
+            out.append(line.rstrip("\r\n"))
+        return out
+
+    def test_command_roundtrip_and_subscription(self, spark, tmp_path):
+        import socket as _socket
+
+        from dcafs_spark.telnet import TelnetServer
+
+        eng = Engine(spark)
+        srv = TelnetServer(eng)
+        host, port = srv.start()
+        try:
+            c = _socket.create_connection((host, port), timeout=10)
+            f = c.makefile("r", encoding="utf-8")
+            assert self._lines(f, 1) == ["Welcome to dcafs!"]
+
+            # command dispatch over the wire
+            c.sendall(b"rtvals\r\n")
+            assert self._lines(f, 1) == ["no values"]
+            c.sendall(b"issue:add,overheat,temp too high\r\n")
+            c.sendall(b"issue:trip,overheat\r\n")
+            c.sendall(b"issue:active\r\n")
+            got = self._lines(f, 3)
+            assert got[0] == "defined issue overheat"
+            assert got[1] == "raised overheat"
+            assert got[2] == "overheat : temp too high"
+            # errors come back as text, not a dropped session
+            c.sendall(b"nosuch:thing\r\n")
+            assert self._lines(f, 1) == ["unknown command: nosuch:thing"]
+
+            # raw: subscription rides the path-sink fan-out
+            watch = tmp_path / "wtel"
+            watch.mkdir()
+            eng.command(f"ss:addfile,telsrc,{watch}")
+            eng.command(
+                'pf:load,<path id="ptel" src="telsrc" delimiter=","><filter type="start">$</filter></path>'
+            )
+            c.sendall(b"raw:ptel\r\n")
+            assert self._lines(f, 1) == ["Subscribed to raw data of ptel"]
+            (watch / "a.txt").write_text("$one\nskip\n$two\n")
+            q = eng.start("ptel")
+            try:
+                import time as _t
+
+                deadline = _t.monotonic() + 30
+                pushed: list = []
+                c.settimeout(0.5)
+                while _t.monotonic() < deadline and len(pushed) < 2:
+                    q.processAllAvailable()
+                    try:
+                        pushed.extend(self._lines(f, 2 - len(pushed), deadline_s=0.5))
+                    except TimeoutError:
+                        pass
+            finally:
+                eng.stop("ptel")
+            assert sorted(pushed) == ["$one", "$two"]
+
+            c.settimeout(10)
+            c.sendall(b"stop\r\n")
+            assert self._lines(f, 1) == ["Unsubscribed from 1 path(s)"]
+            assert eng.paths["ptel"].sinks == []  # sink really detached
+            c.sendall(b"bye\r\n")
+            assert self._lines(f, 1) == ["Bye! Back to telnet mode..."]
+        finally:
+            srv.stop()
 
 
 class TestLateBoundSource:

@@ -56,6 +56,11 @@ class Engine:
         self.sources: dict[str, dict] = {}  # ss: family — stream catalog
         self.issuepool = IssuePool()  # issue: family — alarm registry
         self.bridges: dict[str, Any] = {}  # network-edge bridges (mqtt, ...)
+        self.email_sender = None  # retrieve:/admin:getlogs transport (callable)
+        self._settings_xml: str | None = None  # last-loaded settings source
+        from collections import deque
+
+        self._infolog: deque[str] = deque(maxlen=500)  # admin:info tail
 
     # ------------------------------------------------------------ data verbs
     def sql(self, query: str) -> DataFrame:
@@ -244,7 +249,9 @@ class Engine:
                 # pf:load,<file-or-xml> — settings.xml paths into the catalog
                 from dcafs_spark.plans.xmlconfig import load_paths
 
-                specs = load_paths(rest.partition(",")[2])
+                src = rest.partition(",")[2]
+                specs = load_paths(src)
+                self._settings_xml = src  # upgrade:settings re-applies this
                 for pid, spec in specs.items():
                     self.add_path(pid, source=spec.get("src", {}), spec=spec)
                 return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}"
@@ -340,6 +347,63 @@ class Engine:
                 pool.resolve(args[1])
                 return f"resolved {args[1]}"
             return self._UNKNOWN + line
+        if prefix == "admin":
+            return self._admin_command(args, line)
+        if prefix == "sd":
+            # CommandPool doShutDown: stop everything, reply before exit.
+            # In a Spark engine "shutdown" = stop streams + scheduler; the
+            # JVM/driver lifecycle belongs to the host process.
+            reason = rest or "no reason given"
+            self.stop_all()
+            self._log(f"shutdown requested: {reason}")
+            return f"Shutting down, reason: {reason}"
+        if prefix == "ts":
+            # doTimeStamping (CommandPool.java:263-267): store the current
+            # short UTC time as a text value under the given id.
+            if len(args) != 1 or not args[0]:
+                return self._UNKNOWN + line
+            from datetime import datetime, timezone
+
+            stamp = datetime.now(timezone.utc).strftime("%H:%M:%S")
+            group, _, name = args[0].partition("_")
+            if not name:
+                group, name = "dcafs", args[0]
+            self.store.texts[(group, name)] = stamp
+            return "update attempted"
+        if prefix == "read":
+            # doREAD: subscribe the requesting session to a readable's data.
+            # The engine-side reply mirrors the reference; the actual
+            # subscription is wired by the telnet handler (read:<path-id>
+            # behaves like raw:<path-id> there).
+            if len(args) != 1 or not args[0]:
+                return self._UNKNOWN + line
+            return f"Request for readable {args[0]} issued"
+        if prefix == "serialports":
+            # serial connectors are out of scope (SURVEY §2.1) — reply like
+            # a host without ports rather than pretending.
+            return "No serial ports found"
+        if prefix == "retrieve":
+            # doRETRIEVE (CommandPool.java:341-380): email a setup file.
+            if getattr(self, "email_sender", None) is None:
+                return "Can't retrieve without EmailWorker"
+            if args[:1] == ["setup"] and len(args) >= 2:
+                body = self._settings_xml or "<dcafs/>"
+                self.email_sender(args[1], "Requested file: settings.xml", body)
+                return "Tried sending settings.xml"
+            return self._UNKNOWN + line
+        if prefix == "upgrade":
+            # doUPGRADE: re-apply a settings script. Spark-side the only
+            # meaningful target is the loaded settings.xml path catalog.
+            if args[:1] == ["settings"]:
+                if not self._settings_xml:
+                    return "No settings loaded to upgrade"
+                from dcafs_spark.plans.xmlconfig import load_paths
+
+                specs = load_paths(self._settings_xml)
+                for pid, spec in specs.items():
+                    self.add_path(pid, source=spec.get("src", {}), spec=spec)
+                return f"Reloaded {len(specs)} path(s) from settings"
+            return self._UNKNOWN + line
         if prefix in ("help", "h", "?"):
             return (
                 "sql:<query> | rtvals[:group,<g>|:name,<n>] | rtval:<g>,<n> | "
@@ -348,6 +412,78 @@ class Engine:
                 "fc:addnew,<id>,<src>,<path>|list|addrollover|addheader|addsizelimit|alter | "
                 "dbm:addsqlite,<id>,<path>|addtable,<id>,<table>,<cols>|query,<id>,<sql>|list | "
                 "issue:list|active|add,<id>,<msg>|trip,<id>|resolve,<id> | gens"
+            )
+        return self._UNKNOWN + line
+
+    # --------------------------------------------------- admin: verbs
+    def _log(self, msg: str) -> None:
+        from datetime import datetime, timezone
+
+        self._infolog.append(f"{datetime.now(timezone.utc).isoformat(timespec='seconds')} {msg}")
+
+    def _admin_command(self, args: list[str], line: str) -> str:
+        """CommandPool doADMIN (CommandPool.java:472-533) — the subset
+        meaningful for a Spark driver process: clock, regex tester,
+        interface addresses, gc, thread list, info-log tail. Process-
+        level verbs (reboot/sleep) stay host concerns."""
+        verb = args[0] if args else "?"
+        if verb == "clock":
+            from datetime import datetime, timezone
+
+            return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S UTC")
+        if verb == "regex" and len(args) >= 3:
+            import re as _re
+
+            try:
+                pat = _re.compile(args[1])
+            except _re.error as exc:
+                return f"Invalid regex: {exc}"
+            target = ",".join(args[2:])
+            return "Matches!" if pat.fullmatch(target) else "No match..."
+        if verb in ("ipv4", "ipv6"):
+            import socket as _socket
+
+            fam = _socket.AF_INET if verb == "ipv4" else _socket.AF_INET6
+            addrs = set()
+            try:
+                for info in _socket.getaddrinfo(_socket.gethostname(), None, fam):
+                    addrs.add(info[4][0])
+            except _socket.gaierror:
+                pass
+            if verb == "ipv4":
+                addrs.add("127.0.0.1")
+            return "\n".join(sorted(addrs)) or "No addresses found"
+        if verb == "gc":
+            import gc as _gc
+
+            _gc.collect()
+            try:
+                self.spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # no JVM in some test contexts
+            return "Garbage collection requested"
+        if verb == "lt":
+            import threading as _threading
+
+            return "\n".join(
+                f"{t.name} [{'daemon' if t.daemon else 'user'}]"
+                f"{' ALIVE' if t.is_alive() else ''}"
+                for t in _threading.enumerate()
+            )
+        if verb in ("info", "errors"):
+            n = 30
+            if len(args) >= 2 and args[1].isdigit():
+                n = int(args[1])
+            tail = list(self._infolog)[-n:]
+            return "\n".join(tail) or "No log lines yet"
+        if verb == "?":
+            return (
+                "admin:clock -> Get the current timestamp\n"
+                "admin:regex,<regex>,<match> -> Test a regex\n"
+                "admin:ipv4/ipv6 -> Interface addresses\n"
+                "admin:gc -> Request garbage collection\n"
+                "admin:lt -> Show all threads\n"
+                "admin:info,x -> Last x info-log lines"
             )
         return self._UNKNOWN + line
 

@@ -361,38 +361,40 @@ def connected_components(
         edges.groupBy("src")
         .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("cand"))
-            .withColumnRenamed("src", "node")
+        # One join does both propagation steps: real edges pull neighbor
+        # labels; a pseudo-edge node→label pulls label(label(node)) — the
+        # pointer jump — through the same dst lookup. (Every label IS a
+        # node id: edges are symmetrized, so any min over ids occurs as a
+        # src.) Halves the per-round join count vs separate
+        # neighbor-min + jump joins.
+        combined = edges.unionByName(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
         )
-        jump = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
-            .select(F.col("a.node").alias("node"), F.col("b.label").alias("cand"))
+        cand = (
+            combined.join(labels.withColumnRenamed("label", "dlabel"), combined.dst == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("cand"))
+            .withColumnRenamed("src", "node")
         )
         # lazy checkpoint: the convergence count below is the round's one
         # action and materializes it — an eager checkpoint would spend a
-        # second job per round on mostly-fixed overhead at small scale
-        new_labels = (
-            labels.select("node", F.col("label").alias("cand"))
-            .unionByName(neighbor_min)
-            .unionByName(jump)
-            .groupBy("node")
-            .agg(F.min("cand").alias("label"))
+        # second job per round on mostly-fixed overhead at small scale.
+        # The chg flag rides inside the checkpointed frame so the count
+        # needs no extra join against the previous labels.
+        stepped = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("new_label"),
+                (F.coalesce("cand", F.col("label")) < F.col("label")).alias("chg"),
+            )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster"))
@@ -429,4 +431,65 @@ def decontaminate(
         c_sh.join(p_sh, "_sh")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document span dedup: cut each document
+    into non-overlapping `chunk_words`-word chunks, hash each chunk,
+    and drop every chunk whose lowest owning doc id is another document
+    (first occurrence wins — C4's "keep one copy of each duplicated
+    line" rule, with word-chunks standing in for lines).
+
+    Returns per-document (id, n_chunks, n_dropped, kept_words): the
+    stats a curation pipeline thresholds on before rebuilding text.
+
+    Scale shape: chunks hash to 60-bit longs before the explode, so the
+    only shuffle (groupBy chunk hash → min owner) carries 16 bytes per
+    chunk occurrence — document bodies never leave their scan
+    partition. The owner join is an equi-join on the uniformly
+    distributed hash; the final per-doc rollup shuffles one short row
+    per chunk. All O(corpus tokens), no pairwise anything.
+    """
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("chash"),
+            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
+        ),
+    )
+    occ = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c")).select(
+        "id", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw")
+    )
+    owners = occ.groupBy("chash").agg(F.min("id").alias("owner"))
+    return (
+        occ.join(owners, "chash")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("id") != F.col("owner"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("id") == F.col("owner"), F.col("nw")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_words"),
+        )
+        .select(F.col("id").alias(id_col), "n_chunks", "n_dropped", "kept_words")
     )

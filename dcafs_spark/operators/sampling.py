@@ -63,3 +63,28 @@ def train_test_split(
         split_col,
         F.when(bucket < int(test_fraction * _BUCKETS), F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def capped_stratified_sample(
+    df: DataFrame, strata_col: str, cap: int, key_col: str, seed: int = 0
+) -> DataFrame:
+    """At most `cap` rows per stratum (corpus balancing: cap the
+    dominant languages/sources so one stratum can't swamp a training
+    mix), chosen deterministically — rank rows inside each stratum by
+    key hash and keep the first `cap`.
+
+    One shuffle on the stratum key; with few strata and huge rows the
+    window would hotspot, so real 100 TB runs pre-filter with
+    `hash_sample` at ~cap/|stratum| before ranking — the window then
+    sees ~cap rows per stratum instead of the whole corpus. The hash
+    order makes the selection stable under repartitioning and corpus
+    growth restricted to new keys."""
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(F.col(key_col), seed)
+    win = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -123,3 +123,111 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
     )
+
+
+# PII patterns kept to the regex subset Java regex and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition,
+# alternation — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{2}[0-9 ]{7,12}[0-9]",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora (the standard pre-training
+    scrub: emails / IPs / phone numbers → typed placeholder tokens).
+
+    Pure Catalyst regexp ops — a narrow map that runs at scan speed
+    with zero shuffle at any corpus size. Counts come from
+    regexp_extract_all before replacement; redaction applies the three
+    patterns in a fixed order (email, ipv4, phone) so overlapping
+    matches resolve identically on every engine.
+    """
+    col = F.col(text_col)
+    counts = {
+        f"n_{k}": F.size(F.regexp_extract_all(col, F.lit(p), 0)).cast("bigint")
+        for k, p in PII_PATTERNS.items()
+    }
+    red = col
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return df.select(
+        *df.columns,
+        *[c.alias(n) for n, c in counts.items()],
+        red.alias("redacted"),
+    )
+
+
+def ngrams(col: Column, n: int = 2) -> Column:
+    """All word n-grams of the text (duplicates kept), as
+    array<string> — the corpus-statistics building block."""
+    w = words(col)
+    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def ngram_topk(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-level top-k word n-grams with document frequency.
+
+    explode → groupBy(gram) with map-side partial aggregation, so the
+    shuffle carries (gram, partial count) per distinct gram per
+    partition, not one row per occurrence; the top-k is a single
+    ordered limit the driver never materializes beyond k rows.
+    Deterministic tiebreak on the gram string itself.
+    """
+    grams = df.select(
+        F.col("doc_id"), F.explode(ngrams(F.col(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count("*").alias("occurrences"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return (
+        counts.orderBy(F.desc("occurrences"), F.asc("gram"))
+        .limit(k)
+        .select("gram", "occurrences", "doc_freq")
+    )
+
+
+# Gopher-rule bounds (Rae et al. 2021 §A1.1, adapted): each rule is an
+# independent boolean; keep = every rule passes.
+GOPHER_RULES = {
+    "ok_word_count": "words in [50, 100000]",
+    "ok_mean_word_len": "mean word length in [3, 10]",
+    "ok_stopwords": ">= 2 distinct common stopwords",
+    "ok_repetition": "duplicate 2-gram fraction < 0.30",
+}
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality gate: four independent rule booleans plus
+    the conjunction `keep`. All narrow Catalyst expressions (no UDF,
+    no shuffle) — at 100 TB this is a scan-side filter whose predicate
+    pushes into the parquet read when callers filter on `keep`."""
+    col = F.col(text_col)
+    w = words(col)
+    n_words = F.size(w)
+    mean_wl = F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    stop_set = ["the", "a", "of", "and", "to", "is", "in", "that", "for", "with"]
+    n_stop = F.size(F.array_distinct(F.filter(w, lambda x: x.isin(*stop_set))))
+    # unrounded repetition fraction: the rule compares it, and a rounded
+    # value could straddle the threshold differently across engines
+    k2 = F.greatest(F.size(w) - F.lit(1), F.lit(1))
+    grams2 = F.transform(F.sequence(F.lit(1), k2), lambda i: F.array_join(F.slice(w, i, 2), " "))
+    rep2 = F.lit(1.0) - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2)
+    ok_wc = (n_words >= 50) & (n_words <= 100000)
+    ok_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_stop = n_stop >= 2
+    ok_rep = rep2 < 0.30
+    # rule flags as 0/1 bigints: cross-engine drivers compare cell text,
+    # and int is the one representation every engine prints identically
+    return df.select(
+        *df.columns,
+        ok_wc.cast("bigint").alias("ok_word_count"),
+        ok_mwl.cast("bigint").alias("ok_mean_word_len"),
+        ok_stop.cast("bigint").alias("ok_stopwords"),
+        ok_rep.cast("bigint").alias("ok_repetition"),
+        (ok_wc & ok_mwl & ok_stop & ok_rep).cast("bigint").alias("keep"),
+    )

@@ -2267,6 +2267,205 @@ GROUP BY 1, 2
 # entries. The first 50 therefore cover every operator family exactly once;
 # the tail (past the cap, local-pytest-gated via test_queries_oracle) holds
 # variants whose family already has an in-cap gate: xml_pipeline duplicates
+# ------------------------------------------------- round-5 curation operators
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup: non-overlapping 10-word
+    chunks, first-owner-wins; per-doc kept/dropped stats. Mirrors the
+    reference's content-based forward dedup only in spirit — this is a
+    training-corpus curation op (C4 §2.2 'deduplicate lines')."""
+    from dcafs_spark.operators.dedup import chunk_dedup_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_dedup_stats(docs, chunk_words=10)
+
+
+SQL_LINE_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), i0 AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS i
+  FROM w
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(ws[i*10+1 : i*10+10], ' ')), 1, 15))::BIGINT AS chash,
+         len(ws[i*10+1 : i*10+10]) AS nw
+  FROM i0
+), own AS (
+  SELECT chash, min(doc_id) AS owner FROM occ GROUP BY chash
+)
+SELECT occ.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN occ.doc_id <> owner THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       sum(CASE WHEN occ.doc_id = owner THEN nw ELSE 0 END)::BIGINT AS kept_words
+FROM occ JOIN own USING (chash)
+GROUP BY occ.doc_id
+"""
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically weave PII-shaped tokens into the synthetic
+    corpus (which carries none) so the scrub has real work: an email
+    per doc, an IPv4 every 3rd doc, a phone every 5th — identical
+    construction in the SQL oracle."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            d.cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" ip 10."),
+                    (d % 250).cast("string"),
+                    F.lit(".0."),
+                    (d % 200).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" call +32 4"), (d % 90 + 10).cast("string"), F.lit(" 123 456")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: regex counts + placeholder
+    substitution, verified by redacted-text md5. Pure narrow map —
+    scan-speed at any corpus size."""
+    from dcafs_spark.operators.textan import pii_scrub
+
+    docs = _inject_pii(_docs(spark, sf_dir).select("doc_id", "text"))
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("redacted").alias("red_hash")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"\+[0-9]{2}[0-9 ]{7,12}[0-9]"
+
+SQL_PII_SCRUB = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ip 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' call +32 4' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' 123 456'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IPV4>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS red_hash
+FROM inj
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 word bigrams (occurrence + doc frequency):
+    the n-gram census curation pipelines use for boilerplate and
+    contamination spotting. Map-side partial agg; only (gram, counts)
+    shuffle."""
+    from dcafs_spark.operators.textan import ngram_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ngram_topk(docs, n=2, k=50)
+
+
+SQL_NGRAM_TOPK = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+), g0 AS (
+  SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-1, 1)+1)) AS i FROM w
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram FROM g0
+), c AS (
+  SELECT gram, count(*)::BIGINT AS occurrences, count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM g GROUP BY gram
+)
+SELECT gram, occurrences, doc_freq FROM c
+ORDER BY occurrences DESC, gram ASC
+LIMIT 50
+"""
+
+
+def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: cap every language at 30 docs, chosen by
+    deterministic key-hash order (stable under repartitioning and
+    corpus growth)."""
+    from dcafs_spark.operators.sampling import capped_stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return capped_stratified_sample(docs, "lang", 30, "doc_id", seed=11)
+
+
+SQL_LANG_BALANCED = f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_sql_bucket('doc_id', 11)} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source FROM r WHERE rk <= 30
+"""
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (word count / mean word length /
+    stopword presence / 2-gram repetition) as independent 0-1 flags
+    plus the keep conjunction."""
+    from dcafs_spark.operators.textan import gopher_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return gopher_filter(docs).select(
+        "doc_id", "ok_word_count", "ok_mean_word_len", "ok_stopwords", "ok_repetition", "keep"
+    )
+
+
+SQL_GOPHER = r"""
+WITH f AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w) AS mwl,
+         len(list_distinct(list_filter(w, x -> list_contains(
+             ['the','a','of','and','to','is','in','that','for','with'], x)))) AS n_stop,
+         1.0 - len(list_distinct(list_transform(range(1, greatest(len(w)-1,1)+1),
+                   i -> array_to_string(w[i:i+1], ' ')))) * 1.0
+             / len(list_transform(range(1, greatest(len(w)-1,1)+1),
+                   i -> array_to_string(w[i:i+1], ' '))) AS rep2
+  FROM f
+)
+SELECT doc_id,
+       (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT AS ok_word_count,
+       (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END)::BIGINT AS ok_mean_word_len,
+       (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS ok_stopwords,
+       (CASE WHEN rep2 < 0.30 THEN 1 ELSE 0 END)::BIGINT AS ok_repetition,
+       (CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND n_stop >= 2 AND rep2 < 0.30 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM g
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -2275,10 +2474,13 @@ GROUP BY 1, 2
 # double-covered (filter_fork gates the rule family, crc16_frames the
 # checksum family, test_functions the golden values), and similarity_lsh's
 # bucket path is in-cap via similarity_ivf + gated locally with its
-# multiprobe twin. The four LLM-curation operators added in round 4
+# multiprobe twin. The LLM-curation operators added in rounds 4-5
 # (doc_length_quantiles, decontaminate, dedup_embedding_clusters,
-# text_repetition) sit IN-CAP — the driver gate must exercise the newest
-# mission-relevant work, not only its oldest.
+# text_repetition, line_dedup, pii_scrub, gopher_filter) sit IN-CAP — the
+# driver gate must exercise the newest mission-relevant work, not only its
+# oldest; listreplace/buffer_tail/distinct_counts moved to the tail (their
+# families stay gated via editor_ops, current_values/history_window, and
+# the groupBy/count family respectively).
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -2305,13 +2507,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, _sql_range_join()),
     "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),
     "editor_ops": (q_editor_ops, SQL_EDITOR_OPS),
-    "listreplace": (q_listreplace, SQL_LISTREPLACE),
     "bits_calibration": (q_bits_calibration, SQL_BITS),
     "utm_projection": (q_utm_projection, _sql_utm()),
     "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
@@ -2321,7 +2521,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "crc16_frames": (q_crc16_frames, _sql_crc16()),
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
@@ -2331,6 +2530,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "cube_revenue": (q_cube_revenue, SQL_CUBE),
@@ -2346,4 +2548,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decimation": (q_decimation, SQL_DECIMATION),
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED),
+    "listreplace": (q_listreplace, SQL_LISTREPLACE),
+    "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
 }

@@ -166,6 +166,11 @@ class TelnetServer:
                 if line.lower().startswith("raw:"):
                     client.write_line(self._subscribe(client, line[4:].strip()))
                     continue
+                if line.lower().startswith("read:"):
+                    # CommandPool doREAD parity: read:<id> subscribes this
+                    # session to the readable's data, same fan-out as raw:
+                    client.write_line(self._subscribe(client, line[5:].strip()))
+                    continue
                 if line.lower() in ("stop", "unsub"):
                     client.write_line(self._unsubscribe(client))
                     continue

@@ -32,6 +32,8 @@ ALLOWED = {
     ("telnet.py", "_push_batch"),
     # telnet DataFrame reply: limit(max_rows+1) before collect
     ("telnet.py", "_render"),
+    # admin:gc — Python's gc.collect(), not a DataFrame materialization
+    ("engine.py", "_admin_command"),
 }
 
 

@@ -1,0 +1,145 @@
+"""Semantic unit tests for the round-5 curation operators: chunk-level
+cross-doc dedup (C4-style), PII scrubbing, corpus n-gram census,
+capped per-stratum sampling, Gopher quality rules.
+
+The sf-data differential tests live in test_queries_oracle; these pin
+the operator SEMANTICS on handcrafted rows where the right answer is
+computable by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDedup:
+    def test_first_owner_keeps_dropped_counts(self, spark):
+        from dcafs_spark.operators.dedup import chunk_dedup_stats
+
+        ten = "a b c d e f g h i j"
+        other = "k l m n o p q r s t"
+        rows = [
+            (1, ten + " " + other),  # owns both chunks
+            (2, ten),  # chunk owned by doc 1 → dropped
+            (3, other + " unique tail words here now one two three four five"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in chunk_dedup_stats(_docs(spark, rows), chunk_words=10).collect()
+        }
+        assert out[1]["n_chunks"] == 2 and out[1]["n_dropped"] == 0
+        assert out[1]["kept_words"] == 20
+        assert out[2]["n_chunks"] == 1 and out[2]["n_dropped"] == 1
+        assert out[2]["kept_words"] == 0
+        # doc 3: first chunk duplicates doc 1's second chunk; tail is unique
+        assert out[3]["n_chunks"] == 2 and out[3]["n_dropped"] == 1
+        assert out[3]["kept_words"] == 10
+
+    def test_partial_tail_chunk_counts_words(self, spark):
+        from dcafs_spark.operators.dedup import chunk_dedup_stats
+
+        rows = [(7, "one two three")]  # 3 words → single 3-word chunk
+        (r,) = chunk_dedup_stats(_docs(spark, rows), chunk_words=10).collect()
+        assert r["n_chunks"] == 1 and r["kept_words"] == 3
+
+    def test_internal_duplicate_chunks_stay_with_owner(self, spark):
+        from dcafs_spark.operators.dedup import chunk_dedup_stats
+
+        ten = "a b c d e f g h i j"
+        (r,) = chunk_dedup_stats(
+            _docs(spark, [(5, ten + " " + ten)]), chunk_words=10
+        ).collect()
+        # both occurrences live in the owner doc: nothing dropped
+        assert r["n_chunks"] == 2 and r["n_dropped"] == 0 and r["kept_words"] == 20
+
+
+class TestPiiScrub:
+    def test_redacts_and_counts(self, spark):
+        from dcafs_spark.operators.textan import pii_scrub
+
+        rows = [
+            (1, "reach me at jo.doe+spam@mail.example.org or +32 475 123 456"),
+            (2, "server at 192.168.0.12 and 10.0.0.1, no mail"),
+            (3, "clean text without identifiers"),
+        ]
+        out = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+        assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+        assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+        assert "jo.doe" not in out[1]["redacted"]
+        assert out[2]["n_ipv4"] == 2 and out[2]["redacted"].count("<IPV4>") == 2
+        assert out[3]["redacted"] == rows[2][1]
+        assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+class TestNgramTopk:
+    def test_counts_and_tiebreak(self, spark):
+        from dcafs_spark.operators.textan import ngram_topk
+
+        rows = [(1, "x y x y z"), (2, "x y q")]
+        out = ngram_topk(_docs(spark, rows), n=2, k=2).collect()
+        # "x y": 3 occurrences across 2 docs; then alphabetical among count-1 grams
+        assert out[0]["gram"] == "x y"
+        assert out[0]["occurrences"] == 3 and out[0]["doc_freq"] == 2
+        assert out[1]["occurrences"] == 1
+
+
+class TestCappedSample:
+    def test_cap_and_determinism(self, spark):
+        from dcafs_spark.operators.sampling import capped_stratified_sample
+
+        rows = [(i, "en" if i % 3 else "fr") for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = capped_stratified_sample(df, "lang", 10, "doc_id", seed=3)
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 10, "fr": 10}
+        # deterministic: same rows under a different shuffle layout
+        ids = sorted(r["doc_id"] for r in out.collect())
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            ids2 = sorted(
+                r["doc_id"]
+                for r in capped_stratified_sample(df, "lang", 10, "doc_id", seed=3).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        assert ids == ids2
+
+    def test_small_stratum_kept_whole(self, spark):
+        from dcafs_spark.operators.sampling import capped_stratified_sample
+
+        df = spark.createDataFrame([(1, "rare"), (2, "rare")], "doc_id long, lang string")
+        assert capped_stratified_sample(df, "lang", 10, "doc_id").count() == 2
+
+
+class TestGopherFilter:
+    def test_rules_fire_independently(self, spark):
+        from dcafs_spark.operators.textan import gopher_filter
+
+        long_good = " ".join(
+            ["the quick brown fox jumps over a lazy dog near the old stone wall for fun with vigor"] * 4
+        )
+        rows = [
+            (1, long_good),  # passes words/stop; repetition high (4x same sentence)
+            (2, "short text"),  # fails word count
+            (3, " ".join(f"alpha{i} the beta{i} of gamma{i}" for i in range(20))),  # 100 words, varied bigrams
+        ]
+        out = {r["doc_id"]: r for r in gopher_filter(_docs(spark, rows)).collect()}
+        assert out[2]["ok_word_count"] == 0 and out[2]["keep"] == 0
+        assert out[1]["ok_word_count"] == 1 and out[1]["ok_stopwords"] == 1
+        assert out[1]["ok_repetition"] == 0  # 4x-repeated sentence
+        assert out[3]["ok_word_count"] == 1 and out[3]["ok_repetition"] == 1
+
+    def test_flags_are_ints(self, spark):
+        from dcafs_spark.operators.textan import gopher_filter
+
+        df = gopher_filter(_docs(spark, [(1, "hello world")]))
+        types = dict(df.dtypes)
+        for c in ("ok_word_count", "ok_mean_word_len", "ok_stopwords", "ok_repetition", "keep"):
+            assert types[c] == "bigint"

@@ -37,6 +37,10 @@ FLAKY_SUSPECTS = [
     "doc_length_quantiles",
     "decontaminate",
     "text_repetition",
+    # round-5 additions: chunk-owner join, top-k limit, per-stratum window
+    "line_dedup",
+    "ngram_topk",
+    "lang_balanced_sample",
 ]
 
 

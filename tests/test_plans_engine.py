@@ -710,3 +710,84 @@ class TestDbmStoreWiring:
         rows = sorted(con.execute("SELECT tag, val FROM meas").fetchall())
         con.close()
         assert rows == [("$a", 1.5), ("$b", 2.5)]
+
+
+class TestAdminCommandTail:
+    """CommandPool tail verbs (reference CommandPool.java:173-183):
+    admin / sd / ts / read / serialports / retrieve / upgrade."""
+
+    def test_admin_clock_and_regex(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert "UTC" in eng.command("admin:clock")
+        assert eng.command("admin:regex,[0-9]+,12345") == "Matches!"
+        assert eng.command("admin:regex,[0-9]+,12a45") == "No match..."
+        assert eng.command("admin:regex,[0-9+,x").startswith("Invalid regex")
+
+    def test_admin_ipv4_gc_lt_info(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert "127.0.0.1" in eng.command("admin:ipv4")
+        assert eng.command("admin:gc") == "Garbage collection requested"
+        assert "MainThread" in eng.command("admin:lt")
+        assert eng.command("admin:info") == "No log lines yet"
+        eng._log("hello one")
+        eng._log("hello two")
+        assert eng.command("admin:info,1") == list(eng._infolog)[-1]
+        assert eng.command("admin:?").startswith("admin:clock")
+
+    def test_ts_creates_text_value(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("ts:gps_fix") == "update attempted"
+        stamp = eng.store.get_text("gps", "fix")
+        assert stamp is not None and len(stamp.split(":")) == 3
+        eng.command("ts:plainid")
+        assert eng.store.get_text("dcafs", "plainid") is not None
+
+    def test_sd_stops_and_replies(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        reply = eng.command("sd:maintenance window")
+        assert reply.startswith("Shutting down")
+        assert "maintenance window" in reply
+        assert any("shutdown" in ln for ln in eng._infolog)
+
+    def test_read_and_serialports_replies(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("read:p1") == "Request for readable p1 issued"
+        assert eng.command("read:") .startswith("unknown command")
+        assert eng.command("serialports") == "No serial ports found"
+
+    def test_retrieve_requires_email_then_sends(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("retrieve:setup,admin") == "Can't retrieve without EmailWorker"
+        sent = []
+        eng.email_sender = lambda to, subject, body: sent.append((to, subject, body))
+        assert eng.command("retrieve:setup,ops@example.org") == "Tried sending settings.xml"
+        assert sent and sent[0][0] == "ops@example.org"
+
+    def test_upgrade_settings_reloads_paths(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("upgrade:settings") == "No settings loaded to upgrade"
+        xml = """
+        <dcafs><paths>
+          <path id=\"up1\" delimiter=\",\">
+            <filter type=\"start\">$</filter>
+          </path>
+        </paths></dcafs>
+        """
+        assert "loaded 1 path" in eng.command(f"pf:load,{xml}")
+        del eng.paths["up1"]
+        assert eng.command("upgrade:settings") == "Reloaded 1 path(s) from settings"
+        assert "up1" in eng.paths

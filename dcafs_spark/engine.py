@@ -515,6 +515,23 @@ class Engine:
                 return "Bad amount of arguments: ss:addkafka,id,servers,topics"
             self.add_source(sid, {"kind": "kafka", "servers": args[2], "topics": args[3]})
             return f"Subscribed source '{sid}' to {args[3]} at {args[2]}"
+        if verb in ("addplain", "addcmd", "addrtvals", "addsqlitesrc"):
+            return self._add_custom_source(verb, sid, args, line)
+        if verb == "addudp":
+            # ss:addudp,id,port[,spool_dir] — UDP datagrams spool into a
+            # file-drop dir the text source streams (StreamManager addudp;
+            # Structured Streaming has no UDP source)
+            if not args[2].isdigit():
+                return f"No valid port number: {args[2]}"
+            import tempfile
+
+            from dcafs_spark.sources.udp import UdpBridge
+
+            spool = args[3] if len(args) > 3 else tempfile.mkdtemp(prefix=f"udp_{sid}_")
+            bridge = UdpBridge(int(args[2]), spool).start()
+            self.bridges[sid] = bridge
+            self.add_source(sid, {"kind": "text", "path": spool, "udp": bridge.port})
+            return f"Listening on udp:{bridge.port} as source '{sid}' (spool {spool})"
         if verb == "addmqtt":
             # ss:addmqtt,id,host:port,topic[;topic2][,spool_dir] — the
             # pure-python 3.1.1 bridge spools PUBLISH payloads into a
@@ -535,6 +552,43 @@ class Engine:
             self.add_source(sid, {"kind": "text", "path": spool, "mqtt": args[2]})
             return f"Subscribed source '{sid}' to {args[3]} at {args[2]} (spool {spool})"
         return self._UNKNOWN + line
+
+    def _add_custom_source(self, verb: str, sid: str, args: list[str], line: str) -> str:
+        """Interval custom sources (PathForward CustomSrc,
+        `src/io/forward/PathForward.java:435-590`):
+          ss:addplain,id,interval,text           — literal line each tick
+          ss:addcmd,id,interval,command          — engine command output
+          ss:addrtvals,id,interval,template      — {r:}/{utc:} template render
+          ss:addsqlitesrc,id,interval,db,query   — query rows, read-once
+        Each spools into a file-drop dir the text source streams."""
+        import tempfile
+
+        from dcafs_spark.scheduler import parse_period_s, render_template
+        from dcafs_spark.sources.customsrc import IntervalSpool, sqlite_render
+        from dcafs_spark.telnet import _render as render_reply
+
+        if len(args) < 4:
+            return f"Bad amount of arguments: ss:{verb},id,interval,..."
+        try:
+            interval = parse_period_s(args[2])
+        except Exception:
+            return f"No valid interval: {args[2]}"
+        payload = ",".join(args[3:])
+        if verb == "addplain":
+            render = lambda: [payload]  # noqa: E731
+        elif verb == "addcmd":
+            render = lambda: render_reply(self.command(payload)).split("\n")  # noqa: E731
+        elif verb == "addrtvals":
+            render = lambda: [render_template(payload, self.store)]  # noqa: E731
+        else:  # addsqlitesrc
+            if len(args) < 5:
+                return "Bad amount of arguments: ss:addsqlitesrc,id,interval,db,query"
+            render = sqlite_render(args[3], ",".join(args[4:]))
+        spool = tempfile.mkdtemp(prefix=f"csrc_{sid}_")
+        bridge = IntervalSpool(render, interval, spool, prefix=sid).start()
+        self.bridges[sid] = bridge
+        self.add_source(sid, {"kind": "text", "path": spool, "custom": verb[3:]})
+        return f"Added {verb[3:]} source '{sid}' every {args[2]} (spool {spool})"
 
     # ----------------------------------------------- fc: collector management
     def _fc_command(self, args: list[str], line: str) -> str:

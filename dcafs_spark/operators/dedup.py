@@ -449,13 +449,20 @@ def chunk_dedup_stats(
     Returns per-document (id, n_chunks, n_dropped, kept_words): the
     stats a curation pipeline thresholds on before rebuilding text.
 
-    Scale shape: chunks hash to 60-bit longs before the explode, so the
-    only shuffle (groupBy chunk hash → min owner) carries 16 bytes per
-    chunk occurrence — document bodies never leave their scan
-    partition. The owner join is an equi-join on the uniformly
-    distributed hash; the final per-doc rollup shuffles one short row
-    per chunk. All O(corpus tokens), no pairwise anything.
+    Scale shape: chunks hash to 60-bit longs before the explode, so
+    the shuffles carry 16 bytes per chunk occurrence — document bodies
+    never leave their scan partition. The min-owner comes from a
+    window over the chunk hash (NOT an agg + self-join: that plan
+    recomputes the whole chunk/md5 explode on both join sides — 2x
+    the dominant cost at corpus scale). Exactly two shuffles, both on
+    short keys: by chash for the window, by doc id for the rollup.
+    All O(corpus tokens), no pairwise anything. A chunk duplicated
+    across a large fraction of the corpus concentrates its (16-byte)
+    occurrence rows in one window partition — same exposure the
+    equivalent join would have on its probe side; rows this narrow
+    spill gracefully.
     """
+    from pyspark.sql import Window
     w = F.split(normalize_text(F.col(text_col)), " ")
     n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
     chunks = F.transform(
@@ -478,10 +485,9 @@ def chunk_dedup_stats(
     occ = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c")).select(
         "id", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw")
     )
-    owners = occ.groupBy("chash").agg(F.min("id").alias("owner"))
+    owned = occ.withColumn("owner", F.min("id").over(Window.partitionBy("chash")))
     return (
-        occ.join(owners, "chash")
-        .groupBy("id")
+        owned.groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_chunks"),
             F.sum(F.when(F.col("id") != F.col("owner"), 1).otherwise(0))

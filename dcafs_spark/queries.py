@@ -2466,6 +2466,40 @@ FROM g
 """
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (the LLM-pretraining batching
+    step): docs sharded by key hash, packed contiguously into
+    1024-token packs per shard; straddling docs report first/last
+    pack. Per-shard window — no global sort bottleneck."""
+    from dcafs_spark.operators.packing import sequence_packing
+    from dcafs_spark.operators.textan import token_count_ws
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = sequence_packing(docs, "n_tokens", "doc_id", budget=1024, shards=8, seed=5)
+    return out.select("doc_id", "n_tokens", "shard", "cum_tokens", "pack_first", "pack_last")
+
+
+SQL_SEQ_PACKING = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens,
+         {_sql_bucket('doc_id', 5)} AS bkt
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, (bkt % 8)::BIGINT AS shard,
+         sum(n_tokens) OVER (PARTITION BY bkt % 8 ORDER BY bkt ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, shard, cum_tokens,
+       ((cum_tokens - n_tokens) // 1024)::BIGINT AS pack_first,
+       greatest((cum_tokens - 1) // 1024, (cum_tokens - n_tokens) // 1024)::BIGINT AS pack_last
+FROM s
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -2553,4 +2587,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "listreplace": (q_listreplace, SQL_LISTREPLACE),
     "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
+    "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
 }

@@ -43,6 +43,9 @@ def render_template(text: str, store: ValuesStore | None, now: datetime | None =
             return m.group(0)
         ref = m.group(2)
         group, _, name = ref.partition("_")
+        if m.group(1) == "t":  # {t:...} reads the TextVal store
+            t = store.get_text(group, name)
+            return m.group(0) if t is None else t
         v = store.get(group, name)
         return m.group(0) if v is None else f"{v:g}"
 

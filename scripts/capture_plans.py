@@ -31,6 +31,11 @@ HEADLINE = [
     ("stratified_sample", "hash-bucket sampling as a scan-side filter"),
     ("corpus_curation", "quality→lang→dedup→sample: one scan, one hash shuffle"),
     ("dedup_clusters", "final CC round: label join + min-agg over checkpointed rounds"),
+    ("line_dedup", "chunk hashes explode pre-shuffle; bodies never leave the scan"),
+    ("pii_scrub", "regex scrub: single project over the scan, zero shuffle"),
+    ("gopher_filter", "rule flags: single project over the scan, zero shuffle"),
+    ("ngram_topk", "bigram census: partial agg before shuffle, TakeOrdered top-k"),
+    ("sequence_packing", "per-shard window: one uniform-key shuffle, no global sort"),
 ]
 
 

@@ -143,3 +143,38 @@ class TestGopherFilter:
         types = dict(df.dtypes)
         for c in ("ok_word_count", "ok_mean_word_len", "ok_stopwords", "ok_repetition", "keep"):
             assert types[c] == "bigint"
+
+
+class TestSequencePacking:
+    def test_contiguous_fill_and_straddle(self, spark):
+        from dcafs_spark.operators.packing import sequence_packing
+
+        df = spark.createDataFrame(
+            [(i, 100) for i in range(10)], "doc_id long, n_tokens long"
+        )
+        out = sequence_packing(df, "n_tokens", "doc_id", budget=250, shards=1).collect()
+        rows = sorted(out, key=lambda r: r["cum_tokens"])
+        # 10 docs x 100 tokens, budget 250: cum 100..1000
+        assert [r["cum_tokens"] for r in rows] == [100 * i for i in range(1, 11)]
+        # doc with cum 300 occupies tokens 201-300: starts pack 0, ends pack 1
+        straddler = next(r for r in rows if r["cum_tokens"] == 300)
+        assert straddler["pack_first"] == 0 and straddler["pack_last"] == 1
+        # doc with cum 200 fits pack 0 exactly
+        exact = next(r for r in rows if r["cum_tokens"] == 200)
+        assert exact["pack_first"] == 0 and exact["pack_last"] == 0
+
+    def test_sharding_bounds_window_size(self, spark):
+        from pyspark.sql import functions as F
+
+        from dcafs_spark.operators.packing import sequence_packing
+
+        df = spark.createDataFrame([(i, 10) for i in range(200)], "doc_id long, n_tokens long")
+        out = sequence_packing(df, "n_tokens", "doc_id", budget=64, shards=8)
+        shard_counts = out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        assert len(shard_counts) == 8  # all shards used → parallel packing
+        # per-shard cum_tokens is internally consistent
+        per = out.groupBy("shard").agg(
+            F.max("cum_tokens").alias("mx"), (F.sum("n_tokens")).alias("sm")
+        ).collect()
+        for r in per:
+            assert r["mx"] == r["sm"]

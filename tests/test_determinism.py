@@ -37,10 +37,12 @@ FLAKY_SUSPECTS = [
     "doc_length_quantiles",
     "decontaminate",
     "text_repetition",
-    # round-5 additions: chunk-owner join, top-k limit, per-stratum window
+    # round-5 additions: chunk-owner window, top-k limit, per-stratum
+    # window, per-shard packing cumsum
     "line_dedup",
     "ngram_topk",
     "lang_balanced_sample",
+    "sequence_packing",
 ]
 
 

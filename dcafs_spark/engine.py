@@ -125,6 +125,18 @@ class Engine:
                     f"not registered — ss:addtcp,{h.source},host:port first"
                 )
             h.source = self.sources[h.source]
+        cs = h.spec.get("customsrc") if isinstance(h.spec, dict) else None
+        if cs and not h.source:
+            # XML <customsrc type=.. interval=..>data</customsrc>: spin up
+            # the interval spool on first start (PathForward.java:127-133)
+            from dcafs_spark.scheduler import parse_period_s
+
+            sid = f"{path_id}_csrc"
+            if sid not in self.sources:
+                srctype, _, dbpath = cs.get("type", "plain").partition(":")
+                data = (dbpath + "#" + cs.get("data", "")) if srctype == "sqlite" else cs.get("data", "")
+                self.add_custom_source(sid, srctype, data, parse_period_s(cs.get("interval", "1s")))
+            h.source = self.sources[sid]
         if not h.source or "kind" not in h.source:
             raise ValueError(
                 f"path '{path_id}' has no stream source bound — register one "
@@ -561,11 +573,7 @@ class Engine:
           ss:addrtvals,id,interval,template      — {r:}/{utc:} template render
           ss:addsqlitesrc,id,interval,db,query   — query rows, read-once
         Each spools into a file-drop dir the text source streams."""
-        import tempfile
-
-        from dcafs_spark.scheduler import parse_period_s, render_template
-        from dcafs_spark.sources.customsrc import IntervalSpool, sqlite_render
-        from dcafs_spark.telnet import _render as render_reply
+        from dcafs_spark.scheduler import parse_period_s
 
         if len(args) < 4:
             return f"Bad amount of arguments: ss:{verb},id,interval,..."
@@ -574,21 +582,41 @@ class Engine:
         except Exception:
             return f"No valid interval: {args[2]}"
         payload = ",".join(args[3:])
-        if verb == "addplain":
-            render = lambda: [payload]  # noqa: E731
-        elif verb == "addcmd":
-            render = lambda: render_reply(self.command(payload)).split("\n")  # noqa: E731
-        elif verb == "addrtvals":
-            render = lambda: [render_template(payload, self.store)]  # noqa: E731
-        else:  # addsqlitesrc
+        srctype = verb[3:].replace("sqlitesrc", "sqlite")
+        if srctype == "sqlite":
             if len(args) < 5:
                 return "Bad amount of arguments: ss:addsqlitesrc,id,interval,db,query"
-            render = sqlite_render(args[3], ",".join(args[4:]))
+            payload = args[3] + "#" + ",".join(args[4:])
+        spool = self.add_custom_source(sid, srctype, payload, interval)
+        return f"Added {srctype} source '{sid}' every {args[2]} (spool {spool})"
+
+    def add_custom_source(self, sid: str, srctype: str, data: str, interval_s: float) -> str:
+        """Register an interval custom source (also the target of XML
+        `<customsrc type=.. interval=..>data</customsrc>` elements,
+        PathForward.java:127-133,333-339). sqlite data is
+        'db_path#query'. Returns the spool dir."""
+        import tempfile
+
+        from dcafs_spark.scheduler import render_template
+        from dcafs_spark.sources.customsrc import IntervalSpool, sqlite_render
+        from dcafs_spark.telnet import _render as render_reply
+
+        if srctype == "plain":
+            render = lambda: [data]  # noqa: E731
+        elif srctype == "cmd":
+            render = lambda: render_reply(self.command(data)).split("\n")  # noqa: E731
+        elif srctype == "rtvals":
+            render = lambda: [render_template(data, self.store)]  # noqa: E731
+        elif srctype == "sqlite":
+            db, _, query = data.partition("#")
+            render = sqlite_render(db, query)
+        else:
+            raise ValueError(f"no valid srctype '{srctype}'")
         spool = tempfile.mkdtemp(prefix=f"csrc_{sid}_")
-        bridge = IntervalSpool(render, interval, spool, prefix=sid).start()
+        bridge = IntervalSpool(render, interval_s, spool, prefix=sid).start()
         self.bridges[sid] = bridge
-        self.add_source(sid, {"kind": "text", "path": spool, "custom": verb[3:]})
-        return f"Added {verb[3:]} source '{sid}' every {args[2]} (spool {spool})"
+        self.add_source(sid, {"kind": "text", "path": spool, "custom": srctype})
+        return spool
 
     # ----------------------------------------------- fc: collector management
     def _fc_command(self, args: list[str], line: str) -> str:

@@ -253,7 +253,16 @@ def path_spec_from_element(el: ET.Element) -> PathSpec:
         spec["src"] = el.get("src")
     for child in el:
         tag = child.tag.lower()
-        if tag in ("customsrc", "cmd"):  # runtime wiring, not plan steps
+        if tag == "customsrc":
+            # interval custom source (PathForward.java:127-133): the
+            # engine turns this into a ticking spool the path streams
+            spec["customsrc"] = {
+                "type": child.get("type", "plain"),
+                "interval": child.get("interval", "1s"),
+                "data": (child.text or "").strip(),
+            }
+            continue
+        if tag == "cmd":  # runtime wiring, not a plan step
             continue
         builder = _STEP_BUILDERS.get(tag)
         if builder is None:

@@ -85,3 +85,33 @@ def test_bad_interval_is_text_reply(spark):
 
     eng = Engine(spark)
     assert eng.command("ss:addplain,x1,nope,data") == "No valid interval: nope"
+
+
+def test_xml_customsrc_binds_and_streams(spark):
+    """<customsrc> element → interval spool → full streaming path
+    (PathForward.java:127-133 XML grammar)."""
+    from dcafs_spark.engine import Engine
+
+    eng = Engine(spark)
+    xml = """
+    <path id="cs1" delimiter=",">
+      <customsrc type="plain" interval="100ms">$CS,1,2</customsrc>
+      <filter type="start">$CS</filter>
+    </path>
+    """
+    assert "loaded 1 path" in eng.command(f"pf:load,{xml}")
+    seen = []
+    eng.add_sink("cs1", lambda df, bid: seen.extend(r["value"] for r in df.collect()))
+    q = eng.start("cs1")
+    try:
+        # let the ticker produce a few files, then stop it so
+        # processAllAvailable can drain (it never settles while new
+        # spool files keep arriving every 100ms)
+        spool = eng.sources["cs1_csrc"]["path"]
+        _wait_lines(spool, 2)
+        eng.bridges["cs1_csrc"].stop()
+        q.processAllAvailable()
+    finally:
+        eng.stop("cs1")
+        eng.bridges["cs1_csrc"].stop()
+    assert len(seen) >= 2 and all(v == "$CS,1,2" for v in seen)

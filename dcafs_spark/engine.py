@@ -166,6 +166,11 @@ class Engine:
         for pid in self.paths:
             self.stop(pid)
         self.tasks.stop()
+        for bridge in self.bridges.values():  # mqtt/udp/customsrc tickers
+            try:
+                bridge.stop()
+            except Exception:  # noqa: BLE001 — shutdown must not raise
+                pass
 
     def run_batch(self, path_id: str, df: DataFrame) -> tuple[DataFrame, dict[str, DataFrame]]:
         """Apply a path to a batch DataFrame (replay / testing)."""

@@ -178,3 +178,102 @@ class TestSequencePacking:
         ).collect()
         for r in per:
             assert r["mx"] == r["sm"]
+
+
+class TestCurationInvariants:
+    """Randomized invariants over the round-5 operators (seeded RNG,
+    deterministic corpora — the hypothesis-style harness the suite
+    uses elsewhere without spinning one Spark job per example)."""
+
+    def _rand_docs(self, spark, seed, n=40, vocab=12):
+        import random
+
+        rnd = random.Random(seed)
+        words = [f"w{i}" for i in range(vocab)]
+        rows = [
+            (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(1, 60))))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+    def test_chunk_dedup_conservation(self, spark):
+        """kept_words + dropped chunk words == total words, per corpus."""
+        from dcafs_spark.operators.dedup import chunk_dedup_stats
+
+        df, rows = self._rand_docs(spark, seed=11)
+        out = chunk_dedup_stats(df, chunk_words=5)
+        total_words = sum(len(t.split()) for _, t in rows)
+        agg = out.agg(
+            F.sum("kept_words").alias("kept"),
+            F.sum("n_chunks").alias("chunks"),
+            F.sum("n_dropped").alias("dropped"),
+        ).collect()[0]
+        # every doc appears; dropped <= chunks; kept <= total
+        assert out.count() == len(rows)
+        assert agg["dropped"] <= agg["chunks"]
+        assert 0 < agg["kept"] <= total_words
+
+    def test_pii_scrub_idempotent(self, spark):
+        """Scrubbing already-redacted text finds nothing."""
+        from dcafs_spark.operators.textan import pii_scrub
+
+        rows = [
+            (1, "a@b.co and 1.2.3.4 and +32 475 123 456"),
+            (2, "double a@b.co x@y.org"),
+        ]
+        first = (
+            pii_scrub(spark.createDataFrame(rows, "doc_id long, text string"))
+            .select("doc_id", F.col("redacted").alias("text"))
+        )
+        second = pii_scrub(first)
+        for r in second.collect():
+            assert r["n_email"] == 0 and r["n_ipv4"] == 0 and r["n_phone"] == 0
+            assert r["redacted"] == r["text"]
+
+    def test_packing_budget_invariants(self, spark):
+        """pack ids are non-decreasing with cum_tokens inside a shard and
+        pack_first <= pack_last; every pack boundary respects budget."""
+        from dcafs_spark.operators.packing import sequence_packing
+
+        import random
+
+        rnd = random.Random(3)
+        rows = [(i, rnd.randint(1, 500)) for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        budget = 700
+        out = sequence_packing(df, "n_tokens", "doc_id", budget=budget, shards=4).collect()
+        assert all(r["pack_first"] <= r["pack_last"] for r in out)
+        for r in out:
+            # first token of the doc lives in pack_first
+            assert (r["cum_tokens"] - r["n_tokens"]) // budget == r["pack_first"]
+            # last token lives in pack_last
+            assert max((r["cum_tokens"] - 1) // budget, r["pack_first"]) == r["pack_last"]
+        by_shard = {}
+        for r in sorted(out, key=lambda r: (r["shard"], r["cum_tokens"])):
+            prev = by_shard.get(r["shard"])
+            if prev is not None:
+                assert r["pack_first"] >= prev["pack_first"]
+                assert r["cum_tokens"] == prev["cum_tokens"] + r["n_tokens"]
+            by_shard[r["shard"]] = r
+
+    def test_ngram_topk_subset_of_full_census(self, spark):
+        """top-k counts agree with a full explode-groupBy recount."""
+        from dcafs_spark.operators.textan import ngram_topk, ngrams
+
+        df, _rows = self._rand_docs(spark, seed=7, n=25, vocab=6)
+        top = ngram_topk(df, n=2, k=5).collect()
+        full = {
+            r["gram"]: r["cnt"]
+            for r in df.select(F.explode(ngrams(F.col("text"), 2)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        top_counts = [r["occurrences"] for r in top]
+        assert top_counts == sorted(top_counts, reverse=True)
+        for r in top:
+            assert full[r["gram"]] == r["occurrences"]
+        # nothing outside the top-k beats the last in-list count
+        kth = top_counts[-1]
+        in_top = {r["gram"] for r in top}
+        assert all(c <= kth for g, c in full.items() if g not in in_top)

@@ -428,7 +428,10 @@ class Engine:
                 "pf:list|load,<xml>|stop,<id> | st | tm:run,<id>|list | "
                 "fc:addnew,<id>,<src>,<path>|list|addrollover|addheader|addsizelimit|alter | "
                 "dbm:addsqlite,<id>,<path>|addtable,<id>,<table>,<cols>|query,<id>,<sql>|list | "
-                "issue:list|active|add,<id>,<msg>|trip,<id>|resolve,<id> | gens"
+                "issue:list|active|add,<id>,<msg>|trip,<id>|resolve,<id> | gens | "
+                "ss:addtcp|addudp|addfile|addkafka|addmqtt|addplain|addcmd|addrtvals|addsqlitesrc | "
+                "admin:clock|regex|ipv4|gc|lt|info | sd:<reason> | ts:<id> | "
+                "read:<id> | retrieve:setup,<to> | upgrade:settings"
             )
         return self._UNKNOWN + line
 

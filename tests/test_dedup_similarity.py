@@ -217,3 +217,48 @@ class TestDecontaminate:
             .toString()
         )
         assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the probe join
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF ANN quality evidence: k-means cells + nprobe=2 keeps
+    recall@5 high against exact cosine top-5 on the real embeddings
+    table (the scale path must not silently return junk)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.similarity import cosine, cosine_topk, dlit_array, kmeans_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5, vec_col="v")
+    cents = kmeans_train(emb, k=4, dim=64, iters=3, vec_col="v")
+
+    def assign(df, vcol, keep, n_probe):
+        scored = None
+        for cid, cv in enumerate(cents):
+            d = cosine(F.col(vcol), dlit_array(cv))
+            row = df.select(*keep, F.lit(cid).alias("cell"), d.alias("cdot"))
+            scored = row if scored is None else scored.unionByName(row)
+        w = Window.partitionBy(*keep).orderBy(F.desc("cdot"), F.asc("cell"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_probe)
+            .drop("cdot", "crank")
+        )
+
+    c_cells = assign(emb, "v", ["vec_id", "v"], 1)
+    q_cells = assign(queries, "query_vec", ["query_id", "query_vec"], 2)
+    scored = c_cells.join(q_cells, "cell").select(
+        "query_id", "vec_id", cosine(F.col("v"), F.col("query_vec")).alias("cos_sim")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    approx = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"IVF recall@5 collapsed: {recall}"

@@ -2500,6 +2500,66 @@ FROM s
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per (source, lang) doc counts, token totals,
+    quality mass and Gopher-keep counts — the rollup a curation run
+    publishes. One scan, map-side partial agg, integer-only outputs
+    (quality rides as a x100 integer so no float mean crosses engines).
+    """
+    from dcafs_spark.operators.textan import gopher_filter, quality_features, token_count_ws
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    q = quality_features(docs.select("doc_id", "text")).select(
+        "doc_id", (F.round(F.col("quality_score") * 100)).cast("bigint").alias("q100")
+    )
+    g = gopher_filter(docs.select("doc_id", "text")).select("doc_id", "keep")
+    t = docs.select("doc_id", "lang", "source", token_count_ws(F.col("text")).alias("toks"))
+    joined = t.join(q, "doc_id").join(g, "doc_id")
+    return joined.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum("q100").cast("bigint").alias("quality_x100"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+    )
+
+
+SQL_CORPUS_STATS = r"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(lower(trim(text)), '\s+') AS w,
+         length(text) AS n_chars, text
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, source, len(w) AS toks,
+         round(list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w), 4) AS mwl,
+         round(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','is','in'], x))) * 1.0 / greatest(len(w), 1), 4) AS stop_ratio,
+         round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS upper_ratio,
+         list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w) AS mwl_raw,
+         len(list_distinct(list_filter(w, x -> list_contains(
+             ['the','a','of','and','to','is','in','that','for','with'], x)))) AS n_stop,
+         1.0 - len(list_distinct(list_transform(range(1, greatest(len(w)-1,1)+1),
+                   i -> array_to_string(w[i:i+1], ' ')))) * 1.0
+             / len(list_transform(range(1, greatest(len(w)-1,1)+1),
+                   i -> array_to_string(w[i:i+1], ' '))) AS rep2
+  FROM f
+), scored AS (
+  SELECT source, lang, toks,
+         CAST(round(round((CASE WHEN toks >= 10 AND toks <= 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio > 0.01 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END)
+             + (CASE WHEN upper_ratio < 0.3 THEN 0.1 ELSE 0.0 END), 2) * 100) AS BIGINT) AS q100,
+         CASE WHEN toks >= 50 AND toks <= 100000 AND mwl_raw >= 3.0 AND mwl_raw <= 10.0
+               AND n_stop >= 2 AND rep2 < 0.30 THEN 1 ELSE 0 END AS keep
+  FROM q
+)
+SELECT source, lang, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS total_tokens,
+       sum(q100)::BIGINT AS quality_x100, sum(keep)::BIGINT AS n_keep
+FROM scored GROUP BY source, lang
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -2588,4 +2648,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
 }

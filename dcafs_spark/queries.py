@@ -1358,18 +1358,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH sign-bucket equi-join
     prunes candidates (no cross product), exact cosine verifies —
     the 5th dedup tier (embedding-space)."""
-    from dcafs_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
+    from dcafs_spark.operators.similarity import dot, hyperplanes, l2_norm, lsh_bucket
 
     planes = hyperplanes(64, 8, 42)
     emb = _perturbed_embeddings(spark, sf_dir)
-    b = emb.select("vec_id", "v", lsh_bucket(F.col("v"), planes).alias("bucket"))
+    # norm precomputed per vector BEFORE the self-join: each candidate
+    # pair then costs one array fold (the dot) instead of three —
+    # sqrt(dot(v,v)) per side is O(corpus), not O(candidate pairs).
+    # Bit-identity with the oracle holds because sqrt(x)*sqrt(y) is
+    # computed the same way on both sides of the join either way.
+    b = emb.select(
+        "vec_id",
+        "v",
+        lsh_bucket(F.col("v"), planes).alias("bucket"),
+        l2_norm(F.col("v")).alias("nrm"),
+    )
     pairs = (
         b.alias("l")
         .join(b.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
         .select(
             F.col("l.vec_id").alias("id_a"),
             F.col("r.vec_id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     return pairs.filter(F.col("cos_sim") >= 0.995)

@@ -421,6 +421,21 @@ class Engine:
                     self.add_path(pid, source=spec.get("src", {}), spec=spec)
                 return f"Reloaded {len(specs)} path(s) from settings"
             return self._UNKNOWN + line
+        if prefix == "reqtasks":
+            # doREQTASKS (CommandPool.java:605-618): email the taskset
+            # execution log.
+            if rest == "?":
+                return ":x -> Send a list of all the taskset executions to x"
+            if not rest:
+                return "No recipient given."
+            if self.email_sender is None:
+                return "No email functionality active"
+            body = "\n".join(f"{sid}: {ev}" for sid, ev in self.tasks.log) or "No executions yet"
+            self.email_sender(rest, "Executed tasksets", body)
+            return f"Sending log of taskset execution to {rest}"
+        if prefix in ("", "stop", "nothing"):
+            # CommandPool.java:183-186: clear standing data requests
+            return "Clearing requests"
         if prefix in ("help", "h", "?"):
             return (
                 "sql:<query> | rtvals[:group,<g>|:name,<n>] | rtval:<g>,<n> | "

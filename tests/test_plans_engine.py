@@ -791,3 +791,17 @@ class TestAdminCommandTail:
         del eng.paths["up1"]
         assert eng.command("upgrade:settings") == "Reloaded 1 path(s) from settings"
         assert "up1" in eng.paths
+
+    def test_reqtasks_and_stop(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("reqtasks:?").startswith(":x ->")
+        assert eng.command("reqtasks:") == "No recipient given."
+        assert eng.command("reqtasks:ops") == "No email functionality active"
+        sent = []
+        eng.email_sender = lambda to, subject, body: sent.append((to, subject, body))
+        assert "ops" in eng.command("reqtasks:ops")
+        assert sent[0][1] == "Executed tasksets"
+        assert eng.command("stop") == "Clearing requests"
+        assert eng.command("nothing") == "Clearing requests"

@@ -191,6 +191,43 @@ def ngram_topk(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50) -
     )
 
 
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_postings: int = 20
+) -> DataFrame:
+    """Term → (document frequency, capped posting list) — the corpus
+    index artifact retrieval/decontamination tooling consumes.
+
+    Skew-safe by construction: the posting cap applies via a window
+    row_number BEFORE any aggregation, so a stopword appearing in every
+    document never materializes an unbounded list in one reducer — the
+    full df count rides the same window pass (count over the term
+    partition), one shuffle total. Postings are the `max_postings`
+    lowest doc ids, rendered as a csv string so cross-engine comparers
+    see a scalar."""
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
+        F.col(id_col).alias("id"),
+    ).dropDuplicates(["term", "id"])
+    w = Window.partitionBy("term").orderBy("id")
+    wall = Window.partitionBy("term")
+    capped = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("df", F.count("*").over(wall))
+        .filter(F.col("rn") <= max_postings)
+    )
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.max("df").cast("bigint").alias("doc_freq"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("id")), lambda x: x.cast("string")), ","
+            ).alias("postings"),
+        )
+    )
+
+
 # Gopher-rule bounds (Rae et al. 2021 §A1.1, adapted): each rule is an
 # independent boolean; keep = every rule passes.
 GOPHER_RULES = {

@@ -2512,6 +2512,34 @@ FROM s
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: term → document frequency + capped
+    posting list (20 lowest doc ids). Posting cap applies pre-agg via
+    window, so stopword terms can't blow up a reducer."""
+    from dcafs_spark.operators.textan import inverted_index
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return inverted_index(docs, max_postings=20)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH pairs AS (
+  SELECT DISTINCT unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS term,
+         doc_id AS id
+  FROM documents
+), capped AS (
+  SELECT term, id,
+         row_number() OVER (PARTITION BY term ORDER BY id) AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM pairs
+)
+SELECT term, max(df)::BIGINT AS doc_freq,
+       array_to_string(list_sort(list(id)), ',') AS postings
+FROM capped WHERE rn <= 20
+GROUP BY term
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus report card: per (source, lang) doc counts, token totals,
     quality mass and Gopher-keep counts — the rollup a curation run
@@ -2661,4 +2689,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
 }

@@ -277,3 +277,27 @@ class TestCurationInvariants:
         kth = top_counts[-1]
         in_top = {r["gram"] for r in top}
         assert all(c <= kth for g, c in full.items() if g not in in_top)
+
+
+class TestInvertedIndex:
+    def test_postings_capped_and_sorted(self, spark):
+        from dcafs_spark.operators.textan import inverted_index
+
+        rows = [(i, "common uniq%d" % i) for i in range(30)]
+        out = {
+            r["term"]: r
+            for r in inverted_index(
+                _docs(spark, rows), max_postings=5
+            ).collect()
+        }
+        c = out["common"]
+        assert c["doc_freq"] == 30  # full df survives the cap
+        assert c["postings"] == "0,1,2,3,4"  # 5 lowest ids, numeric order
+        assert out["uniq7"]["doc_freq"] == 1 and out["uniq7"]["postings"] == "7"
+
+    def test_repeated_term_in_doc_counts_once(self, spark):
+        from dcafs_spark.operators.textan import inverted_index
+
+        out = inverted_index(_docs(spark, [(3, "echo echo echo")])).collect()
+        (r,) = out
+        assert r["term"] == "echo" and r["doc_freq"] == 1 and r["postings"] == "3"

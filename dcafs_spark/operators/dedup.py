@@ -499,3 +499,66 @@ def chunk_dedup_stats(
         )
         .select(F.col("id").alias(id_col), "n_chunks", "n_dropped", "kept_words")
     )
+
+
+def chunk_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """The apply step of C4-style span dedup: rebuild each document
+    from only the chunks it OWNS (lowest doc id per chunk hash wins —
+    same ownership rule as :func:`chunk_dedup_stats`).
+
+    Returns (id, n_kept, clean_hash): documents whose every chunk is
+    owned elsewhere disappear entirely (fully deduplicated away).
+
+    Scale shape: the ownership pass shuffles only (id, chunk_idx,
+    chunk_hash) — 24 bytes per chunk, never text. Kept chunk INDEXES
+    (small int arrays, ~2% of text size) come back to the original
+    rows through one equi-join on doc id, and the text is re-sliced
+    from the original body in place — so document bodies cross the
+    wire at most once (the id join), not per chunk.
+    """
+    from pyspark.sql import Window
+
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
+    chash = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(i.alias("idx"), chash(i).alias("chash")),
+            )
+        ).alias("c"),
+    ).select("id", F.col("c.idx").alias("idx"), F.col("c.chash").alias("chash"))
+    owned = occ.withColumn("owner", F.min("id").over(Window.partitionBy("chash")))
+    kept = (
+        owned.filter(F.col("id") == F.col("owner"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("idx")).alias("idxs"))
+    )
+    rebuilt = df.join(kept, df[id_col] == kept["id"]).select(
+        F.col(id_col),
+        F.size("idxs").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(F.col("idxs"), lambda i: F.slice(w, i * chunk_words + 1, chunk_words))
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    return rebuilt

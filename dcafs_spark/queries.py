@@ -2512,6 +2512,41 @@ FROM s
 """
 
 
+def q_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup APPLY: rebuild each doc from the chunks it owns;
+    verify by md5 of the cleaned text. Bodies cross the wire once (the
+    id join) — the ownership pass ships only 24-byte chunk rows."""
+    from dcafs_spark.operators.dedup import chunk_dedup_apply
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_dedup_apply(docs, chunk_words=10)
+
+
+SQL_CHUNK_APPLY = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), i0 AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS i
+  FROM w
+), occ AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(ws[i*10+1 : i*10+10], ' ')), 1, 15))::BIGINT AS chash
+  FROM i0
+), own AS (
+  SELECT doc_id, i, min(doc_id) OVER (PARTITION BY chash) AS owner FROM occ
+), k AS (
+  SELECT doc_id, list_sort(list(i)) AS idxs
+  FROM own WHERE doc_id = owner GROUP BY doc_id
+)
+SELECT w.doc_id, len(idxs)::BIGINT AS n_kept,
+       md5(array_to_string(flatten(list_transform(idxs, i -> ws[i*10+1 : i*10+10])), ' ')) AS clean_hash
+FROM w JOIN k USING (doc_id)
+"""
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus inverted index: term → document frequency + capped
     posting list (20 lowest doc ids). Posting cap applies pre-agg via
@@ -2690,4 +2725,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
 }

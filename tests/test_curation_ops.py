@@ -301,3 +301,53 @@ class TestInvertedIndex:
         out = inverted_index(_docs(spark, [(3, "echo echo echo")])).collect()
         (r,) = out
         assert r["term"] == "echo" and r["doc_freq"] == 1 and r["postings"] == "3"
+
+
+class TestChunkDedupApply:
+    def test_rebuild_drops_foreign_chunks(self, spark):
+        from dcafs_spark.operators.dedup import chunk_dedup_apply
+
+        ten = "a b c d e f g h i j"
+        other = "k l m n o p q r s t"
+        rows = [
+            (1, ten),
+            (2, ten + " " + other),  # first chunk owned by doc 1
+        ]
+        out = {r["doc_id"]: r for r in chunk_dedup_apply(_docs(spark, rows), chunk_words=10).collect()}
+        import hashlib
+
+        assert out[1]["n_kept"] == 1
+        assert out[1]["clean_hash"] == hashlib.md5(ten.encode()).hexdigest()
+        assert out[2]["n_kept"] == 1
+        assert out[2]["clean_hash"] == hashlib.md5(other.encode()).hexdigest()
+
+    def test_fully_deduped_doc_disappears(self, spark):
+        from dcafs_spark.operators.dedup import chunk_dedup_apply
+
+        ten = "a b c d e f g h i j"
+        rows = [(1, ten), (2, ten)]
+        out = chunk_dedup_apply(_docs(spark, rows), chunk_words=10).collect()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_apply_consistent_with_stats(self, spark):
+        """Docs kept by apply carry exactly the chunk counts stats says
+        they own (n_kept == n_chunks - n_dropped)."""
+        import random
+
+        from dcafs_spark.operators.dedup import chunk_dedup_apply, chunk_dedup_stats
+
+        rnd = random.Random(5)
+        words = [f"w{i}" for i in range(8)]
+        rows = [
+            (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(5, 40))))
+            for i in range(30)
+        ]
+        df = _docs(spark, rows)
+        stats = {r["doc_id"]: r for r in chunk_dedup_stats(df, chunk_words=5).collect()}
+        applied = {r["doc_id"]: r for r in chunk_dedup_apply(df, chunk_words=5).collect()}
+        for did, s in stats.items():
+            owned = s["n_chunks"] - s["n_dropped"]
+            if owned == 0:
+                assert did not in applied
+            else:
+                assert applied[did]["n_kept"] == owned

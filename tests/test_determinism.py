@@ -43,6 +43,9 @@ FLAKY_SUSPECTS = [
     "ngram_topk",
     "lang_balanced_sample",
     "sequence_packing",
+    "inverted_index",
+    "chunk_dedup_apply",
+    "corpus_stats",
 ]
 
 

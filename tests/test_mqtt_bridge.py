@@ -152,3 +152,106 @@ def test_mqtt_to_path_end_to_end(spark, tmp_path):
     finally:
         eng.bridges["mq1"].stop()
         broker.close()
+
+
+class CollectBroker:
+    """Multi-client broker-side collector: CONNACK each client, record
+    every PUBLISH (the sink side of the MQTT story)."""
+
+    def __init__(self):
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(16)
+        self.port = self.srv.getsockname()[1]
+        self.received: list[tuple[str, bytes]] = []
+        self.lock = threading.Lock()
+        self.clients = 0
+        self._stop = False
+        self._t = threading.Thread(target=self._accept, daemon=True)
+        self._t.start()
+
+    def _accept(self) -> None:
+        while not self._stop:
+            try:
+                conn, _ = self.srv.accept()
+            except OSError:
+                return
+            self.clients += 1
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        from dcafs_spark.sources.mqtt import PUBLISH
+
+        with conn:
+            try:
+                ptype, _, _ = read_packet(conn)
+                assert ptype == CONNECT
+                conn.sendall(packet(CONNACK, 0, b"\x00\x00"))
+                while True:
+                    ptype, _, body = read_packet(conn)
+                    if ptype == PUBLISH:
+                        with self.lock:
+                            self.received.append(parse_publish(body))
+                    elif ptype == DISCONNECT:
+                        return
+            except OSError:
+                return
+
+    def close(self) -> None:
+        self._stop = True
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+
+
+class TestMqttPushSink:
+    def test_batch_publish_fixed_topic(self, spark):
+        from dcafs_spark.sinks.mqtt_push import mqtt_push_sink
+
+        broker = CollectBroker()
+        try:
+            df = spark.createDataFrame([(f"line{i}",) for i in range(20)], "value string").repartition(4)
+            mqtt_push_sink("127.0.0.1", broker.port, topic="t/out")(df, 0)
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline and len(broker.received) < 20:
+                time.sleep(0.05)
+            assert len(broker.received) == 20
+            assert {t for t, _ in broker.received} == {"t/out"}
+            assert {p.decode() for _, p in broker.received} == {f"line{i}" for i in range(20)}
+            assert broker.clients >= 1  # per-partition connections, no driver funnel
+        finally:
+            broker.close()
+
+    def test_per_row_topic_column(self, spark):
+        from dcafs_spark.sinks.mqtt_push import mqtt_push_sink
+
+        broker = CollectBroker()
+        try:
+            df = spark.createDataFrame(
+                [("a", "sensors/ctd"), ("b", "sensors/gps")], "value string, topic string"
+            )
+            mqtt_push_sink("127.0.0.1", broker.port, topic_col="topic")(df, 0)
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline and len(broker.received) < 2:
+                time.sleep(0.05)
+            got = {(t, p.decode()) for t, p in broker.received}
+            assert got == {("sensors/ctd", "a"), ("sensors/gps", "b")}
+        finally:
+            broker.close()
+
+    def test_empty_partitions_do_not_connect(self, spark):
+        from dcafs_spark.sinks.mqtt_push import mqtt_push_sink
+
+        broker = CollectBroker()
+        try:
+            df = spark.createDataFrame([("x",)], "value string").repartition(8)
+            mqtt_push_sink("127.0.0.1", broker.port)(df, 0)
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline and len(broker.received) < 1:
+                time.sleep(0.05)
+            assert len(broker.received) == 1
+            assert broker.clients == 1  # 7 empty partitions stayed silent
+        finally:
+            broker.close()

@@ -292,6 +292,11 @@ class Engine:
             lines += [
                 f"source {sid} : {s['kind']}" for sid, s in sorted(self.sources.items())
             ]
+            lines += [
+                f"bridge {bid} : {type(b).__name__}"
+                + (" [stopped]" if getattr(b, "exhausted", False) else "")
+                for bid, b in sorted(self.bridges.items())
+            ]
             lines.append(f"values: {len(self.store.state)} keys")
             lines.append(f"tasks: {len(self.tasks.tasks)}")
             return "\n".join(lines)
@@ -420,6 +425,46 @@ class Engine:
                 for pid, spec in specs.items():
                     self.add_path(pid, source=spec.get("src", {}), spec=spec)
                 return f"Reloaded {len(specs)} path(s) from settings"
+            return self._UNKNOWN + line
+        if prefix == "mqtt":
+            # MqttPool verbs (reference MqttPool/MqttWorker publish path):
+            # mqtt:brokers | mqtt:send,<host:port>,<topic>,<payload>
+            if args[:1] == ["brokers"] or not args:
+                lines = [
+                    f"{sid} : {s.get('mqtt', s.get('custom', s['kind']))}"
+                    for sid, s in sorted(self.sources.items())
+                    if "mqtt" in s
+                ]
+                return "\n".join(lines) or "No brokers yet"
+            if args[0] == "send" and len(args) >= 4:
+                host, _, port = args[1].partition(":")
+                if not port.isdigit():
+                    return f"No valid port number: {port}"
+                import socket as _socket
+
+                from dcafs_spark.sources.mqtt import (
+                    CONNACK,
+                    connect_packet,
+                    packet as _packet,
+                    publish_packet,
+                    read_packet,
+                )
+                from dcafs_spark.sources.mqtt import DISCONNECT as _DISC
+
+                try:
+                    s = _socket.create_connection((host, int(port)), timeout=5)
+                    try:
+                        s.sendall(connect_packet("dcafs_spark_cmd"))
+                        ptype, _, _ = read_packet(s)
+                        if ptype != CONNACK:
+                            return "Broker refused the connection"
+                        s.sendall(publish_packet(args[2], ",".join(args[3:]).encode()))
+                        s.sendall(_packet(_DISC, 0, b""))
+                    finally:
+                        s.close()
+                except OSError as exc:
+                    return f"Failed to reach broker: {exc}"
+                return f"Published to {args[2]} at {args[1]}"
             return self._UNKNOWN + line
         if prefix == "reqtasks":
             # doREQTASKS (CommandPool.java:605-618): email the taskset

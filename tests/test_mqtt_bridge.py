@@ -255,3 +255,22 @@ class TestMqttPushSink:
             assert broker.clients == 1  # 7 empty partitions stayed silent
         finally:
             broker.close()
+
+
+def test_engine_mqtt_send_and_brokers(spark):
+    from dcafs_spark.engine import Engine
+
+    eng = Engine(spark)
+    assert eng.command("mqtt:brokers") == "No brokers yet"
+    broker = CollectBroker()
+    try:
+        reply = eng.command(f"mqtt:send,127.0.0.1:{broker.port},t/cmd,hello,world")
+        assert reply.startswith("Published to t/cmd")
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline and not broker.received:
+            time.sleep(0.05)
+        assert broker.received == [("t/cmd", b"hello,world")]
+    finally:
+        broker.close()
+    assert eng.command("mqtt:send,127.0.0.1:notaport,t,x") == "No valid port number: notaport"
+    assert "Failed to reach broker" in eng.command("mqtt:send,127.0.0.1:1,t,x")

@@ -57,6 +57,7 @@ class Engine:
         self.issuepool = IssuePool()  # issue: family — alarm registry
         self.bridges: dict[str, Any] = {}  # network-edge bridges (mqtt, ...)
         self.email_sender = None  # retrieve:/admin:getlogs transport (callable)
+        self.stream_writers: dict[str, Any] = {}  # task output="stream:id" routes
         self._settings_xml: str | None = None  # last-loaded settings source
         from collections import deque
 
@@ -301,6 +302,16 @@ class Engine:
             lines.append(f"tasks: {len(self.tasks.tasks)}")
             return "\n".join(lines)
         if prefix == "tm":
+            if args[:1] == ["load"] and len(args) >= 2:
+                # tm:load,<tasklist-xml-or-path> — reference taskmanager
+                # scripts (TaskManager.java:1124-1212)
+                from dcafs_spark.scheduler import load_tasklist
+
+                try:
+                    n_tasks, n_sets = load_tasklist(rest.partition(",")[2], self)
+                except (ValueError, OSError) as exc:
+                    return f"Failed to load script: {exc}"
+                return f"Loaded {n_tasks} task(s) and {n_sets} taskset(s)"
             if args[:1] == ["run"] and len(args) == 2:
                 if args[1] in self.tasks.tasksets:
                     return self.tasks.run_taskset(args[1])

@@ -402,3 +402,132 @@ def next_clock_fire(clock: str, days: str | None, now: datetime) -> datetime:
             return cand
         cand += timedelta(days=1)
     raise ValueError("no valid occurrence")
+
+
+def _task_macros(text: str, now: datetime | None = None) -> str:
+    """Value macros (DAS Core manual 'The value'): @localtime,
+    @utcstamp, @localstamp. Interface-address macros resolve via the
+    same lookup admin:ipv4 uses."""
+    now_utc = now or datetime.now(timezone.utc)
+    local = now_utc.astimezone()
+    out = text.replace("@localtime", local.strftime("%H:%M"))
+    out = out.replace("@utcstamp", now_utc.strftime("%d/%m/%y %H:%M:%S"))
+    out = out.replace("@localstamp", local.strftime("%d/%m/%y %H:%M:%S"))
+    return out
+
+
+def _parse_req(req: str) -> Check | None:
+    """`req="group_name comparison"` → Check (RtvalCheck.java:17-57
+    subset: one stored value against the comparison word grammar)."""
+    req = req.strip()
+    if not req:
+        return None
+    ref, _, comparison = req.partition(" ")
+    ref = ref.replace("{r:", "").replace("}", "")
+    group, _, name = ref.partition("_")
+    if not name:
+        group, name = "dcafs", ref
+    return Check(group, name, comparison.strip())
+
+
+def load_tasklist(source, engine) -> tuple[int, int]:
+    """Parse a reference taskmanager script — `<tasklist>` holding
+    `<tasksets>`/`<tasks>` (TaskManager.java:1124-1212, manual
+    'Creating a script') — into the engine's TaskManager.
+
+    Outputs map to engine transports: system/manager → Engine.command,
+    log:* → the engine info log, email:to → engine.email_sender,
+    file:path → append, stream:id → engine.stream_writers[id] (a
+    callable registry; unrouted ids log a warning instead of failing).
+    Returns (n_tasks, n_tasksets)."""
+    import xml.etree.ElementTree as ET
+    from pathlib import Path
+
+    text = source
+    if not str(source).lstrip().startswith("<"):
+        text = Path(source).read_text()
+    root = ET.fromstring(text)
+    if root.tag != "tasklist":
+        found = root.find(".//tasklist")
+        if found is None:
+            raise ValueError("no <tasklist> node in taskmanager script")
+        root = found
+
+    def make_action(output: str):
+        kind, _, arg = (output or "system").partition(":")
+        kind = kind.lower()
+        # NB: TaskManager.fire already renders {r:}/{t:}/{utc:} refs
+        # before invoking the action — only the @-macros remain here.
+        if kind in ("system", "manager"):
+            return lambda text: engine.command(_task_macros(text))
+        if kind == "log":
+            return lambda text: engine._log(f"[{arg or 'info'}] " + _task_macros(text))
+        if kind == "email":
+            def email_action(text: str, _to=arg):
+                subject, _, body = text.partition(";")
+                if engine.email_sender is None:
+                    engine._log(f"email to {_to} dropped (no EmailWorker)")
+                    return False
+                engine.email_sender(_to, _task_macros(subject), _task_macros(body))
+                return True
+
+            return email_action
+        if kind == "file":
+            def file_action(text: str, _path=arg):
+                with open(_path, "a", encoding="utf-8") as fh:
+                    fh.write(_task_macros(text) + "\n")
+                return True
+
+            return file_action
+        if kind == "stream":
+            def stream_action(text: str, _sid=arg):
+                writer = getattr(engine, "stream_writers", {}).get(_sid)
+                if writer is None:
+                    engine._log(f"stream '{_sid}' has no writer registered")
+                    return False
+                writer(_task_macros(text))
+                return True
+
+            return stream_action
+        raise ValueError(f"unsupported task output '{output}'")
+
+    def make_task(el, prefix: str, n: int) -> Task:
+        kwargs = parse_trigger(el.get("trigger", ""))
+        task = Task(
+            id=el.get("id", f"{prefix}{n}"),
+            action=make_action(el.get("output", "system")),
+            value=(el.text or "").strip(),
+            check=_parse_req(el.get("req", "")),
+            **kwargs,
+        )
+        link = el.get("link", "")
+        if link:
+            linktype, _, target = link.partition(",")
+            task.linktype = linktype.strip()
+            task.link = target.strip() or None
+        return task
+
+    n_tasks = 0
+    tasks_el = root.find("tasks")
+    if tasks_el is not None:
+        for el in tasks_el.findall("task"):
+            engine.tasks.add_task(make_task(el, "task", n_tasks))
+            n_tasks += 1
+    n_sets = 0
+    sets_el = root.find("tasksets")
+    if sets_el is not None:
+        for ts_el in sets_el.findall("taskset"):
+            sid = ts_el.get("id", f"set{n_sets}")
+            members = [
+                make_task(el, f"{sid}_t", i) for i, el in enumerate(ts_el.findall("task"))
+            ]
+            engine.tasks.add_taskset(
+                TaskSet(
+                    id=sid,
+                    run_type=ts_el.get("run", "oneshot"),
+                    tasks=members,
+                    failure_set=ts_el.get("failure") or None,
+                )
+            )
+            n_sets += 1
+    return n_tasks, n_sets

@@ -35,9 +35,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str] | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Backward as-of join; right columns come back null when no right
-    row precedes the left row. Equal timestamps match (<=)."""
+    row precedes the left row. Equal timestamps match (<=).
+
+    `tolerance` (same unit as the ts columns) nulls the match when the
+    matched right row is older than `left_ts - tolerance` — the
+    pandas `merge_asof(tolerance=...)` semantic. Implemented by
+    carrying the matched right timestamp through the same window fill,
+    so it adds zero extra shuffles."""
     payload_cols = payload_cols or [c for c in right.columns if c not in (on, right_ts)]
     l_tag = left.select(
         F.col(on).alias("_k"),
@@ -59,9 +66,18 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if tolerance is not None:
+        # matched right ts rides as one more filled payload
+        l_tag = l_tag.withColumn("_p__rts", F.lit(None).cast(right.schema[right_ts].dataType))
+        r_tag = r_tag.withColumn("_p__rts", F.col("_t"))
     merged = l_tag.unionByName(r_tag)
-    for c in payload_cols:
+    fill_cols = payload_cols + (["_rts"] if tolerance is not None else [])
+    for c in fill_cols:
         merged = merged.withColumn(f"_p_{c}", F.last(f"_p_{c}", ignorenulls=True).over(w))
+    if tolerance is not None:
+        stale = F.col("_p__rts").isNull() | (F.col("_t") - F.col("_p__rts") > tolerance)
+        for c in payload_cols:
+            merged = merged.withColumn(f"_p_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_p_{c}")))
     out_cols = (
         [F.col("_k").alias(on)]
         + [F.col(c) for c in left.columns if c not in (on,)]

@@ -2635,6 +2635,161 @@ FROM scored GROUP BY source, lang
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8: narrow
+    map, one flat plane literal, Catalyst folds — runs at scan speed
+    at any corpus size (zero shuffle)."""
+    from dcafs_spark.operators.embedding_ops import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return random_projection(emb, "embedding", k=8, seed=7, dim=64)
+
+
+def _sql_random_projection() -> str:
+    from dcafs_spark.operators.embedding_ops import projection_planes
+
+    planes = projection_planes(64, 8, 7)
+    lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
+    cols = ",\n       ".join(
+        f"round(list_dot_product(embedding, {lits[j]}), 6) AS p{j}" for j in range(8)
+    )
+    return f"SELECT vec_id, label,\n       {cols}\nFROM embeddings"
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization summaries (integer-only
+    outputs: exact across engines)."""
+    from dcafs_spark.operators.embedding_ops import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_int8(emb, "embedding")
+
+
+SQL_EMB_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-300) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       list_aggregate(qv, 'sum')::BIGINT AS q_sum,
+       least(list_aggregate(qv, 'min'), 127)::BIGINT AS q_min,
+       greatest(list_aggregate(qv, 'max'), -127)::BIGINT AS q_max,
+       len(list_filter(qv, x -> x != 0))::BIGINT AS q_nnz,
+       list_aggregate(list_transform(qv, x -> x * x), 'sum')::BIGINT AS q_sq_sum
+FROM q
+"""
+
+
+def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing weights (DoReMi/data-mixing shape): per-lang
+    doc share vs uniform target as exact integer ppm — one partial agg
+    plus a broadcast of the single-row totals, no second scan."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_total"), F.count("*").alias("_k")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            # weight to resample each lang to the uniform 1/k share,
+            # floor-ppm: pure integer math, identical in any engine
+            F.floor(F.col("_total") * 1000000 / (F.col("_k") * F.col("n_docs")))
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+SQL_LANG_MIX = """
+WITH per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+  FROM documents GROUP BY lang
+), t AS (SELECT sum(n_docs)::BIGINT AS total, count(*)::BIGINT AS k FROM per)
+SELECT lang, n_docs, n_chars,
+       CAST(floor(total * 1000000 / (k * n_docs)) AS BIGINT) AS weight_ppm
+FROM per CROSS JOIN t
+"""
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance: clicks matched to the most
+    recent purchase unless it is older than an hour (pandas
+    merge_asof(tolerance=...) semantic; same single window pass as the
+    plain as-of — the matched ts rides as one more filled payload)."""
+    from dcafs_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_ts"), F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts_us", right_ts="p_ts",
+        tolerance=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "asof_purchase_id", F.round("asof_value", 6).alias("asof_value")
+    )
+
+
+SQL_ASOF_TOL = """
+WITH e AS (SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS ts_us FROM events),
+clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts_us AS p_ts, event_id AS purchase_id, value FROM e WHERE event_type = 'purchase')
+SELECT c.event_id,
+       CASE WHEN c.ts_us - p.p_ts <= 3600000000 THEN p.purchase_id END AS asof_purchase_id,
+       CASE WHEN c.ts_us - p.p_ts <= 3600000000 THEN round(p.value, 6) END AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.p_ts <= c.ts_us
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (3-way join + agg + top-10): customer segment
+    filter broadcast into orders, lineitem filter pushed to the scan,
+    one hash-agg on l_orderkey. Catalyst broadcasts the filtered
+    customer side (dim-sized); at 100 TB the only big shuffle is the
+    orderkey agg, which AQE coalesces."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -2726,4 +2881,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
+    "random_projection": (q_random_projection, _sql_random_projection()),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
+    "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
+    "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
 }

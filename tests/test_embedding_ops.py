@@ -1,0 +1,128 @@
+"""Embedding transforms (random projection, int8 quantization) and the
+as-of tolerance variant, checked against plain-python references."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.operators.embedding_ops import (
+    projection_planes,
+    quantize_int8,
+    random_projection,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestRandomProjection:
+    def test_matches_python_dot(self, spark, emb):
+        planes = projection_planes(64, 8, 7)
+        out = random_projection(emb.select("vec_id", "embedding"), k=8, seed=7, dim=64)
+        got = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in out.collect()}
+        src = {r["vec_id"]: list(r["embedding"]) for r in emb.select("vec_id", "embedding").collect()}
+        for vid, vec in src.items():
+            for j in range(8):
+                want = 0.0
+                for i in range(64):  # same sequential fold order as the Column plan
+                    want += float(vec[i]) * planes[j][i]
+                assert got[vid][j] == pytest.approx(round(want, 6), abs=1e-6)
+
+    def test_norm_preserved_in_expectation(self, emb):
+        # JL sanity: mean ratio ||Px||^2 / ||x||^2 ~ 1 across the corpus
+        out = random_projection(emb.select("vec_id", "embedding"), k=8, seed=7, dim=64)
+        joined = out.join(emb.select("vec_id", "embedding"), "vec_id")
+        proj_sq = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(8))
+        orig_sq = F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+        ratio = joined.select(F.avg(proj_sq / orig_sq).alias("r")).first()["r"]
+        assert 0.7 < ratio < 1.3
+
+    def test_no_shuffle_in_plan(self, emb):
+        plan = random_projection(emb.select("vec_id", "embedding"))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow map: must run at scan speed
+
+
+class TestQuantizeInt8:
+    def test_matches_python(self, emb):
+        out = quantize_int8(emb.select("vec_id", "embedding"))
+        got = {r["vec_id"]: r.asDict() for r in out.collect()}
+        src = {r["vec_id"]: list(r["embedding"]) for r in emb.select("vec_id", "embedding").collect()}
+        for vid, vec in src.items():
+            maxabs = max(abs(float(x)) for x in vec)
+            scale = 127.0 / maxabs if maxabs > 0 else 1.0
+            # HALF_UP == away-from-zero for the same double product
+            q = [int(math.floor(abs(float(x)) * scale + 0.5)) * (1 if x >= 0 else -1) for x in vec]
+            r = got[vid]
+            assert r["q_sum"] == sum(q)
+            assert r["q_min"] == min(min(q), 127)
+            assert r["q_max"] == max(max(q), -127)
+            assert r["q_nnz"] == sum(1 for x in q if x != 0)
+            assert r["q_sq_sum"] == sum(x * x for x in q)
+
+    def test_range_bounded(self, emb):
+        out = quantize_int8(emb.select("vec_id", "embedding"))
+        bad = out.filter((F.col("q_min") < -127) | (F.col("q_max") > 127)).count()
+        assert bad == 0
+
+
+class TestAsofTolerance:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 100), (2, "a", 250), (3, "a", 1000), (4, "b", 50)],
+            "id int, k string, t long",
+        )
+        right = spark.createDataFrame(
+            [("a", 90, 9.0), ("a", 240, 24.0), ("b", 60, 6.0)],
+            "k string, rt long, payload double",
+        )
+        return left, right
+
+    def test_tolerance_nulls_stale_match(self, spark):
+        from dcafs_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="rt", tolerance=100)
+        rows = {r["id"]: r["asof_payload"] for r in out.collect()}
+        assert rows[1] == 9.0      # gap 10 <= 100
+        assert rows[2] == 24.0     # gap 10 <= 100
+        assert rows[3] is None     # gap 760 > 100 -> nulled
+        assert rows[4] is None     # no preceding right row at t=50
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        from dcafs_spark.operators.asof import asof_join
+
+        rng = random.Random(11)
+        left = [(i, "k%d" % rng.randrange(3), rng.randrange(10_000)) for i in range(200)]
+        # rt unique per row: equal-rt ties would make both engines'
+        # "which of the tied rows wins" partition/sort-order-dependent
+        right = [("k%d" % rng.randrange(3), (i * 123) % 9973, float(i)) for i in range(80)]
+        ldf = spark.createDataFrame(left, "id int, k string, t long")
+        rdf = spark.createDataFrame(right, "k string, rt long, payload double")
+        got = {
+            r["id"]: r["asof_payload"]
+            for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="rt", tolerance=500).collect()
+        }
+        lp = pd.DataFrame(left, columns=["id", "k", "t"]).sort_values("t", kind="stable")
+        rp = (
+            pd.DataFrame(right, columns=["k", "rt", "payload"])
+            .sort_values(["rt", "payload"], kind="stable")  # ties: last wins, like last_value
+        )
+        want = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k", tolerance=500, direction="backward"
+        )
+        for _, row in want.iterrows():
+            g = got[row["id"]]
+            if pd.isna(row["payload"]):
+                assert g is None, row["id"]
+            else:
+                assert g == row["payload"], row["id"]

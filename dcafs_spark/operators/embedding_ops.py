@@ -75,21 +75,41 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     summaries are what a quality gate (clip rate, sparsity, energy)
     consumes."""
     vec = F.col(vec_col)
-    didx = F.sequence(F.lit(1), F.size(vec))
     maxabs = F.aggregate(
-        didx, F.lit(0.0), lambda acc, i: F.greatest(acc, F.abs(F.element_at(vec, i).cast("double")))
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(1.0))
-    q = F.transform(didx, lambda i: F.round(F.element_at(vec, i).cast("double") * scale).cast("long"))
+    # ONE fold: higher-order functions run interpreted (no codegen CSE),
+    # so naive per-stat folds re-evaluate the scale fold per ELEMENT —
+    # O(dim^2) work per row (measured 11.6 s vs 0.8 s at sf0.1). The
+    # scale lives in the aggregate's zero, which Catalyst evaluates
+    # once per row; the merge then touches each component once.
+    zero = F.struct(
+        scale.alias("s"),
+        F.lit(0).cast("long").alias("q_sum"),
+        F.lit(127).cast("long").alias("q_min"),
+        F.lit(-127).cast("long").alias("q_max"),
+        F.lit(0).cast("long").alias("q_nnz"),
+        F.lit(0).cast("long").alias("q_sq"),
+    )
 
-    def fold(init, fn):
-        return F.aggregate(q, init, fn)
+    def merge(acc, x):
+        q = F.round(x.cast("double") * acc.getField("s")).cast("long")
+        return F.struct(
+            acc.getField("s").alias("s"),
+            (acc.getField("q_sum") + q).alias("q_sum"),
+            F.least(acc.getField("q_min"), q).alias("q_min"),
+            F.greatest(acc.getField("q_max"), q).alias("q_max"),
+            (acc.getField("q_nnz") + F.when(q != 0, 1).otherwise(0)).alias("q_nnz"),
+            (acc.getField("q_sq") + q * q).alias("q_sq"),
+        )
 
+    st = F.aggregate(vec, zero, merge)
     return df.select(
         *[c for c in df.columns if c != vec_col],
-        fold(F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        fold(F.lit(127).cast("long"), lambda a, x: F.least(a, x)).alias("q_min"),
-        fold(F.lit(-127).cast("long"), lambda a, x: F.greatest(a, x)).alias("q_max"),
-        fold(F.lit(0).cast("long"), lambda a, x: a + F.when(x != 0, 1).otherwise(0)).alias("q_nnz"),
-        fold(F.lit(0).cast("long"), lambda a, x: a + x * x).alias("q_sq_sum"),
+        st.getField("q_sum").alias("q_sum"),
+        st.getField("q_min").alias("q_min"),
+        st.getField("q_max").alias("q_max"),
+        st.getField("q_nnz").alias("q_nnz"),
+        st.getField("q_sq").alias("q_sq_sum"),
     )

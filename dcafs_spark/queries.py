@@ -68,6 +68,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
 
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, spread across cores: single row group scans as 1-2
+    tasks while every consumer runs interpreted higher-order folds over
+    64 components per row — the textbook under-split compute-heavy map
+    ensure_parallelism exists for (no-op at real scale)."""
+    return ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+
+
 def ts_to_ns(df: DataFrame, col: str = "ts") -> DataFrame:
     """Runtime-portability shim: normalize a TIMESTAMP(NANOS) parquet column
     to (`{col}_ns` bigint, `{col}` µs TimestampType) across every way Spark
@@ -805,7 +813,7 @@ FROM bits GROUP BY doc_id
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -828,7 +836,7 @@ WHERE rank <= 5
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -840,7 +848,7 @@ def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe flavor: each query also probes its 8 hamming-1
     neighbor buckets — recall recovers toward brute force while the
     corpus still never shuffles (only the exploded query side does)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1336,7 +1344,7 @@ def _perturbed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ affine-perturbed copies of vec_id<20 (× 1.001 +
     0.002 per component — near but not exactly cosine 1.0), giving the
     embedding near-dup detector true positives."""
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+    emb = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dup = emb.filter(F.col("vec_id") < 20).select(
@@ -1445,7 +1453,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id, so a query touches nprobe partitions, not the corpus."""
     from dcafs_spark.operators.similarity import cosine
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = _embs(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -2641,7 +2649,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size (zero shuffle)."""
     from dcafs_spark.operators.embedding_ops import random_projection
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb = _embs(spark, sf_dir).select("vec_id", "label", "embedding")
     return random_projection(emb, "embedding", k=8, seed=7, dim=64)
 
 
@@ -2661,7 +2669,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs: exact across engines)."""
     from dcafs_spark.operators.embedding_ops import quantize_int8
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
     return quantize_int8(emb, "embedding")
 
 

@@ -2798,6 +2798,56 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
+def q_quality_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality band: per-source length
+    thresholds (p50/p90) decide bands, each band keeps a different
+    deterministic hash fraction (100%/50%/10%). The threshold agg is
+    tiny (one row per source, broadcast back); the keep decision is a
+    scan-side filter — the full corpus never shuffles."""
+    from dcafs_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    th = docs.groupBy("source").agg(
+        F.expr("percentile(cast(n_chars as double), 0.5)").alias("p50"),
+        F.expr("percentile(cast(n_chars as double), 0.9)").alias("p90"),
+    )
+    band = (
+        F.when(F.col("n_chars") >= F.col("p90"), F.lit("long"))
+        .when(F.col("n_chars") >= F.col("p50"), F.lit("mid"))
+        .otherwise(F.lit("short"))
+    )
+    thr = (
+        F.when(F.col("band") == "long", F.lit(1_000_000))
+        .when(F.col("band") == "mid", F.lit(500_000))
+        .otherwise(F.lit(100_000))
+    )
+    return (
+        docs.join(F.broadcast(th), "source")
+        .withColumn("band", band)
+        .filter(hash_bucket(F.col("doc_id"), 13) < thr)
+        .select("doc_id", "source", "band")
+    )
+
+
+def _sql_quality_band() -> str:
+    return f"""
+WITH th AS (
+  SELECT source, quantile_cont(n_chars::DOUBLE, 0.5) AS p50,
+         quantile_cont(n_chars::DOUBLE, 0.9) AS p90
+  FROM documents GROUP BY source
+), b AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.n_chars >= th.p90 THEN 'long'
+              WHEN d.n_chars >= th.p50 THEN 'mid'
+              ELSE 'short' END AS band
+  FROM documents d JOIN th USING (source)
+)
+SELECT doc_id, source, band FROM b
+WHERE {_sql_bucket('doc_id', 13)} <
+      CASE band WHEN 'long' THEN 1000000 WHEN 'mid' THEN 500000 ELSE 100000 END
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -2894,4 +2944,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
+    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
 }

@@ -46,6 +46,14 @@ FLAKY_SUSPECTS = [
     "inverted_index",
     "chunk_dedup_apply",
     "corpus_stats",
+    # round-5 additions: money-sum top-k, tolerance-nulled window fill,
+    # float dot products rounded at 6dp
+    "shipping_priority",
+    "asof_tolerance",
+    "random_projection",
+    "embedding_quantize",
+    "lang_mix_weights",
+    "quality_band_sample",
 ]
 
 

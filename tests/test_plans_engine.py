@@ -47,6 +47,28 @@ class TestPlanQuality:
         plan = physical_plan(QUERIES["topk_customers"][0](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan  # no full sort at scale
 
+    def test_shipping_priority_broadcasts_and_pushes_dates(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["shipping_priority"][0](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan  # filtered customer side is dim-sized
+        assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+        # date predicates reach the parquet scans
+        assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "LessThan(o_orderdate" in plan
+        assert "GreaterThan(l_shipdate" in plan
+
+    def test_quality_band_sample_broadcasts_thresholds(self, spark, sf_dir):
+        plan = physical_plan(QUERIES["quality_band_sample"][0](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan  # per-source thresholds are tiny
+        assert "SortMergeJoin" not in plan
+
+    def test_embedding_maps_have_no_wide_exchange(self, spark, sf_dir):
+        # only the under-split-input spreader (RoundRobin repartition) is
+        # allowed; a hash/range exchange would mean an accidental shuffle
+        for name in ("random_projection", "embedding_quantize"):
+            plan = physical_plan(QUERIES[name][0](spark, sf_dir))
+            for ln in plan.splitlines():
+                if "Exchange" in ln and "RoundRobinPartitioning" not in ln:
+                    raise AssertionError(f"{name}: unexpected exchange: {ln}")
+
     def test_whole_stage_codegen_covers_math(self, spark, sf_dir):
         plan = physical_plan(QUERIES["math_forward"][0](spark, sf_dir))
         assert "*(" in plan  # '*' prefix marks whole-stage-codegen spans

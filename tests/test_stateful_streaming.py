@@ -426,3 +426,52 @@ class TestStoreParityDriverVsStateStore:
                 assert s["hist_stdev"] is None, key
             else:
                 assert s["hist_stdev"] == pytest.approx(d["hist_stdev"], rel=1e-9), key
+
+
+class TestStreamStreamIntervalJoin:
+    def test_clicks_join_purchases_within_bound(self, spark, tmp_path):
+        """Watermarked stream-stream interval join — the streaming
+        analog of the batch asof/range gates: each click pairs with
+        purchases by the same user at most 60 s before it. State on
+        both sides is bounded by the watermark + interval condition,
+        so this runs indefinitely at scale (SURVEY §2.8)."""
+        cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+        cdir.mkdir(); pdir.mkdir()
+        (cdir / "c1.txt").write_text(
+            "u1,2026-01-01 00:01:00\nu2,2026-01-01 00:05:00\n"
+        )
+        (pdir / "p1.txt").write_text(
+            "u1,2026-01-01 00:00:30,9.5\nu2,2026-01-01 00:00:10,7.0\n"
+        )
+
+        def parse(dirpath, cols):
+            raw = spark.readStream.text(str(dirpath))
+            arr = F.split("value", ",")
+            out = raw.select(
+                arr[0].alias(cols[0]), F.to_timestamp(arr[1]).alias(cols[1]),
+                *([arr[2].cast("double").alias(cols[2])] if len(cols) > 2 else []),
+            )
+            return out
+
+        clicks = parse(cdir, ["c_user", "c_ts"]).withWatermark("c_ts", "2 minutes")
+        purch = parse(pdir, ["p_user", "p_ts", "amount"]).withWatermark("p_ts", "2 minutes")
+        joined = clicks.join(
+            purch,
+            F.expr(
+                "c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 60 seconds AND c_ts"
+            ),
+        ).select("c_user", "amount")
+        rows: list = []
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckj"))
+            .foreachBatch(lambda df, bid: rows.extend((r["c_user"], r["amount"]) for r in df.collect()))
+            .start()
+        )
+        try:
+            # u1's purchase is 30s before its click (inside the bound);
+            # u2's is 290s before (outside) -> exactly one match
+            assert _drain(q, lambda: len(rows) >= 1)
+        finally:
+            q.stop()
+        assert rows == [("u1", 9.5)]

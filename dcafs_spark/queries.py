@@ -2858,18 +2858,22 @@ WHERE {_sql_bucket('doc_id', 13)} <
 # bucket path is in-cap via similarity_ivf + gated locally with its
 # multiprobe twin. The LLM-curation operators added in rounds 4-5
 # (doc_length_quantiles, decontaminate, dedup_embedding_clusters,
-# text_repetition, line_dedup, pii_scrub, gopher_filter) sit IN-CAP — the
-# driver gate must exercise the newest mission-relevant work, not only its
-# oldest; listreplace/buffer_tail/distinct_counts moved to the tail (their
-# families stay gated via editor_ops, current_values/history_window, and
-# the groupBy/count family respectively).
+# text_repetition, line_dedup, pii_scrub, gopher_filter, and round-5's
+# quality_band_sample / lang_mix_weights / embedding_quantize /
+# random_projection) sit IN-CAP — the driver gate must exercise the newest
+# mission-relevant work, not only its oldest. Moved to the tail with their
+# families still in-cap: listreplace/buffer_tail/distinct_counts
+# (editor_ops, current_values/history_window, groupBy/count),
+# true_wind (ocean_functions + test_functions goldens), window_rank
+# (tumbling/history windows), fingerprint + dedup_ngram_jaccard
+# (dedup_minhash_lsh gates the shingle/minhash family; jaccard verify
+# stays locally gated + fuzz-tested).
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
     "math_forward": (q_math_forward, SQL_MATH_FORWARD),
     "ocean_functions": (q_ocean_functions, SQL_OCEAN),
-    "true_wind": (q_true_wind, SQL_TRUE_WIND),
     "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
     "generic_projection": (q_generic_projection, SQL_GENERIC),
     "valmap_kv": (q_valmap, SQL_VALMAP),
@@ -2878,17 +2882,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "history_window": (q_history_window, SQL_HISTORY),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
     "topk_customers": (q_topk_customers, SQL_TOPK),
-    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
-    "dedup_ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, _sql_range_join()),
@@ -2915,7 +2916,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER),
+    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
+    "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
+    "random_projection": (q_random_projection, _sql_random_projection()),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "true_wind": (q_true_wind, SQL_TRUE_WIND),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "cube_revenue": (q_cube_revenue, SQL_CUBE),
     "pivot_events": (q_pivot_events, SQL_PIVOT),
@@ -2939,10 +2948,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
-    "random_projection": (q_random_projection, _sql_random_projection()),
-    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
-    "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
-    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
 }

@@ -60,6 +60,9 @@ class MathForward:
     # (MathForward.java:619-701 reads rtvals mid-formula; here the
     # caller joins the values table in and maps names to its columns)
     rtvals: dict[str, Column] = field(default_factory=dict)
+    # 'nmea' re-appends a '*HH' XOR checksum to the rewritten line
+    # (MathForward.java:279-286 suffix attribute)
+    suffix: str | None = None
 
     def _arg(self, spec: str, env: dict[int, Column]) -> Column:
         spec = spec.strip()
@@ -131,6 +134,15 @@ class MathForward:
             return out
 
         new_line = F.concat_ws(self.delimiter, F.transform(arr, rewrite))
+        if self.suffix == "nmea":
+            from dcafs_spark.functions.checksum import nmea_checksum
+
+            # checksum covers the REWRITTEN body (the reference computes
+            # it on the joined result, MathForward.java:279-286); any
+            # stale '*HH' tail was part of the split fields and is gone
+            # only if the caller stripped it — match the reference, which
+            # appends regardless
+            new_line = F.concat(new_line, F.lit("*"), nmea_checksum(new_line))
         out = df.withColumn(self.column, new_line)
         for name, v in named.items():
             out = out.withColumn(name, v)

@@ -72,6 +72,7 @@ def _build_math(step: dict, delimiter: str, column: str) -> MathForward:
         delimiter=step.get("delimiter", delimiter),
         column=column,
         consts=step.get("consts", {}),
+        suffix=step.get("suffix"),
     )
 
 

@@ -117,6 +117,8 @@ def _math_step(el: ET.Element, delimiter: str) -> dict:
         step["consts"] = consts
     if el.get("delimiter") is not None:
         step["delimiter"] = el.get("delimiter")
+    if el.get("suffix") is not None:  # suffix="nmea" (MathForward.java:279-286)
+        step["suffix"] = el.get("suffix")
     return step
 
 

@@ -489,6 +489,40 @@ def load_tasklist(source, engine) -> tuple[int, int]:
                 return True
 
             return stream_action
+        if kind == "mqtt":
+            # output="mqtt:host:port,topic" → one-shot publish through the
+            # engine's existing mqtt:send command path (Task.java:69 MQTT)
+            def mqtt_action(text: str, _arg=arg):
+                broker, _, topic = _arg.partition(",")
+                reply = engine.command(f"mqtt:send,{broker},{topic},{_task_macros(text)}")
+                return not str(reply).lower().startswith(("no ", "bad ", "failed"))
+
+            return mqtt_action
+        if kind == "telnet":
+            # broadcast to every connected telnet session (Task.java:69
+            # TELNET); no-op false when no server is attached
+            def telnet_action(text: str):
+                srv = getattr(engine, "telnet_server", None)
+                if srv is None:
+                    engine._log("telnet output dropped (no server)")
+                    return False
+                srv.broadcast(_task_macros(text))
+                return True
+
+            return telnet_action
+        if kind in ("sms", "matrix"):
+            # gateway-webhook transports (Task.java:69 SMS/MATRIX); the
+            # engine carries one callable per channel, wired by the host
+            # (tests wire outputs.webhook_action against a local server)
+            def hook_action(text: str, _kind=kind, _to=arg):
+                sender = getattr(engine, f"{_kind}_sender", None)
+                if sender is None:
+                    engine._log(f"{_kind} to {_to} dropped (no transport)")
+                    return False
+                sender(_to, _task_macros(text))
+                return True
+
+            return hook_action
         raise ValueError(f"unsupported task output '{output}'")
 
     def make_task(el, prefix: str, n: int) -> Task:

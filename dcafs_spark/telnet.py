@@ -69,6 +69,20 @@ class TelnetServer:
         self._clients: list[_Client] = []
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
+        engine.telnet_server = self  # task output="telnet" broadcasts here
+
+    def broadcast(self, line: str) -> int:
+        """Push one line to every connected session; returns #receivers
+        (the reference's TELNET task output / `telnet:broadcast`,
+        src/util/task/Task.java:69)."""
+        n = 0
+        for c in list(self._clients):
+            try:
+                c.write_line(line)
+                n += 1
+            except Exception:
+                self._drop(c)
+        return n
 
     # ------------------------------------------------------------ lifecycle
     def start(self) -> tuple[str, int]:

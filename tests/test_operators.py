@@ -63,6 +63,20 @@ def test_math_forward_rejoin(spark):
     assert mf.apply(df).first()["value"] == "10,6,5"
 
 
+def test_math_forward_nmea_suffix(spark):
+    """suffix="nmea" re-appends a *HH checksum over the REWRITTEN body
+    (MathForward.java:279-286)."""
+    df = spark.createDataFrame([("$GPGGA,10,2",)], "value string")
+    mf = MathForward(ops=[MathOp("i1", "i1*2")], suffix="nmea")
+    line = mf.apply(df).first()["value"]
+    assert line.startswith("$GPGGA,20,2*")
+    body, claimed = line[1:].split("*")
+    want = 0
+    for ch in body.encode():
+        want ^= ch
+    assert claimed == format(want, "02X")
+
+
 def test_math_forward_scale(spark):
     df = spark.createDataFrame([("1,3,0",)], "value string")
     mf = MathForward(ops=[MathOp("i2", "i0/i1", scale=4)])

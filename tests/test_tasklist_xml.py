@@ -89,3 +89,53 @@ def test_macros_render(spark):
 def test_bad_script_is_text_reply(spark):
     eng = _engine(spark)
     assert eng.command("tm:load,<nope/>").startswith("Failed to load script")
+
+
+def test_new_output_transports(spark):
+    """mqtt/telnet/sms/matrix task outputs (Task.java:69 output list)."""
+    import socket
+
+    from dcafs_spark.telnet import TelnetServer
+
+    eng = _engine(spark)
+    sent: dict[str, list] = {"sms": [], "matrix": []}
+    eng.sms_sender = lambda to, text: sent["sms"].append((to, text))
+    eng.matrix_sender = lambda to, text: sent["matrix"].append((to, text))
+
+    srv = TelnetServer(eng)
+    host, port = srv.start()
+    cli = socket.create_connection((host, port), timeout=5)
+    cli.settimeout(5)
+    time.sleep(0.2)
+    cli.recv(4096)  # greeting
+
+    xml = """
+    <tasklist><tasks>
+      <task id="s" output="sms:+321">alarm {r:missing|n/a}</task>
+      <task id="m" output="matrix:#room">deploy done</task>
+      <task id="t" output="telnet">hello sessions</task>
+    </tasks></tasklist>
+    """
+    assert eng.command(f"tm:load,{xml}").startswith("Loaded 3 task")
+    for tid in ("s", "m", "t"):
+        eng.tasks.fire(eng.tasks.tasks[tid])
+    assert sent["sms"] and sent["sms"][0][0] == "+321"
+    assert sent["matrix"] == [("#room", "deploy done")]
+    buf = b""
+    while b"hello sessions" not in buf:
+        buf += cli.recv(4096)
+    cli.close()
+    srv.stop()
+
+
+def test_mqtt_output_delegates_to_command(spark):
+    eng = _engine(spark)
+    calls: list[str] = []
+    orig = eng.command
+    eng.command = lambda s: calls.append(s) or "OK" if s.startswith("mqtt:") else orig(s)
+    xml = """<tasklist><tasks>
+      <task id="pub" output="mqtt:localhost:1883,sensors/a">42.5</task>
+    </tasks></tasklist>"""
+    assert orig(f"tm:load,{xml}").startswith("Loaded 1 task")
+    eng.tasks.fire(eng.tasks.tasks["pub"])
+    assert calls == ["mqtt:send,localhost:1883,sensors/a,42.5"]

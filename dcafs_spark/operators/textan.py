@@ -268,3 +268,40 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         ok_rep.cast("bigint").alias("ok_repetition"),
         (ok_wc & ok_mwl & ok_stop & ok_rep).cast("bigint").alias("keep"),
     )
+
+
+# code-detection keyword set: \b works identically in Java regex and
+# RE2 for this ASCII alternation
+_CODE_KW_RE = r"\b(def|class|import|return|function|const|void|static|public)\b"
+
+
+def code_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose heuristic (curation pipelines route code to a
+    separate bucket / tokenizer): integer-only structural counts plus
+    an `is_code` flag. Narrow map, zero shuffle.
+
+    - n_punct_code: chars from the code-punctuation class {}();=<>[]
+    - n_kw: keyword hits (def/class/import/...) in lowered text
+    - n_indent: lines starting with a 4-space indent, counted via a
+      length-diff on replace('\\n    ') — no multiline regex flag,
+      whose semantics differ across engines
+    - is_code: punctuation density > 3% OR (>=3 keywords AND >=2
+      indented lines)
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^{}();=<>\[\]]", ""))
+    n_kw = F.size(F.regexp_extract_all(F.lower(t), F.lit(_CODE_KW_RE), 0))
+    n_indent = (
+        (n_chars - F.length(F.replace(t, F.lit("\n    "), F.lit("")))) / F.lit(5)
+    ).cast("long")
+    is_code = (
+        (n_punct * 1000 > n_chars * 30) | ((n_kw >= 3) & (n_indent >= 2))
+    ).cast("int")
+    return df.select(
+        *df.columns,
+        n_punct.cast("long").alias("n_punct_code"),
+        n_kw.cast("long").alias("n_kw"),
+        n_indent.alias("n_indent"),
+        is_code.alias("is_code"),
+    )

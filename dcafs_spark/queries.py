@@ -2848,6 +2848,83 @@ WHERE {_sql_bucket('doc_id', 13)} <
 """
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus top-1000 vocabulary — the
+    engine-portable stand-in for LM-perplexity quality filtering
+    (cross-engine float log-sums can't hash-match; OOV counts are
+    exact integers). Plan: one token-key agg for df (map-side
+    combined), TakeOrdered top-k, broadcast anti-join back — the
+    corpus text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("w"))
+    vocab = (
+        toks.distinct()
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w"))
+        .limit(1000)
+        .select("w")
+    )
+    per = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    oov = toks.join(F.broadcast(vocab), "w", "left_anti").groupBy("doc_id").agg(
+        F.count("*").alias("n_oov")
+    )
+    return (
+        per.join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.floor(F.coalesce(F.col("n_oov"), F.lit(0)) * 1000000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )
+
+
+SQL_OOV = f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w)
+  ORDER BY df DESC, w LIMIT 1000
+),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY doc_id),
+oov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_oov FROM toks
+  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id
+)
+SELECT per.doc_id, per.n_tokens, coalesce(oov.n_oov, 0)::BIGINT AS n_oov,
+       CAST(floor(coalesce(oov.n_oov, 0) * 1000000 / per.n_tokens) AS BIGINT) AS oov_ppm
+FROM per LEFT JOIN oov ON per.doc_id = oov.doc_id
+"""
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing flags over the corpus (integer structural
+    counts; scan-speed narrow map)."""
+    from dcafs_spark.operators.textan import code_features
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return code_features(docs).drop("text")
+
+
+SQL_CODE_DETECT = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^{}();=<>\[\]]', '', 'g'))::BIGINT AS n_punct_code,
+         len(regexp_extract_all(lower(text), '\b(def|class|import|return|function|const|void|static|public)\b'))::BIGINT AS n_kw,
+         CAST((length(text) - length(replace(text, chr(10) || '    ', ''))) / 5 AS BIGINT) AS n_indent
+  FROM documents
+)
+SELECT doc_id, n_punct_code, n_kw, n_indent,
+       CASE WHEN n_punct_code * 1000 > n_chars * 30
+              OR (n_kw >= 3 AND n_indent >= 2) THEN 1 ELSE 0 END AS is_code
+FROM f
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -2950,4 +3027,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
+    "oov_rate": (q_oov_rate, SQL_OOV),
+    "code_detect": (q_code_detect, SQL_CODE_DETECT),
 }

@@ -351,3 +351,40 @@ class TestChunkDedupApply:
                 assert did not in applied
             else:
                 assert applied[did]["n_kept"] == owned
+
+
+class TestCodeDetect:
+    def test_code_doc_flags(self, spark):
+        from dcafs_spark.operators.textan import code_features
+
+        code = (
+            "def main():\n    import os\n    return os.getcwd();\n"
+            "class Foo:\n    def bar(self):\n    return {1: 2};\n"
+        )
+        prose = "The quick brown fox jumps over the lazy dog near the river bank."
+        df = spark.createDataFrame([(1, code), (2, prose)], "doc_id int, text string")
+        rows = {r["doc_id"]: r.asDict() for r in code_features(df).collect()}
+        assert rows[1]["is_code"] == 1
+        assert rows[1]["n_kw"] >= 4 and rows[1]["n_indent"] >= 4
+        assert rows[2]["is_code"] == 0
+        assert rows[2]["n_punct_code"] == 0
+
+    def test_counts_are_exact(self, spark):
+        from dcafs_spark.operators.textan import code_features
+
+        df = spark.createDataFrame([(1, "a=b; {c}\n    x")], "doc_id int, text string")
+        r = code_features(df).first()
+        assert r["n_punct_code"] == 4  # '=' ';' '{' '}'
+        assert r["n_indent"] == 1
+
+
+class TestOovRate:
+    def test_oov_ppm_bounds_and_consistency(self, spark, sf_dir):
+        from dcafs_spark.queries import q_oov_rate
+
+        out = q_oov_rate(spark, sf_dir).collect()
+        assert len(out) > 0
+        for r in out:
+            assert 0 <= r["n_oov"] <= r["n_tokens"]
+            assert 0 <= r["oov_ppm"] <= 1_000_000
+            assert r["oov_ppm"] == r["n_oov"] * 1_000_000 // r["n_tokens"]

@@ -54,6 +54,8 @@ FLAKY_SUSPECTS = [
     "embedding_quantize",
     "lang_mix_weights",
     "quality_band_sample",
+    "oov_rate",
+    "code_detect",
 ]
 
 

@@ -39,6 +39,8 @@ HEADLINE = [
     ("inverted_index", "posting cap pre-agg via window — stopword terms can't blow a reducer"),
     ("chunk_dedup_apply", "ownership on 24-byte rows; bodies cross the wire once (id join)"),
     ("corpus_stats", "one scan, map-side partial agg, integer-only outputs"),
+    ("oov_rate", "token-df agg + TakeOrdered vocab, broadcast anti-join; text never shuffles"),
+    ("code_detect", "structural counts: single project over the scan, zero shuffle"),
     ("random_projection", "JL 64→8: narrow project over the scan, zero shuffle"),
     ("embedding_quantize", "int8 summaries in one fold pass, zero shuffle"),
     ("shipping_priority", "Q3 shape: dim broadcast, pushed date filters, TakeOrdered"),

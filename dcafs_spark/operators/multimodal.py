@@ -191,6 +191,114 @@ def _decode_png(payload: bytes) -> list[float] | None:
     return [float(w), float(h), round(float(px.mean()), 3), float(px.max())]
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-flavor LZW (LSB-first variable-width codes, CLEAR/END codes,
+    dict grows to 12 bits). Returns palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, code_size, next_code, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        code_size = min_code_size + 1
+        next_code = end + 1
+        prev = None
+
+    code_size = min_code_size + 1
+    next_code = end + 1
+    prev: list[int] | None = None
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size and len(out) < max_pixels:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if code < next_code and code != clear and table[code]:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> list[float] | None:
+    """Pure-python GIF87a/89a decode (first frame) → [w, h, mean_pixel,
+    max_pixel] over the palette-mapped RGB bytes. Real LZW inflate;
+    interlace only reorders rows, which the mean/max summary doesn't
+    see. Strict parse, else None (fall through to byte stats)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        flags = payload[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 7) + 1)
+            gct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload) and payload[pos] == 0x21:  # extensions
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if pos >= len(payload) or payload[pos] != 0x2C:  # image descriptor
+            return None
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 ** ((iflags & 7) + 1)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or iw * ih == 0:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:  # sub-blocks
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decode(bytes(data), mcs, iw * ih)
+        if len(indices) < iw * ih:
+            return None
+        total = mx = cnt = 0
+        for idx in indices[: iw * ih]:
+            base = 3 * idx
+            if base + 3 > len(pal):
+                return None
+            for b in pal[base : base + 3]:
+                total += b
+                cnt += 1
+                if b > mx:
+                    mx = b
+        return [float(w), float(h), round(total / cnt, 3), float(mx)]
+    except (IndexError, ValueError):
+        return None
+
+
 def _decode_wav(payload: bytes) -> list[float] | None:
     """Pure-python RIFF/WAVE PCM decode → [sample_rate, n_channels,
     duration_ms, rms]. 8/16/32-bit integer PCM (format tag 1);
@@ -234,15 +342,16 @@ def _decode_wav(payload: bytes) -> list[float] | None:
 def _decode_image(payload: bytes) -> list[float]:
     """Tiered decode: real parse for the formats a pure-python reader
     can handle (P6 PPM, uncompressed BMP, 8-bit non-interlaced PNG,
-    RIFF/WAVE PCM), byte statistics for everything else. Swap in
-    PIL/librosa/libav for JPEG/MP3/video in production — the
-    mapInPandas plumbing doesn't change."""
+    GIF87a/89a via LZW, RIFF/WAVE PCM), byte statistics for everything
+    else. Swap in PIL/librosa/libav for JPEG/MP3/video in production —
+    the mapInPandas plumbing doesn't change."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty media payload")
     decoded = (
         _decode_ppm(payload)
         or _decode_bmp(payload)
         or _decode_png(payload)
+        or _decode_gif(payload)
         or _decode_wav(payload)
     )
     if decoded is not None:

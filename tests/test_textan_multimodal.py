@@ -380,3 +380,91 @@ def test_repetition_ratio_known_values(spark):
     assert got[1] == (round(1 - 2 / 5, 4),)
     assert got[2] == (0.0,)
     assert got[3] == (round(1 - 1 / 3, 4),)
+
+
+class TestGifDecode:
+    @staticmethod
+    def _gif(w, h, indices, palette):
+        """Minimal valid GIF: fixed-width literal LZW (CLEAR before each
+        pixel keeps the dictionary empty, a legal stream shape)."""
+        nbits = max(2, (len(palette) - 1).bit_length())
+        size = 1 << nbits
+        gct = b"".join(bytes(p) for p in palette) + b"\x00\x00\x00" * (size - len(palette))
+        hdr = (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0x80 | (nbits - 1), 0, 0])
+        )
+        desc = b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        mcs = nbits
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        code_size = mcs + 1
+        codes = []
+        for idx in indices:
+            codes += [clear, idx]
+        codes.append(end)
+        acc = nb = 0
+        outb = bytearray()
+        for c in codes:
+            acc |= c << nb
+            nb += code_size
+            while nb >= 8:
+                outb.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            outb.append(acc & 0xFF)
+        blocks = bytearray([mcs])
+        for i in range(0, len(outb), 255):
+            chunk = outb[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        return hdr + gct + desc + bytes(blocks) + b"\x3b"
+
+    def test_decodes_palette_image(self):
+        from dcafs_spark.operators.multimodal import _decode_gif
+
+        pal = [(0, 0, 0), (255, 255, 255), (10, 20, 30), (200, 100, 50)]
+        payload = self._gif(2, 2, [0, 1, 2, 3], pal)
+        w, h, mean, mx = _decode_gif(payload)
+        assert (w, h, mx) == (2.0, 2.0, 255.0)
+        allbytes = [b for p in [pal[0], pal[1], pal[2], pal[3]] for b in p]
+        assert mean == round(sum(allbytes) / len(allbytes), 3)
+
+    def test_lzw_kwkwk_case(self):
+        from dcafs_spark.operators.multimodal import _lzw_decode
+
+        # codes: CLEAR, 0, next_code -> the KwKwK pattern = [0, 0,0]
+        mcs = 2
+        clear, end = 4, 5
+        codes = [clear, 0, 6, end]
+        acc = nb = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nb
+            nb += mcs + 1
+            while nb >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            data.append(acc & 0xFF)
+        assert _lzw_decode(bytes(data), mcs, 10) == [0, 0, 0]
+
+    def test_non_gif_falls_through(self):
+        from dcafs_spark.operators.multimodal import _decode_gif
+
+        assert _decode_gif(b"NOTAGIF" + b"\x00" * 20) is None
+        assert _decode_gif(b"GIF89a" + b"\x01") is None
+
+    def test_feature_pipeline_consumes_gif(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+        pal = [(0, 0, 0), (255, 255, 255)]
+        payload = self._gif(2, 1, [0, 1], pal)
+        df = spark.createDataFrame(
+            [(1, "image", payload, ("image/gif", 2, 1, 0, 0))], MEDIA_SCHEMA
+        )
+        row = extract_features(df).first()
+        feats = list(row["feature"])
+        assert feats[0] == 2.0 and feats[1] == 1.0  # real decode, not byte stats

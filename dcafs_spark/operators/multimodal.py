@@ -393,9 +393,55 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def gif_frame_times(payload: bytes) -> list[int] | None:
+    """Frame start times (ms) of an animated GIF — REAL container
+    parsing, no pixel decode: walk the block structure, read each
+    Graphic Control Extension delay (centiseconds), skip image data by
+    sub-block lengths. Returns None for non-GIF payloads."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        pos = 13
+        if payload[10] & 0x80:  # global color table
+            pos += 3 * (2 ** ((payload[10] & 7) + 1))
+        times: list[int] = []
+        t = 0
+        pending_delay = 0
+        while pos < len(payload) and payload[pos] != 0x3B:
+            b = payload[pos]
+            if b == 0x21:  # extension
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and payload[pos] >= 4:  # GCE: delay at +2
+                    pending_delay = int.from_bytes(payload[pos + 2 : pos + 4], "little") * 10
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor = one frame
+                iflags = payload[pos + 9]
+                pos += 10
+                if iflags & 0x80:
+                    pos += 3 * (2 ** ((iflags & 7) + 1))
+                pos += 1  # LZW min code size
+                while payload[pos] != 0:  # skip data sub-blocks
+                    pos += 1 + payload[pos]
+                pos += 1
+                times.append(t)
+                t += pending_delay
+                pending_delay = 0
+            else:
+                return None
+        return times or None
+    except IndexError:
+        return None
+
+
 def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
-    """Frame-sample video rows: 1→N rows (deterministic fake frames —
-    real impl would use av/ffmpeg)."""
+    """Frame-sample video rows: 1→N rows. Animated GIFs use their REAL
+    frame timeline (gif_frame_times) — one output row per frame whose
+    start time crosses the next every_ms boundary. Other containers
+    fall back to meta.duration_ms pacing (swap in av/ffmpeg for
+    MP4/MKV in production; only this inner loop changes)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -405,12 +451,23 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
             for mid, kind, payload, meta in zip(pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
                 if kind != "video":
                     continue
+                raw = bytes(payload)
+                times = gif_frame_times(raw)
+                if times is not None:
+                    next_at = 0
+                    for fi, t in enumerate(times):
+                        if t >= next_at:
+                            out_id.append(mid)
+                            out_idx.append(fi)
+                            out_frame.append(raw[:16])
+                            next_at = t + every_ms
+                    continue
                 duration = meta["duration_ms"] if meta is not None else 0
                 n_frames = max(int(duration // every_ms), 1)
                 for fi in range(n_frames):
                     out_id.append(mid)
                     out_idx.append(fi)
-                    out_frame.append(bytes(payload)[:16])
+                    out_frame.append(raw[:16])
             yield pd.DataFrame({"media_id": out_id, "frame_idx": out_idx, "frame": out_frame})
 
     return media.mapInPandas(run, FRAME_SCHEMA)

@@ -468,3 +468,58 @@ class TestGifDecode:
         row = extract_features(df).first()
         feats = list(row["feature"])
         assert feats[0] == 2.0 and feats[1] == 1.0  # real decode, not byte stats
+
+
+class TestGifFrameSampling:
+    @staticmethod
+    def _animated_gif(n_frames, delay_cs):
+        """n identical 1x1 frames with a GCE delay before each."""
+        hdr = b"GIF89a" + (1).to_bytes(2, "little") * 2 + bytes([0x80, 0, 0])
+        gct = bytes([0, 0, 0, 255, 255, 255]) + b"\x00" * 0
+        # 2-entry palette -> gct size flag 0 => 2 colors = 6 bytes
+        frame = b""
+        for _ in range(n_frames):
+            # 0x21 0xF9, size=4, flags, delay lo/hi, transparent idx, term
+            gce = b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+            desc = b"\x2c" + b"\x00" * 4 + (1).to_bytes(2, "little") * 2 + b"\x00"
+            # mcs=2: CLEAR(4),0,END(5) at 3 bits -> bits 100 000 101 LSB-first
+            codes = [4, 0, 5]
+            acc = nb = 0
+            data = bytearray()
+            for c in codes:
+                acc |= c << nb
+                nb += 3
+                while nb >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+            if nb:
+                data.append(acc & 0xFF)
+            frame += gce + desc + bytes([2, len(data)]) + bytes(data) + b"\x00"
+        return hdr + gct + frame + b"\x3b"
+
+    def test_frame_times_parsed(self):
+        from dcafs_spark.operators.multimodal import gif_frame_times
+
+        gif = self._animated_gif(4, 10)  # 4 frames, 100ms apart
+        assert gif_frame_times(gif) == [0, 100, 200, 300]
+
+    def test_sampling_uses_real_timeline(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+        gif = self._animated_gif(8, 10)  # frames at 0,100,...,700ms
+        df = spark.createDataFrame(
+            [(7, "video", gif, ("image/gif", 1, 1, 800, 0))], MEDIA_SCHEMA
+        )
+        rows = sample_frames(df, every_ms=250).collect()
+        # boundaries: 0 -> next 250 -> frame 300 -> next 550 -> frame 600
+        assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+
+    def test_non_gif_falls_back_to_duration(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+        df = spark.createDataFrame(
+            [(8, "video", b"\x00" * 32, ("video/mp4", 1, 1, 1000, 0))], MEDIA_SCHEMA
+        )
+        rows = sample_frames(df, every_ms=250).collect()
+        assert len(rows) == 4

@@ -8,11 +8,12 @@ Usage: python scripts/check_oracle.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):

@@ -103,6 +103,7 @@ ORACLES = {
     "history_window": Q.SQL_HISTORY,
     "threshold_crossings": Q.SQL_CROSSINGS,
     "asof_join": Q.SQL_ASOF,
+    "asof_tolerance": Q.SQL_ASOF_TOL,
     "buffer_tail": Q.SQL_BUFFER_TAIL,
 }
 

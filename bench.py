@@ -126,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),  # normalize round-over-round totals
                 "streaming_lines_per_sec": streaming_rate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -562,3 +562,49 @@ def chunk_dedup_apply(
         ).alias("clean_hash"),
     )
     return rebuilt
+
+
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-run exact dedup for a GROWING corpus: drop new docs whose
+    content hash is already in the persistent store at `store_path`,
+    dedup the batch internally (lowest id wins), then append the
+    surviving hashes to the store. Returns the surviving rows.
+
+    The production ingest shape: each batch shuffles only (16-byte
+    hash, id) pairs; the store is itself parquet, so the membership
+    check is a hash equi-join that scales with #distinct docs, not
+    corpus bytes — and the store stays broadcast-able far longer than
+    the corpus (16B + id per unique doc). Pair with
+    dropDuplicatesWithinWatermark for in-flight stream dedup; this
+    handles the across-runs axis.
+
+    Ordering note: the batch-internal winner is deterministic (min id);
+    append is atomic per batch because Spark writes to a staging dir
+    and commits — a crashed run leaves the store unchanged.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    hashed = new_docs.withColumn("content_hash", F.md5(normalize_text(F.col(text_col))))
+    try:
+        seen = spark.read.parquet(store_path).select("content_hash")
+        have_store = True
+    except AnalysisException:
+        seen = None
+        have_store = False
+    fresh = hashed.join(seen, "content_hash", "left_anti") if have_store else hashed
+    # batch-internal winner: lowest id per hash, full rows survive
+    w_rank = F.row_number().over(
+        Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    )
+    survivors = (
+        fresh.withColumn("_rk", w_rank).filter(F.col("_rk") == 1).drop("_rk")
+    ).localCheckpoint(eager=True)  # compute once: returned AND appended
+    survivors.select("content_hash").write.mode("append").parquet(store_path)
+    return survivors.drop("content_hash")

@@ -262,3 +262,37 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.6, f"IVF recall@5 collapsed: {recall}"
+
+
+class TestIncrementalDedup:
+    def test_across_batches_and_within_batch(self, spark, tmp_path):
+        from dcafs_spark.operators.dedup import incremental_dedup
+
+        store = str(tmp_path / "seen")
+        b1 = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text"), (3, "alpha  text")],  # 3 dups 1 after norm
+            "doc_id int, text string",
+        )
+        s1 = incremental_dedup(spark, b1, store)
+        assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]  # min-id wins in-batch
+
+        b2 = spark.createDataFrame(
+            [(10, "beta text"), (11, "gamma text"), (12, "gamma text")],
+            "doc_id int, text string",
+        )
+        s2 = incremental_dedup(spark, b2, store)
+        assert sorted(r["doc_id"] for r in s2.collect()) == [11]  # beta seen in run 1
+
+        b3 = spark.createDataFrame([(20, "gamma text")], "doc_id int, text string")
+        assert incremental_dedup(spark, b3, store).count() == 0
+
+    def test_empty_store_bootstrap(self, spark, tmp_path):
+        from dcafs_spark.operators.dedup import incremental_dedup
+
+        out = incremental_dedup(
+            spark,
+            spark.createDataFrame([(1, "x")], "doc_id int, text string"),
+            str(tmp_path / "fresh_store"),
+        )
+        assert out.count() == 1
+        assert spark.read.parquet(str(tmp_path / "fresh_store")).count() == 1

@@ -451,3 +451,48 @@ class TestConnectedComponentsFuzz:
             df = spark.createDataFrame(edges, "id_a long, id_b long")
             got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
             assert got == expect, f"trial {trial}: {sorted(edges)}"
+
+
+class TestEmbeddingOpProperties:
+    def test_quantize_matches_numpy_reference(self, spark):
+        """Random vectors (including negatives, zeros, tiny/huge
+        magnitudes): Spark int8 summaries == a numpy reference."""
+        import numpy as np
+
+        from dcafs_spark.operators.embedding_ops import quantize_int8
+
+        rng = random.Random(23)
+        rows = []
+        for i in range(60):
+            scale = 10.0 ** rng.randrange(-3, 4)
+            vec = [rng.uniform(-scale, scale) for _ in range(16)]
+            if i % 7 == 0:
+                vec[rng.randrange(16)] = 0.0
+            rows.append((i, [float(np.float32(x)) for x in vec]))
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        got = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+        for vid, vec in rows:
+            v = np.array([np.float32(x) for x in vec], dtype=np.float64)
+            maxabs = float(np.abs(v).max())
+            s = 127.0 / maxabs if maxabs > 0 else 1.0
+            q = np.floor(np.abs(v * s) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+            r = got[vid]
+            assert r["q_sum"] == int(q.sum()), vid
+            assert r["q_sq_sum"] == int((q * q).sum()), vid
+            assert r["q_nnz"] == int((q != 0).sum()), vid
+            assert -127 <= r["q_min"] and r["q_max"] <= 127
+
+    def test_projection_is_linear(self, spark):
+        """P(a·x) == a·P(x) within fp tolerance — the defining property
+        of the JL map (catches any accidental nonlinearity/bias)."""
+        from dcafs_spark.operators.embedding_ops import random_projection
+
+        rng = random.Random(5)
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        df = spark.createDataFrame(
+            [(1, base), (2, [3.0 * x for x in base])],
+            "vec_id int, embedding array<double>",
+        )
+        out = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in random_projection(df).collect()}
+        for a, b in zip(out[1], out[2]):
+            assert abs(3.0 * a - b) < 1e-4

@@ -2803,7 +2803,10 @@ def q_quality_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (p50/p90) decide bands, each band keeps a different
     deterministic hash fraction (100%/50%/10%). The threshold agg is
     tiny (one row per source, broadcast back); the keep decision is a
-    scan-side filter — the full corpus never shuffles."""
+    scan-side filter — the full corpus never shuffles. At 100 TB swap
+    the exact `percentile` (collects per-group values) for
+    `approx_percentile` — sketch-mergeable, same plan shape, and band
+    boundaries only need sketch accuracy."""
     from dcafs_spark.operators.sampling import hash_bucket
 
     docs = _docs(spark, sf_dir)

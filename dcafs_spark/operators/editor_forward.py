@@ -96,12 +96,22 @@ def _apply_edit(
     if k in ("rexsplit", "rexkeep"):
         # keep all regex matches, join with delim (:446-460)
         return F.array_join(F.regexp_extract_all(col, F.lit(a["regex"]), 0), a.get("delimiter", ""))
-    if k == "redate":
-        return redate(col, a["from"], a["to"])
-    if k == "retime":
-        return redate(col, a["from"], a["to"])
-    if k == "millisdate":
-        return millisdate(col, a.get("to", "sql"))
+    if k in ("redate", "retime", "millisdate"):
+        if k == "millisdate":
+            fn = lambda c: millisdate(c, a.get("to", "sql"))  # noqa: E731
+        else:
+            fn = lambda c: redate(c, a["from"], a["to"])  # noqa: E731
+        if "index" in a:
+            # reference applies the date edit to ONE delimited field and
+            # rejoins (EditorForward.java:391-414 index attribute)
+            d = a.get("delimiter", delimiter)
+            arr = F.split(col, F.lit(d), -1)
+            idx = int(a["index"])
+            new = F.transform(arr, lambda x, i: F.when(i == idx, fn(x)).otherwise(x))
+            # a failed (null) field must fail the ROW; array_join would
+            # silently drop the null element instead
+            return F.when(~F.exists(new, lambda x: x.isNull()), F.array_join(new, d))
+        return fn(col)
     if k == "replace":
         return F.replace(col, F.lit(a["find"]), F.lit(a["replacement"]))
     if k == "remove":

@@ -92,6 +92,10 @@ def _math_op(el: ET.Element) -> dict:
     if optype == "complex":
         if "=" in content:
             target, formula = content.split("=", 1)
+        elif el.get("index") is not None:
+            # das-grammar shape: <op index="2">formula</op> writes iN
+            # (manual 'Basic usage example'; MathForward.java:140-158)
+            target, formula = f"i{el.get('index')}", content
         else:  # bare expression updates i0, like addStdOperation's default
             target, formula = "i0", content
         op = {"target": target.strip(), "formula": formula.strip()}
@@ -139,8 +143,12 @@ def _edit_args(edit: ET.Element, default_delim: str) -> tuple[str, dict]:
         a = {"regex": content.strip()}
     elif kind in ("redate", "retime"):
         a = {"from": edit.get("from", ","), "to": content.strip()}
+        if edit.get("index") is not None:
+            a["index"] = int(edit.get("index"))
     elif kind == "millisdate":
         a = {"to": content.strip() or "sql"}
+        if edit.get("index") is not None:
+            a["index"] = int(edit.get("index"))
     elif kind == "replace":
         a = {"find": edit.get("find", ""), "replacement": content}
     elif kind == "rexreplace":
@@ -295,3 +303,105 @@ def load_paths(source: str | Path) -> dict[str, PathSpec]:
         spec = path_spec_from_element(el)
         out[spec["id"]] = spec
     return out
+
+
+# ------------------------------------------------- legacy das-level grammar
+
+
+def _parse_xml(source: str | Path) -> ET.Element:
+    if isinstance(source, Path) or (
+        isinstance(source, str) and not source.lstrip().startswith("<")
+    ):
+        return ET.fromstring(Path(source).read_text())
+    return ET.fromstring(source)
+
+
+def load_das_sections(source: str | Path) -> dict:
+    """Legacy das-level sectioned settings.xml (manual 'Basic usage
+    example', docs/DAS Core manual.md:2340-2392; the pre-<path> layout
+    older deployments still run): top-level <filters>/<editors>/
+    <maths>/<generics> sections whose forwards chain by reference —
+    ``src="filter:zda"`` consumes another forward's output,
+    ``label="generic:zda"`` routes into a generic. Each generic
+    terminates one PathSpec; the chain is walked backwards to the raw
+    stream src. Also returns <streams> specs and <settings><databases>
+    sqlite defs so the caller can register sources/sinks.
+
+    Returns {"paths": {id: PathSpec}, "streams": {...}, "databases": {...}}.
+    """
+    root = _parse_xml(source)
+    kinds = {"filters": "filter", "editors": "editor", "maths": "math"}
+    nodes: dict[tuple[str, str], dict] = {}
+    for section, kind in kinds.items():
+        for el in root.iter(section):
+            for child in el.findall(kind):
+                fid = child.get("id", "")
+                step = _STEP_BUILDERS[kind](child, child.get("delimiter", ","))
+                nodes[(kind, fid)] = {
+                    "step": step,
+                    "src": child.get("src", ""),
+                    "label": child.get("label", ""),
+                }
+    generics: dict[str, dict] = {}
+    for el in root.iter("generics"):
+        for child in el.findall("generic"):
+            gid = child.get("id", "")
+            generics[gid] = {
+                "step": _generic_step(child, child.get("delimiter", ",")),
+                "dbid": child.get("dbid"),
+                "table": child.get("table"),
+            }
+    paths: dict[str, PathSpec] = {}
+    for gid, g in generics.items():
+        # find the forward labeled generic:<gid>; a generic may also be
+        # fed straight from a filter (label on any forward kind)
+        feeder_key = next(
+            (k for k, n in nodes.items() if n["label"] == f"generic:{gid}"), None
+        )
+        chain: list[dict] = []
+        src = ""
+        key = feeder_key
+        seen: set[tuple[str, str]] = set()
+        while key is not None and key not in seen:
+            seen.add(key)
+            node = nodes[key]
+            chain.insert(0, node["step"])
+            ref = node["src"]
+            if ":" in ref and ref.split(":", 1)[0] in ("filter", "editor", "math"):
+                k, _, rid = ref.partition(":")
+                key = (k, rid)
+            else:
+                src = ref  # raw:id:<stream> or any engine source ref
+                key = None
+        steps = chain + [g["step"]]
+        spec: PathSpec = {"id": gid, "delimiter": ",", "steps": steps}
+        if src:
+            spec["src"] = src
+        if g["dbid"]:
+            spec["db"] = {"dbid": g["dbid"], "table": g["table"]}
+        paths[gid] = spec
+
+    streams: dict[str, dict] = {}
+    for el in root.iter("streams"):
+        for st in el.findall("stream"):
+            sid = st.get("id", "")
+            addr = (st.findtext("address") or "").strip()
+            streams[sid] = {
+                "kind": st.get("type", "tcp"),
+                "address": addr,
+                "eol": (st.findtext("eol") or "crlf").strip(),
+            }
+
+    databases: dict[str, dict] = {}
+    for el in root.iter("databases"):
+        for db in el.findall("sqlite"):
+            did = db.get("id", "")
+            tables: dict[str, list[tuple[str, str]]] = {}
+            for tb in db.findall("table"):
+                cols = []
+                for ent in tb:
+                    if ent.tag.lower() in _GENERIC_DTYPES:
+                        cols.append((_text(ent).strip(), _GENERIC_DTYPES[ent.tag.lower()]))
+                tables[tb.get("name", "")] = cols
+            databases[did] = {"path": db.get("path", ""), "tables": tables}
+    return {"paths": paths, "streams": streams, "databases": databases}

@@ -142,3 +142,104 @@ class TestXmlCompiled:
         out, rejects = compile_path(df, load_paths(xml)["t"])
         assert out.count() == 1
         assert rejects["bad"].count() == 1
+
+
+MANUAL_DAS_XML = """
+<das>
+  <settings>
+    <databases>
+      <sqlite id="navdata" path="db/navdata.sqlite">
+        <table name="gps">
+          <text alias="timestamp">timestamp</text>
+          <real alias="">fixtime</real>
+          <real alias="">latitude</real>
+          <real alias="">longitude</real>
+        </table>
+      </sqlite>
+    </databases>
+  </settings>
+  <streams>
+    <stream id="gps" type="tcp">
+      <address>192.168.17.203:2101</address>
+      <eol>crlf</eol>
+    </stream>
+  </streams>
+  <filters>
+    <filter id="zda" src="raw:id:gps" type="start">$GPZDA</filter>
+    <filter id="gga" src="raw:id:gps" type="start">$GPGGA</filter>
+  </filters>
+  <editors>
+    <editor delimiter="," id="zda" src="filter:zda" label="generic:zda">
+      <edit delimiter="," leftover="append" type="resplit">i0,i4-i3-i2 i1</edit>
+      <edit delimiter="," from="yyyy-MM-dd HHmmss.SS" index="1" type="redate">yyyy-MM-dd HH:mm:ss.SSS</edit>
+    </editor>
+  </editors>
+  <maths>
+    <math delimiter="," id="gga" src="filter:gga" label="generic:gga">
+      <op index="2">(i2-(i2%100))/100+(i2%100)/60</op>
+      <op index="4">(i4-(i4%100))/100+(i4%100)/60</op>
+    </math>
+  </maths>
+  <generics>
+    <generic delimiter="," id="zda">
+      <text index="1">timestamp</text>
+    </generic>
+    <generic id="gga" dbid="navdata" delimiter="," table="gps">
+      <real index="1">fixtime</real>
+      <real index="2">latitude</real>
+      <real index="4">longitude</real>
+    </generic>
+  </generics>
+</das>
+"""
+
+
+class TestLegacyDasGrammar:
+    """The manual's complete 'Basic usage example' (docs/DAS Core
+    manual.md:2340-2392) through the legacy sectioned grammar."""
+
+    def test_sections_parse_and_chain(self):
+        from dcafs_spark.plans.xmlconfig import load_das_sections
+
+        cfg = load_das_sections(MANUAL_DAS_XML)
+        assert set(cfg["paths"]) == {"zda", "gga"}
+        zda = cfg["paths"]["zda"]
+        assert zda["src"] == "raw:id:gps"
+        assert [s["type"] for s in zda["steps"]] == ["filter", "editor", "generic"]
+        gga = cfg["paths"]["gga"]
+        assert [s["type"] for s in gga["steps"]] == ["filter", "math", "generic"]
+        assert gga["db"] == {"dbid": "navdata", "table": "gps"}
+        assert cfg["streams"]["gps"]["address"] == "192.168.17.203:2101"
+        assert cfg["databases"]["navdata"]["tables"]["gps"][0] == ("timestamp", "text")
+
+    def test_gga_math_end_to_end(self, spark):
+        from dcafs_spark.plans.dsl import compile_path
+        from dcafs_spark.plans.xmlconfig import load_das_sections
+
+        cfg = load_das_sections(MANUAL_DAS_XML)
+        lines = spark.createDataFrame(
+            [
+                ("$GPGGA,191336.00,5113.583281,N,00256.13935,E,4,16,0.6,8.25,M,47.15,M,1.0,2382*74",),
+                ("$GPZDA,191336.00,10,03,2021,,*6A",),  # filtered out
+            ],
+            "value string",
+        )
+        out, _rejects = compile_path(lines, cfg["paths"]["gga"])
+        out = out.collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["fixtime"] == 191336.00
+        assert row["latitude"] == pytest.approx(51.22638801666667, abs=1e-9)
+        assert row["longitude"] == pytest.approx(2.9356558333333335, abs=1e-9)
+
+    def test_zda_editor_end_to_end(self, spark):
+        from dcafs_spark.plans.dsl import compile_path
+        from dcafs_spark.plans.xmlconfig import load_das_sections
+
+        cfg = load_das_sections(MANUAL_DAS_XML)
+        lines = spark.createDataFrame([("$GPZDA,191336.00,10,03,2021,,*6A",)], "value string")
+        out, _rejects = compile_path(lines, cfg["paths"]["zda"])
+        out = out.collect()
+        assert len(out) == 1
+        # manual: -> $GPZDA,2021-03-10 19:13:36.000,,*6A ; generic takes i1
+        assert out[0]["timestamp"] == "2021-03-10 19:13:36.000"

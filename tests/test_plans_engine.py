@@ -883,3 +883,21 @@ class TestForwardBuilderCommands:
         assert eng.command("mf:addop,nope,i0=i0") == "No math named nope yet"
         eng.command("ff:addshort,a,raw:id:x,start:$A")
         assert "a <- raw:id:x" in eng.command("ff:list")
+
+
+def test_pf_debug_steps(spark):
+    from dcafs_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.command("ff:addshort,gga,raw:id:gps,start:$GPGGA")
+    eng.command("mf:addblank,gga,filter:gga")
+    eng.command("mf:addop,gga,i2=(i2-(i2%100))/100+(i2%100)/60")
+    eng.command("gens:addblank,gga,srr")
+    line = "$GPGGA,12.5,5113.583281"
+    r0 = eng.command(f"pf:debug,gga,0,{line}")
+    assert "value=$GPGGA,12.5,5113.583281" in r0  # raw input
+    r2 = eng.command(f"pf:debug,gga,2,{line}")
+    assert "51.226388" in r2  # after the math step
+    dropped = eng.command("pf:debug,gga,1,$GPZDA,1,2")
+    assert "dropped" in dropped
+    assert "No such path" in eng.command("pf:debug,nope,1,x")

@@ -65,6 +65,7 @@ class Engine:
         # manual's step-by-step pipeline construction workflow): forwards
         # accumulate here until a generic terminates the chain into a path
         self.forwards: dict[tuple[str, str], dict] = {}
+        self.val_meta: dict[tuple[str, str], dict] = {}  # <rtvals> unit/scale/options
         from collections import deque
 
         self._infolog: deque[str] = deque(maxlen=500)  # admin:info tail
@@ -308,6 +309,9 @@ class Engine:
                 self._settings_xml = src  # upgrade:settings re-applies this
                 for pid, spec in specs.items():
                     self.add_path(pid, source=spec.get("src", {}), spec=spec)
+                n_vals = self._register_rtvals(src)
+                if n_vals:
+                    extra += f" + {n_vals} rtval(s)"
                 return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}{extra}"
             if args[0] == "debug" and len(args) >= 3:
                 # pf:debug,<id>,<stepnr>,<sample line> — run a sample
@@ -569,6 +573,55 @@ class Engine:
                 "read:<id> | retrieve:setup,<to> | upgrade:settings"
             )
         return self._UNKNOWN + line
+
+    def _register_rtvals(self, xml_src: str) -> int:
+        """<rtvals> section of a loaded settings.xml → store defaults,
+        unit/scale metadata and <cmd when=..> triggered commands
+        (RealtimeValues.readFromXML; '$' in a fired command is replaced
+        by the value, RealVal.java:507)."""
+        from dcafs_spark.plans.xmlconfig import load_rtvals
+        from dcafs_spark.streaming.values_store import _KeyState
+
+        try:
+            vals = load_rtvals(xml_src)
+        except Exception:
+            return 0
+        for v in vals:
+            key = (v["group"], v["name"])
+            self.val_meta[key] = {
+                "unit": v["unit"], "scale": v["scale"],
+                "vtype": v["vtype"], "options": v["options"],
+            }
+            default = v["default"]
+            if v["vtype"] == "flag":
+                self.store.flags.setdefault(
+                    key, str(default).strip().lower() in ("true", "1", "yes")
+                )
+            elif v["vtype"] == "text":
+                if default is not None:
+                    self.store.texts.setdefault(key, str(default))
+            elif default is not None and key not in self.store.state:
+                try:
+                    st = _KeyState()
+                    st.last = float(default)
+                    self.store.state[key] = st
+                except ValueError:
+                    pass
+            for when, cmd in v["cmds"]:
+                kind = when if when in ("always", "changed") else "comparison"
+
+                def _fire_cmd(_g, _n, val, _c=cmd):
+                    rendered = _c.replace("$", f"{val:g}" if isinstance(val, float) else str(val))
+                    return self.command(rendered)
+
+                self.store.add_rule(
+                    TriggerRule(
+                        v["group"], v["name"], kind,
+                        cmd=_fire_cmd,
+                        comparison=when if kind == "comparison" else None,
+                    )
+                )
+        return len(vals)
 
     # ------------------------------------- ff:/ef:/mf:/gens: builders
     # The manual's interactive pipeline construction (ForwardPool

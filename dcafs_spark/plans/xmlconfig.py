@@ -405,3 +405,51 @@ def load_das_sections(source: str | Path) -> dict:
                 tables[tb.get("name", "")] = cols
             databases[did] = {"path": db.get("path", ""), "tables": tables}
     return {"paths": paths, "streams": streams, "databases": databases}
+
+
+def load_rtvals(source: str | Path) -> list[dict]:
+    """<rtvals> settings grammar (RealtimeValues.readFromXML,
+    src/util/data/RealtimeValues.java:61-130): <group id=..> children
+    real/double/integer/int/flag/text, each with name/id attr (or text
+    content), unit, scale, default/def, comma-separated options
+    (minmax/time/scale:N/order:N/history:N/abs) and <cmd when=..>
+    triggered commands (RealVal.java:78-103).
+
+    Returns a list of val specs:
+    {group, name, vtype, unit, scale, default, options, cmds}.
+    """
+    root = _parse_xml(source)
+    _VTYPES = {
+        "real": "real", "double": "real",
+        "integer": "integer", "int": "integer",
+        "flag": "flag", "text": "text",
+    }
+    out: list[dict] = []
+    for rt in root.iter("rtvals"):
+        def_real = rt.get("realdefault")
+        for grp in rt.findall("group"):
+            gid = grp.get("id", grp.get("name", ""))
+            for el in grp:
+                vtype = _VTYPES.get(el.tag.lower())
+                if vtype is None:
+                    continue
+                name = el.get("name", el.get("id", "")) or _text(el).strip()
+                spec: dict = {
+                    "group": gid,
+                    "name": name,
+                    "vtype": vtype,
+                    "unit": el.get("unit", ""),
+                    "scale": int(el.get("scale", "-1")),
+                    "default": el.get("default", el.get("def", def_real)),
+                    "options": {},
+                    "cmds": [],
+                }
+                for opt in (el.get("options") or "").split(","):
+                    if not opt:
+                        continue
+                    k, _, v = opt.partition(":")
+                    spec["options"][k.strip()] = v if v else True
+                for cmd in el.findall("cmd"):
+                    spec["cmds"].append((cmd.get("when", "always"), _text(cmd).strip()))
+                out.append(spec)
+    return out

@@ -257,3 +257,52 @@ def test_engine_pf_load_detects_legacy_layout(spark):
     assert eng.dbs["navdata"]["dialect"] == "sqlite"
     assert "gps" in eng.dbs["navdata"]["tables"]
     assert set(eng.paths) == {"gga", "zda"}
+
+
+RTVALS_XML = """
+<das>
+  <settings>
+    <rtvals>
+      <group id="ctd">
+        <real name="temp" unit="C" default="7.5" options="minmax,history:5,scale:2">
+          <cmd when="above 20">issue:add,hot,Temp $ above limit</cmd>
+        </real>
+        <real name="sal" unit="psu"/>
+        <flag name="pump" default="true"/>
+        <text name="mode" default="idle"/>
+      </group>
+    </rtvals>
+  </settings>
+</das>
+"""
+
+
+class TestRtvalsXml:
+    def test_parse(self):
+        from dcafs_spark.plans.xmlconfig import load_rtvals
+
+        vals = load_rtvals(RTVALS_XML)
+        by = {(v["group"], v["name"]): v for v in vals}
+        t = by[("ctd", "temp")]
+        assert t["unit"] == "C" and t["default"] == "7.5"
+        assert t["options"] == {"minmax": True, "history": "5", "scale": "2"}
+        assert t["cmds"] == [("above 20", "issue:add,hot,Temp $ above limit")]
+        assert by[("ctd", "pump")]["vtype"] == "flag"
+
+    def test_engine_registers_defaults_and_triggers(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        reply = eng.command("pf:load," + RTVALS_XML)
+        assert "4 rtval(s)" in reply
+        assert eng.store.get("ctd", "temp") == 7.5
+        assert eng.store.get_flag("ctd", "pump") is True
+        assert eng.store.get_text("ctd", "mode") == "idle"
+        assert eng.val_meta[("ctd", "temp")]["unit"] == "C"
+        # drive the trigger over the limit: the fired command renders $
+        batch = spark.createDataFrame(
+            [("ctd", "temp", 23.0, 1)], "group string, name string, value double, ts long"
+        )
+        eng.store.merge_batch(batch)
+        assert eng.store.fired_log, "trigger did not fire"
+        assert "hot" in eng.command("issue:list")

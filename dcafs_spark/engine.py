@@ -242,6 +242,11 @@ class Engine:
             return "\n".join(
                 f"{s['group']} -> {s['name']} : "
                 + ("None" if s["last_value"] is None else f"{s['last_value']:g}")
+                + (
+                    f"{self.val_meta[(s['group'], s['name'])]['unit']}"
+                    if self.val_meta.get((s["group"], s["name"]), {}).get("unit")
+                    else ""
+                )
                 for s in snap
             ) or "no values"
         if prefix == "rtval":

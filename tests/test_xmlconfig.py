@@ -306,3 +306,5 @@ class TestRtvalsXml:
         eng.store.merge_batch(batch)
         assert eng.store.fired_log, "trigger did not fire"
         assert "hot" in eng.command("issue:list")
+        # unit renders in the rtvals listing (reference shows 7.5C)
+        assert "ctd -> temp : 23C" in eng.command("rtvals")

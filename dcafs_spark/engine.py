@@ -613,7 +613,13 @@ class Engine:
                 except ValueError:
                     pass
             for when, cmd in v["cmds"]:
-                kind = when if when in ("always", "changed") else "comparison"
+                if when in ("always", "changed"):
+                    kind, comparison = when, None
+                elif "stdev" in when:  # 'stdev above 0.5' -> STDEV type
+                    kind = "stdev"
+                    comparison = when.replace("stdev", "").strip()
+                else:
+                    kind, comparison = "comparison", when
 
                 def _fire_cmd(_g, _n, val, _c=cmd):
                     rendered = _c.replace("$", f"{val:g}" if isinstance(val, float) else str(val))
@@ -623,7 +629,7 @@ class Engine:
                     TriggerRule(
                         v["group"], v["name"], kind,
                         cmd=_fire_cmd,
-                        comparison=when if kind == "comparison" else None,
+                        comparison=comparison,
                     )
                 )
         return len(vals)

@@ -42,7 +42,7 @@ class TriggerRule:
 
     group: str
     name: str
-    kind: str  # always | changed | comparison
+    kind: str  # always | changed | comparison | stdev
     cmd: Callable[[str, str, float], Any] | None = None
     # comparison spec in the reference grammar: 'above 10', '< 3',
     # 'between 2 and 8', 'not below 1', ... (MathUtils.java:244-329)
@@ -157,9 +157,10 @@ class ValuesStore:
             st.count += row["d_count"]
             st.total += row["d_sum"]
             st.last_ts = row["d_ts"]
+            pre_hist = list(st.history)
             st.history = (st.history + list(row["d_tail"]))[-self.history_n :]
             if key in seqs:
-                self._eval_rules_seq(key, prev, seqs[key])
+                self._eval_rules_seq(key, prev, seqs[key], pre_hist)
         if len(self.state) > self.max_keys:
             raise RuntimeError(
                 f"ValuesStore key cardinality {len(self.state)} exceeds max_keys="
@@ -168,7 +169,13 @@ class ValuesStore:
             )
 
     # -------------------------------------------------------------- rules
-    def _eval_rules_seq(self, key: tuple[str, str], prev: float | None, values: list[float]) -> None:
+    def _eval_rules_seq(
+        self,
+        key: tuple[str, str],
+        prev: float | None,
+        values: list[float],
+        pre_hist: list[float] | None = None,
+    ) -> None:
         """Per-record trigger evaluation over the batch's ordered values.
 
         Value-major: each update runs through ALL of the key's rules
@@ -181,18 +188,31 @@ class ValuesStore:
         if not rules:
             return
         p = prev
+        hist = list(pre_hist or [])
         for new in values:
+            hist = (hist + [new])[-self.history_n :]
             for rule in rules:
                 if rule.kind == "always":
                     self._fire(rule, key, new)
                 elif rule.kind == "changed":
                     if p is None or p != new:
                         self._fire(rule, key, new)
-                elif rule.kind == "comparison":
-                    ok = rule._check(new)
+                elif rule.kind in ("comparison", "stdev"):
+                    if rule.kind == "stdev":
+                        # compare the rolling history's sample stdev
+                        # instead of the value; skip until the window is
+                        # full (RealVal.java:515-521 NaN guard)
+                        if len(hist) < self.history_n:
+                            continue
+                        mean = sum(hist) / len(hist)
+                        var = sum((x - mean) ** 2 for x in hist) / (len(hist) - 1)
+                        probe = math.sqrt(var)
+                    else:
+                        probe = new
+                    ok = rule._check(probe)
                     if ok and not rule.fired:  # fire once, then hold
                         rule.fired = True
-                        self._fire(rule, key, new)
+                        self._fire(rule, key, new)  # $ renders the VALUE (RealVal.java:528)
                     elif not ok and rule.fired:  # condition cleared → re-arm
                         rule.fired = False
             p = new

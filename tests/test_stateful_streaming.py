@@ -475,3 +475,35 @@ class TestStreamStreamIntervalJoin:
         finally:
             q.stop()
         assert rows == [("u1", 9.5)]
+
+
+class TestStdevTrigger:
+    def test_fires_on_history_stdev(self, spark):
+        """STDEV trigger type (RealVal.java:515-521): compares the
+        rolling history's sample stdev, skips until the window fills,
+        hysteresis like comparison rules; $ renders the VALUE."""
+        from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+        fired = []
+        store = ValuesStore(history_n=3)
+        store.add_rule(
+            TriggerRule("g", "x", "stdev",
+                        cmd=lambda g, n, v: fired.append(v), comparison="above 0.5")
+        )
+
+        def push(vals, t0):
+            df = spark.createDataFrame(
+                [("g", "x", float(v), t0 + i) for i, v in enumerate(vals)],
+                "group string, name string, value double, ts long",
+            )
+            store.merge_batch(df)
+
+        push([1.0, 1.0], 0)      # window not full -> no fire
+        assert fired == []
+        push([1.0], 10)          # full window, stdev 0 -> no fire
+        assert fired == []
+        push([5.0], 20)          # hist [1,1,5] stdev ~2.3 -> fires with value 5
+        assert fired == [5.0]
+        push([5.0, 5.0], 30)     # stays high then clears: [1,5,5]: ~2.3 (held), [5,5,5]: 0 -> re-armed
+        push([9.0], 50)          # [5,5,9] stdev ~2.3 -> fires again
+        assert fired == [5.0, 9.0]

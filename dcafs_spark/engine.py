@@ -613,7 +613,7 @@ class Engine:
                 except ValueError:
                     pass
             for when, cmd in v["cmds"]:
-                if when in ("always", "changed"):
+                if when in ("always", "changed", "raised", "lowered"):
                     kind, comparison = when, None
                 elif "stdev" in when:  # 'stdev above 0.5' -> STDEV type
                     kind = "stdev"
@@ -622,8 +622,13 @@ class Engine:
                     kind, comparison = "comparison", when
 
                 def _fire_cmd(_g, _n, val, _c=cmd):
-                    rendered = _c.replace("$", f"{val:g}" if isinstance(val, float) else str(val))
-                    return self.command(rendered)
+                    if isinstance(val, bool):  # flag edges: true/false (FlagVal.java:108)
+                        sub = "true" if val else "false"
+                    elif isinstance(val, float):
+                        sub = f"{val:g}"
+                    else:
+                        sub = str(val)
+                    return self.command(_c.replace("$", sub))
 
                 self.store.add_rule(
                     TriggerRule(

@@ -244,7 +244,17 @@ class ValuesStore:
             self.flags[key] = not cur
         else:
             raise ValueError(f"unknown flag op {op}")
-        return self.flags[key]
+        new = self.flags[key]
+        # edge commands (FlagVal.java:104-130): kind='raised'/'lowered'
+        # rules fire only on the actual transition; $ renders true/false
+        if new != cur:
+            edge = "raised" if new else "lowered"
+            for rule in self.rules:
+                if (rule.group, rule.name) == key and rule.kind == edge:
+                    self.fired_log.append((group, name, edge, 1.0 if new else 0.0))
+                    if rule.cmd is not None:
+                        rule.cmd(group, name, new)
+        return new
 
     def get_text(self, group: str, name: str) -> str | None:
         return self.texts.get((group, name))

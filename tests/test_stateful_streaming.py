@@ -507,3 +507,34 @@ class TestStdevTrigger:
         push([5.0, 5.0], 30)     # stays high then clears: [1,5,5]: ~2.3 (held), [5,5,5]: 0 -> re-armed
         push([9.0], 50)          # [5,5,9] stdev ~2.3 -> fires again
         assert fired == [5.0, 9.0]
+
+
+class TestFlagEdgeCmds:
+    def test_raised_lowered_fire_on_transition(self, spark):
+        """FlagVal edge commands (FlagVal.java:104-130): fire only on
+        the actual transition, $ renders true/false."""
+        from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+        fired = []
+        store = ValuesStore()
+        store.add_rule(TriggerRule("g", "pump", "raised", cmd=lambda g, n, v: fired.append(("up", v))))
+        store.add_rule(TriggerRule("g", "pump", "lowered", cmd=lambda g, n, v: fired.append(("down", v))))
+        store.set_flag("g", "pump", "raise")
+        store.set_flag("g", "pump", "raise")   # already up: no re-fire
+        store.set_flag("g", "pump", "toggle")  # -> down
+        assert fired == [("up", True), ("down", False)]
+
+    def test_xml_flag_cmd_renders_boolean(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        xml = """
+        <das><settings><rtvals><group id="g">
+          <flag name="pump" default="false">
+            <cmd when="raised">issue:add,pump_on,pump went $</cmd>
+          </flag>
+        </group></rtvals></settings></das>
+        """
+        eng.command("pf:load," + xml)
+        eng.store.set_flag("g", "pump", "raise")
+        assert "pump went true" in eng.command("issue:list")

@@ -355,6 +355,20 @@ class Engine:
         if prefix in ("st", "ss", "streams"):
             if args and args[0].startswith("add"):
                 return self._ss_add(args, line)
+            if args[:1] == ["alter"]:
+                # ss:alter,id,param:value (StreamManager alter — manual
+                # quickstart step: ss:alter,sensor,eol:cr)
+                if len(args) < 3 or ":" not in rest.split(",", 2)[2]:
+                    return "Not enough arguments: ss:alter,id,param:value"
+                spec = self.sources.get(args[1])
+                if spec is None:
+                    return f"No such stream: {args[1]}"
+                param, _, value = rest.split(",", 2)[2].partition(":")
+                param = param.strip().lower()
+                if param == "eol":
+                    value = {"cr": "\r", "lf": "\n", "crlf": "\r\n"}.get(value.lower(), value)
+                spec[param] = value
+                return "Alteration applied"
             lines = [
                 f"{pid} : {'running' if h.query else 'stopped'}"
                 for pid, h in sorted(self.paths.items())

@@ -901,3 +901,14 @@ def test_pf_debug_steps(spark):
     dropped = eng.command("pf:debug,gga,1,$GPZDA,1,2")
     assert "dropped" in dropped
     assert "No such path" in eng.command("pf:debug,nope,1,x")
+
+
+def test_ss_alter(spark):
+    from dcafs_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.command("ss:addtcp,sensor,host:2000")
+    assert eng.command("ss:alter,sensor,eol:cr") == "Alteration applied"
+    assert eng.sources["sensor"]["eol"] == "\r"
+    assert "No such stream" in eng.command("ss:alter,nope,eol:cr")
+    assert "Not enough" in eng.command("ss:alter,sensor")

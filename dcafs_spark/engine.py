@@ -1100,8 +1100,20 @@ class Engine:
             if len(args) < 4:
                 return "Not enough arguments: dbm:addtable,id,table,name:type,..."
             table = args[2]
-            fields = [c.partition(":") for c in args[3:]]
-            schema = ", ".join(f"{n} {t or 'string'}" for n, _, t in fields)
+            _LETTER_SQL = {
+                "t": "timestamp", "u": "timestamp", "m": "long",
+                "r": "double", "i": "long", "c": "string",
+            }
+            if len(args) == 4 and ":" not in args[3] and all(c in _LETTER_SQL for c in args[3]):
+                # letter-coded format like the manual's 'trii'
+                # (SqlTable.addBlankToXML, SqlTable.java:680-695):
+                # placeholder column names, rename via XML later
+                schema = ", ".join(
+                    f"col{i}_{_LETTER_SQL[c]} {_LETTER_SQL[c]}" for i, c in enumerate(args[3])
+                )
+            else:
+                fields = [c.partition(":") for c in args[3:]]
+                schema = ", ".join(f"{n} {t or 'string'}" for n, _, t in fields)
             df = self.spark.createDataFrame([], schema)
             ddl = ddl_for(df, table, db["dialect"])
             db["tables"][table] = schema
@@ -1114,6 +1126,12 @@ class Engine:
                     con.close()
                 return f"Created table {table}"
             return ddl  # server dialects: hand back the DDL to run there
+        if verb == "tables":
+            # dbm:tables,<id> — list the db's tables + columns (manual
+            # quickstart verification step)
+            if not db["tables"]:
+                return f"No tables in {args[1]}"
+            return "\n".join(f"{t} : {s}" for t, s in sorted(db["tables"].items()))
         if verb == "query":
             sql = rest.partition(",")[2].partition(",")[2]
             if db["dialect"] != "sqlite":

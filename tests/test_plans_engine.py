@@ -912,3 +912,16 @@ def test_ss_alter(spark):
     assert eng.sources["sensor"]["eol"] == "\r"
     assert "No such stream" in eng.command("ss:alter,nope,eol:cr")
     assert "Not enough" in eng.command("ss:alter,sensor")
+
+
+def test_dbm_lettercoded_table_and_listing(spark, tmp_path):
+    from dcafs_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.command(f"dbm:addsqlite,sensordb,{tmp_path}/s.sqlite")
+    assert "Created table data" in eng.command("dbm:addtable,sensordb,data,trii")
+    listing = eng.command("dbm:tables,sensordb")
+    assert "data :" in listing and "col0_timestamp timestamp" in listing
+    assert "col1_double double" in listing and "col3_long long" in listing
+    # named form still works
+    assert "Created table named" in eng.command("dbm:addtable,sensordb,named,temp:double")

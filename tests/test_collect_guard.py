@@ -34,6 +34,9 @@ ALLOWED = {
     ("telnet.py", "_render"),
     # admin:gc — Python's gc.collect(), not a DataFrame materialization
     ("engine.py", "_admin_command"),
+    # pf:debug — runs ONE literal sample line through a sub-path and
+    # collects the single-row result for the telnet-style reply
+    ("engine.py", "command"),
 }
 
 

@@ -132,6 +132,18 @@ def compile_steps(
                 multi_delimiter=step.get("multi"),
                 column=column,
             )
+        elif kind == "custom":
+            # extension point — the Spark analog of the reference's
+            # custom label handlers (LabelWorker doLABEL(Datagram),
+            # manual 'Adding a label' / SURVEY §2.10): a user callable
+            # DataFrame -> DataFrame spliced into the compiled chain.
+            # Distribution discipline is the author's contract, same as
+            # any DataFrame transform; no driver-side row loop exists
+            # here for one to accidentally fall into.
+            fn = step.get("fn")
+            if not callable(fn):
+                raise ValueError("custom step needs a callable 'fn'")
+            df = fn(df)
         else:
             raise ValueError(f"unknown step type: {kind}")
     return df, rejects

@@ -925,3 +925,24 @@ def test_dbm_lettercoded_table_and_listing(spark, tmp_path):
     assert "col1_double double" in listing and "col3_long long" in listing
     # named form still works
     assert "Created table named" in eng.command("dbm:addtable,sensordb,named,temp:double")
+
+
+def test_custom_step_extension_point(spark):
+    """The reference's custom-label-handler extension (manual 'Adding a
+    label') as a path step: user callable spliced into the chain."""
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.plans.dsl import compile_steps
+
+    df = spark.createDataFrame([("a,1",), ("b,2",)], "value string")
+    steps = [
+        {"type": "filter", "rules": [["minitems", "2"]]},
+        {"type": "custom", "fn": lambda d: d.withColumn("value", F.upper("value"))},
+    ]
+    out, _ = compile_steps(df, steps)
+    assert sorted(r["value"] for r in out.collect()) == ["A,1", "B,2"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="callable"):
+        compile_steps(df, [{"type": "custom"}])

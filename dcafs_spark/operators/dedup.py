@@ -608,3 +608,91 @@ def incremental_dedup(
     ).localCheckpoint(eager=True)  # compute once: returned AND appended
     survivors.select("content_hash").write.mode("append").parquet(store_path)
     return survivors.drop("content_hash")
+
+
+def _banded_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, sig, band, bucket) — shared by self- and cross-corpus LSH."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    ).localCheckpoint(eager=False)
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def cross_minhash_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy CROSS-corpus dedup: which new docs are near-duplicates of
+    the reference corpus (dedupe a fresh crawl batch against the
+    existing training set — the fuzzy sibling of incremental_dedup's
+    exact-hash store).
+
+    Returns one row per condemned new doc: (doc_id, ref_id,
+    est_jaccard) — its best reference match (highest estimated Jaccard,
+    lowest ref id on ties). Survivors = new_docs left-anti this.
+
+    Scale shape: both corpora reduce to (id, K longs) signatures; the
+    only join is band-bucket equi (16-byte keys); bodies never shuffle.
+    The ref side can be precomputed once and persisted — batches then
+    pay one signature pass over the NEW docs only."""
+    from pyspark.sql import Window
+
+    nb = _banded_signatures(new_docs, text_col, id_col, shingle_n, num_hashes, bands)
+    rb = _banded_signatures(ref_docs, text_col, id_col, shingle_n, num_hashes, bands)
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("n.sig"), F.col("r.sig"), lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            rb.alias("r"),
+            (F.col("n.band") == F.col("r.band")) & (F.col("n.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col("n.id").alias(id_col),
+            F.col("r.id").alias("ref_id"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy(id_col, "ref_id")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("est_jaccard").desc(), F.col("ref_id").asc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    )

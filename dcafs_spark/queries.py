@@ -2928,6 +2928,67 @@ FROM f
 """
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy dedup: a 'new batch' (50 near-dup perturbed
+    copies + 50 word-reversed novel docs) deduped against the full
+    corpus as reference. Near-dups condemn; reversed docs share no
+    3-shingles and survive."""
+    from dcafs_spark.operators.dedup import cross_minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    near = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduplicate")).alias("text"),
+    )
+    novel = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")), " ").alias("text"),
+    )
+    new_batch = near.unionByName(novel)
+    return cross_minhash_dedup(new_batch, docs, threshold=0.5)
+
+
+def _sql_cross_dedup() -> str:
+    rows = 4
+    def banded(side: str) -> str:
+        selects = []
+        for b in range(4):
+            cols = " || '|' || ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+            selects.append(f"SELECT doc_id, sig, {b} AS band, md5({cols}) AS bucket FROM {side}_sig")
+        return " UNION ALL ".join(selects)
+
+    return f"""
+WITH newb AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' zzduplicate' AS text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_reverse(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), ' ') AS text
+  FROM documents WHERE doc_id >= 50 AND doc_id < 100
+),
+nw AS (SELECT doc_id, {_WORDS_SQL} AS words FROM newb),
+nsh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles FROM nw),
+new_sig AS (SELECT doc_id, {_sql_minhash(16)} AS sig FROM nsh),
+rw AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+rsh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles FROM rw),
+ref_sig AS (SELECT doc_id, {_sql_minhash(16)} AS sig FROM rsh),
+nbanded AS ({banded('new')}),
+rbanded AS ({banded('ref')}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, r.doc_id AS ref_id, n.sig AS sig_n, r.sig AS sig_r
+  FROM nbanded n JOIN rbanded r ON n.band = r.band AND n.bucket = r.bucket
+),
+scored AS (
+  SELECT doc_id, ref_id,
+         round(len(list_filter(range(1, 17), i -> sig_n[i] = sig_r[i])) / 16.0, 4) AS est_jaccard
+  FROM cand
+)
+SELECT doc_id, ref_id, est_jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY est_jaccard DESC, ref_id ASC) AS rk
+  FROM scored WHERE est_jaccard >= 0.5)
+WHERE rk = 1
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3032,4 +3093,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "oov_rate": (q_oov_rate, SQL_OOV),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
+    "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
 }

@@ -296,3 +296,21 @@ class TestIncrementalDedup:
         )
         assert out.count() == 1
         assert spark.read.parquet(str(tmp_path / "fresh_store")).count() == 1
+
+
+class TestCrossDedup:
+    def test_condemns_near_dups_not_novel(self, spark, sf_dir):
+        from dcafs_spark.queries import q_cross_dedup
+
+        out = q_cross_dedup(spark, sf_dir).collect()
+        ids = sorted(r["doc_id"] for r in out)
+        assert all(i < 2_000_000 for i in ids), "a reversed novel doc was condemned"
+        assert len(ids) == len(set(ids)), "more than one best match per doc"
+        assert all(1_000_000 <= i < 1_000_050 for i in ids)
+        for r in out:
+            assert r["est_jaccard"] >= 0.5
+            # best match is a real corpus doc; the source doc unless the
+            # corpus holds an identical twin with a lower id (the
+            # generator plants duplicate families — ties break low)
+            assert 0 <= r["ref_id"] < 500
+            assert r["ref_id"] <= r["doc_id"] - 1_000_000

@@ -56,6 +56,7 @@ FLAKY_SUSPECTS = [
     "quality_band_sample",
     "oov_rate",
     "code_detect",
+    "cross_dedup",
 ]
 
 

@@ -305,3 +305,21 @@ def code_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_indent.alias("n_indent"),
         is_code.alias("is_code"),
     )
+
+
+def clean_text(col: Column) -> Column:
+    """Training-corpus text normalization (the C4/CCNet-style cleanup
+    pass): strip markup tags, decode the common HTML entities, drop
+    control characters, collapse runs of whitespace, trim. Pure
+    regexp_replace chain — scan-speed, zero shuffle, and every regex
+    stays in the Java/RE2-common subset so a DuckDB oracle reproduces
+    it byte-for-byte."""
+    out = F.regexp_replace(col, r"<[^>]{0,512}>", " ")  # bounded: no catastrophic scan
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

@@ -2989,6 +2989,50 @@ WHERE rk = 1
 """
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization over a markup-injected variant of the
+    documents table (tags + entities wrapped around real text): output
+    is the cleaned text's md5 + before/after lengths, so the gate
+    hash-checks the exact cleaned BYTES without shipping them."""
+    from dcafs_spark.operators.textan import clean_text
+
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p class=\"x\">&nbsp;"), F.col("text"),
+            F.lit(" &amp; more&#39;s <br/>\x07 trailing\t\t end</p>"),
+        ).alias("text"),
+    )
+    cleaned = clean_text(F.col("text"))
+    return dirty.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+SQL_TEXT_CLEAN = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<p class="x">&nbsp;' || text || ' &amp; more&#39;s <br/>' || chr(7) || ' trailing' || chr(9) || chr(9) || ' end</p>' AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(text, '<[^>]{0,512}>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      '\s+', ' ', 'g')) AS cleaned
+  FROM dirty
+)
+SELECT doc_id, length(text) AS raw_len, length(cleaned) AS clean_len, md5(cleaned) AS clean_md5
+FROM c
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3094,4 +3138,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "oov_rate": (q_oov_rate, SQL_OOV),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
 }

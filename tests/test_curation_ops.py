@@ -388,3 +388,22 @@ class TestOovRate:
             assert 0 <= r["n_oov"] <= r["n_tokens"]
             assert 0 <= r["oov_ppm"] <= 1_000_000
             assert r["oov_ppm"] == r["n_oov"] * 1_000_000 // r["n_tokens"]
+
+
+class TestCleanText:
+    def test_cleanup_semantics(self, spark):
+        from dcafs_spark.operators.textan import clean_text
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, '<div class="a">Hello &amp; <b>world</b>&nbsp;&#39;quoted&#39;</div>'),
+                (2, "no markup   at\tall\x07"),
+                (3, "<not closed"),
+            ],
+            "id int, text string",
+        )
+        got = {r["id"]: r["c"] for r in df.select("id", clean_text(F.col("text")).alias("c")).collect()}
+        assert got[1] == "Hello & world 'quoted'"
+        assert got[2] == "no markup at all"
+        assert got[3] == "<not closed"  # unterminated tag is kept, not eaten

@@ -57,6 +57,7 @@ FLAKY_SUSPECTS = [
     "oov_rate",
     "code_detect",
     "cross_dedup",
+    "text_clean",
 ]
 
 

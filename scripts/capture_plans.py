@@ -46,6 +46,8 @@ HEADLINE = [
     ("shipping_priority", "Q3 shape: dim broadcast, pushed date filters, TakeOrdered"),
     ("asof_tolerance", "same single window pass as plain as-of (tolerance = one more filled payload)"),
     ("quality_band_sample", "tiny threshold agg broadcast back; keep decision scan-side"),
+    ("cross_dedup", "new-batch vs ref-corpus band join; bodies never shuffle"),
+    ("text_clean", "normalization: regexp chain over the scan, zero shuffle"),
 ]
 
 

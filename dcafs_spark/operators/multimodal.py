@@ -486,3 +486,65 @@ def resize_meta(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.sample_rate").alias("sample_rate"),
         ),
     )
+
+
+def _resize_ppm(payload: bytes, w2: int, h2: int) -> bytes | None:
+    """Nearest-neighbor resize of a P6 PPM — real pixel work in pure
+    numpy. None for anything that isn't a strict 8-bit P6."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        return None
+    w, h, maxv = int(m[1]), int(m[2]), int(m[3])
+    off = m.end()
+    if maxv != 255 or len(payload) - off != 3 * w * h or w * h == 0 or w2 * h2 == 0:
+        return None
+    import numpy as np
+
+    px = np.frombuffer(payload, dtype=np.uint8, offset=off).reshape(h, w, 3)
+    yi = (np.arange(h2) * h) // h2
+    xi = (np.arange(w2) * w) // w2
+    out = px[yi][:, xi]
+    return b"P6\n%d %d\n255\n" % (w2, h2) + out.tobytes()
+
+
+def resize_images(media: DataFrame, width: int, height: int, batch_size_hint: int = 64) -> DataFrame:
+    """Resize tier: REAL nearest-neighbor pixel resampling for P6 PPM
+    payloads (numpy, Arrow-batched); other formats pass through
+    unchanged with their original meta (swap in PIL for JPEG/PNG
+    resize in production — only _resize_ppm's slot changes). Meta
+    width/height reflect the target only on rows actually resized."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(payload) if payload is not None else b""
+                resized = _resize_ppm(raw, width, height)
+                if resized is not None:
+                    payloads.append(resized)
+                    metas.append(
+                        {
+                            "mime": meta["mime"] if meta is not None else None,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": meta["duration_ms"] if meta is not None else None,
+                            "sample_rate": meta["sample_rate"] if meta is not None else None,
+                        }
+                    )
+                else:
+                    payloads.append(raw)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

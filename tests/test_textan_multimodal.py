@@ -523,3 +523,37 @@ class TestGifFrameSampling:
         )
         rows = sample_frames(df, every_ms=250).collect()
         assert len(rows) == 4
+
+
+class TestResizeImages:
+    @staticmethod
+    def _ppm(w, h, fn):
+        body = bytes(v for y in range(h) for x in range(w) for v in fn(x, y))
+        return b"P6\n%d %d\n255\n" % (w, h) + body
+
+    def test_nearest_neighbor_pixels(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+        # 4x4 gradient: pixel (x,y) = (x*10, y*10, 0)
+        src = self._ppm(4, 4, lambda x, y: (x * 10, y * 10, 0))
+        df = spark.createDataFrame(
+            [(1, "image", src, ("image/x-portable-pixmap", 4, 4, 0, 0))], MEDIA_SCHEMA
+        )
+        row = resize_images(df, 2, 2).first()
+        out = bytes(row["payload"])
+        assert out.startswith(b"P6\n2 2\n255\n")
+        px = out[len(b"P6\n2 2\n255\n"):]
+        # nearest-neighbor picks source pixels (0,0),(2,0),(0,2),(2,2)
+        assert px == bytes([0, 0, 0, 20, 0, 0, 0, 20, 0, 20, 20, 0])
+        assert row["meta"]["width"] == 2 and row["meta"]["height"] == 2
+
+    def test_non_ppm_passthrough(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+        df = spark.createDataFrame(
+            [(2, "image", b"\xff\xd8notjpegreally", ("image/jpeg", 10, 10, 0, 0))],
+            MEDIA_SCHEMA,
+        )
+        row = resize_images(df, 2, 2).first()
+        assert bytes(row["payload"]) == b"\xff\xd8notjpegreally"
+        assert row["meta"]["width"] == 10  # untouched meta

@@ -3033,6 +3033,60 @@ FROM c
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by RATIONAL tf-idf (score = tf·N/df as an
+    exact scaled integer — float ln() last-ulp differences across
+    engines can flip a rank, integer ratios cannot). Plan: one token
+    explode, one df agg (map-side combined), broadcast df back, ranked
+    window per doc. The keyword-extraction pass a curation pipeline
+    runs for topic stats."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("w")).filter(
+        F.length("w") >= 3  # drop stub tokens: keywords, not stopword glue
+    )
+    n_docs = docs.count()  # one scalar action on a metadata-cheap count
+    df_ = toks.distinct().groupBy("w").agg(F.count("*").alias("df"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_), "w").select(
+        "doc_id",
+        "w",
+        "tf",
+        "df",
+        # exact integer division on BOTH engines (Spark DIV / DuckDB //):
+        # double division + cast would round vs truncate differently
+        F.expr(f"(tf * {int(n_docs)}L * 1000) DIV df").alias("score_x1000"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1000").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", F.col("w").alias("term"), "tf", "df", "score_x1000")
+    )
+
+
+SQL_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+  WHERE length(w) >= 3
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfc.df,
+         CAST((tf.tf * (SELECT n_docs FROM n) * 1000) // dfc.df AS BIGINT) AS score_x1000
+  FROM tf JOIN dfc ON tf.w = dfc.w
+)
+SELECT doc_id, rank, w AS term, tf, df, score_x1000 FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_x1000 DESC, w ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3144,4 +3198,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
 }

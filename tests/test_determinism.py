@@ -58,6 +58,7 @@ FLAKY_SUSPECTS = [
     "code_detect",
     "cross_dedup",
     "text_clean",
+    "tfidf_topk",
 ]
 
 

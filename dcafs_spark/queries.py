@@ -3087,6 +3087,74 @@ WHERE rank <= 3
 """
 
 
+def q_track_sog_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed/course-over-ground from a position track — the
+    reference's Positioning class (util/gis/Positioning.java: SOG/COG
+    derived from the recent track buffer), as one lag-window pass:
+    haversine distance and initial bearing to the previous fix, speed
+    in km/h from the µs timestamp delta."""
+    from dcafs_spark.functions.geo import bearing_deg, haversine_km
+
+    ev = _events(spark, sf_dir)
+    pos = ev.select(
+        "event_id",
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias("track_id"),
+        F.col("ts_ns").alias("pts"),
+        (50.0 + (F.col("value") % 200) / 100.0).alias("lat"),
+        (3.0 + ((F.col("value") * 7) % 300) / 100.0).alias("lon"),
+    )
+    w = Window.partitionBy("track_id").orderBy(F.expr("pts DIV 1000"), "event_id")
+    out = pos.select(
+        "event_id",
+        "track_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        ((F.expr("pts DIV 1000") - F.lag(F.expr("pts DIV 1000")).over(w)) / 3.6e9).alias("dt_h"),
+    )
+    dist = haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    return out.filter(F.col("plat").isNotNull() & (F.col("dt_h") > 0)).select(
+        "event_id",
+        "track_id",
+        F.round(dist, 4).alias("dist_km"),
+        F.round(dist / F.col("dt_h"), 2).alias("sog_kmh"),
+        F.round(
+            bearing_deg(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")), 2
+        ).alias("cog_deg"),
+    )
+
+
+SQL_SOG_COG = """
+WITH pos AS (
+  SELECT event_id, 'v' || CAST(user_id % 3 AS VARCHAR) AS track_id,
+         (epoch_ns(ts) // 1000) AS pus,
+         50.0 + (value % 200) / 100.0 AS lat,
+         3.0 + ((value * 7) % 300) / 100.0 AS lon
+  FROM events
+), lagged AS (
+  SELECT event_id, track_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         (pus - lag(pus) OVER w) / 3.6e9 AS dt_h
+  FROM pos WINDOW w AS (PARTITION BY track_id ORDER BY pus, event_id)
+), d AS (
+  SELECT *, 2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(lat - plat) / 2), 2)
+           + cos(radians(plat)) * cos(radians(lat)) * pow(sin(radians(lon - plon) / 2), 2)
+         )) AS dist
+  FROM lagged WHERE plat IS NOT NULL AND dt_h > 0
+)
+SELECT event_id, track_id, round(dist, 4) AS dist_km,
+       round(dist / dt_h, 2) AS sog_kmh,
+       round((degrees(atan2(
+           sin(radians(lon - plon)) * cos(radians(lat)),
+           cos(radians(plat)) * sin(radians(lat))
+             - sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon - plon))
+         )) + 360.0) % 360.0, 2) AS cog_deg
+FROM d
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3199,4 +3267,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
+    "track_sog_cog": (q_track_sog_cog, SQL_SOG_COG),
 }

@@ -59,6 +59,7 @@ FLAKY_SUSPECTS = [
     "cross_dedup",
     "text_clean",
     "tfidf_topk",
+    "track_sog_cog",
 ]
 
 

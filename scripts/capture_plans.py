@@ -48,6 +48,8 @@ HEADLINE = [
     ("quality_band_sample", "tiny threshold agg broadcast back; keep decision scan-side"),
     ("cross_dedup", "new-batch vs ref-corpus band join; bodies never shuffle"),
     ("text_clean", "normalization: regexp chain over the scan, zero shuffle"),
+    ("tfidf_topk", "df agg broadcast back; ranked window per doc (WindowGroupLimit)"),
+    ("track_sog_cog", "SOG/COG: one lag window per track, no self-join"),
 ]
 
 

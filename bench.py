@@ -106,10 +106,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
         best = float("inf")
-        for _rep in range(2):  # min-of-2: shields against GC / context-
-            t0 = time.perf_counter()  # cleaner pauses between queries
+        for rep in range(3):  # min-of-2, plus a 3rd rep for heavy
+            t0 = time.perf_counter()  # queries: one GC pause inside a
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            if rep == 1 and best < 1.5:  # fast queries: min-of-2 suffices
+                break
         timings[name] = round(best, 3)
         # let the ContextCleaner reclaim checkpoint/broadcast RDDs so
         # earlier queries' caches don't pressure later measurements

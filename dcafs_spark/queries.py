@@ -3155,6 +3155,104 @@ FROM d
 """
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user (signup → view → click → purchase, each
+    stage's FIRST occurrence strictly after the previous stage's):
+    one µs-exact min per (user, type), then pure integer stage logic —
+    a single map-side-combined agg + one row of output per stage."""
+    ev = _events(spark, sf_dir)
+    firsts = (
+        ev.filter(F.col("event_type").isin("signup", "view", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["signup", "view", "click", "purchase"])
+        .agg(F.min(F.expr("ts_ns DIV 1000")))
+    )
+    s1 = F.col("signup").isNotNull()
+    s2 = s1 & F.col("view").isNotNull() & (F.col("view") > F.col("signup"))
+    s3 = s2 & F.col("click").isNotNull() & (F.col("click") > F.col("view"))
+    s4 = s3 & F.col("purchase").isNotNull() & (F.col("purchase") > F.col("click"))
+    agg = firsts.agg(
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_view"),
+        F.sum(s3.cast("long")).alias("n_click"),
+        F.sum(s4.cast("long")).alias("n_purchase"),
+    )
+    stages = []
+    for i, c in enumerate(["n_signup", "n_view", "n_click", "n_purchase"]):
+        stages.append(
+            agg.select(
+                F.lit(i + 1).alias("stage"),
+                F.lit(c[2:]).alias("event_type"),
+                F.col(c).alias("n_users"),
+            )
+        )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+SQL_FUNNEL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN (epoch_ns(ts) // 1000) END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN (epoch_ns(ts) // 1000) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN (epoch_ns(ts) // 1000) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN (epoch_ns(ts) // 1000) END) AS t_purchase
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT t_signup IS NOT NULL AS s1,
+         t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup AS s2,
+         t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+           AND t_click IS NOT NULL AND t_click > t_view AS s3,
+         t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+           AND t_click IS NOT NULL AND t_click > t_view
+           AND t_purchase IS NOT NULL AND t_purchase > t_click AS s4
+  FROM firsts
+), agg AS (
+  SELECT sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+         sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_view,
+         sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_click,
+         sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n_purchase
+  FROM flags
+)
+SELECT 1 AS stage, 'signup' AS event_type, n_signup AS n_users FROM agg
+UNION ALL SELECT 2, 'view', n_view FROM agg
+UNION ALL SELECT 3, 'click', n_click FROM agg
+UNION ALL SELECT 4, 'purchase', n_purchase FROM agg
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    active day offset — the engagement report every event pipeline
+    ships. Two map-side-combined aggs + one broadcast-size join
+    (cohort table is one row per user id: small forever)."""
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.expr("ts_ns DIV 86400000000000").alias("day"))
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = days.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("day_offset") <= 7)
+    )
+
+
+SQL_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT c.cohort_day, d.day - c.cohort_day AS day_offset, count(*)::BIGINT AS n_users
+FROM days d JOIN cohort c ON d.user_id = c.user_id
+WHERE d.day - c.cohort_day <= 7
+GROUP BY 1, 2
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3268,4 +3366,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
     "track_sog_cog": (q_track_sog_cog, SQL_SOG_COG),
+    "session_funnel": (q_session_funnel, SQL_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
 }

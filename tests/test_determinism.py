@@ -60,6 +60,8 @@ FLAKY_SUSPECTS = [
     "text_clean",
     "tfidf_topk",
     "track_sog_cog",
+    "session_funnel",
+    "retention_cohorts",
 ]
 
 

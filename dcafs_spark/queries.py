@@ -3253,6 +3253,39 @@ GROUP BY 1, 2
 """
 
 
+def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text vectorization (the hashing trick): each
+    token lands in one of 16 md5 buckets, the doc's vector is the
+    bucket-count histogram — a model-free text→vector bridge into the
+    similarity/dedup stack. Exact integer counts; one token explode +
+    one pivot agg (map-side combined), no joins."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("w"))
+    bucket = (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % 16).alias("b")
+    return (
+        toks.select("doc_id", bucket)
+        .groupBy("doc_id")
+        .pivot("b", list(range(16)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select("doc_id", *[F.col(str(b)).cast("long").alias(f"d{b}") for b in range(16)])
+    )
+
+
+def _sql_hash_embedding() -> str:
+    dims = ",\n       ".join(
+        f"sum(CASE WHEN b = {b} THEN 1 ELSE 0 END)::BIGINT AS d{b}" for b in range(16)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+bk AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 AS b FROM toks)
+SELECT doc_id,
+       {dims}
+FROM bk GROUP BY doc_id
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3368,4 +3401,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "track_sog_cog": (q_track_sog_cog, SQL_SOG_COG),
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
 }

@@ -62,6 +62,7 @@ FLAKY_SUSPECTS = [
     "track_sog_cog",
     "session_funnel",
     "retention_cohorts",
+    "text_hash_embedding",
 ]
 
 

@@ -3286,6 +3286,123 @@ FROM bk GROUP BY doc_id
 """
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS rewritten as a left-semi join: orders in
+    a half-year window that have at least one line item shipped after
+    the order date. Only (l_orderkey, l_shipdate) from lineitem enters
+    the semi-join shuffle — never full rows — and the date filter on
+    orders is pushed to the scan. The compound range predicate rides
+    the equi-join as a residual, so no range cross-product exists at
+    any scale. Integer-only output (hash-exact).
+
+    Reference parity: the check/trigger grammar's existence tests over
+    grouped streams (src/util/tasks/CheckBlock.java) — here as the
+    relational EXISTS shape Spark users would write."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated per-group average: revenue carried
+    by line items whose quantity is under 20% of their part's average
+    quantity. Implemented as ONE window over l_partkey (sum+count,
+    whole-partition frame) instead of the textbook self-join: a single
+    shuffle on the part key, no second lineitem scan, and AQE skew
+    splitting applies if one part dominates. The 0.2x-average test is
+    exact integer cross-multiplication (5*qty*cnt < qty_sum — the
+    generator quantities are integral), so no fp boundary can flip a
+    row between engines; revenue uses the exact cent-sum."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_i", F.col("l_quantity").cast("bigint")
+    )
+    w = Window.partitionBy("l_partkey")
+    small = li.withColumn("qty_sum", F.sum("qty_i").over(w)).withColumn(
+        "qty_cnt", F.count(F.lit(1)).over(w)
+    ).filter(F.col("qty_i") * 5 * F.col("qty_cnt") < F.col("qty_sum"))
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        _csum("l_extendedprice").alias("small_revenue"),
+    )
+
+
+SQL_SMALL_ORDER = f"""
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
+         count(*) AS qty_cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       {_sql_csum('l_extendedprice')} AS small_revenue
+FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.qty_cnt < pp.qty_sum
+"""
+
+
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — left-join histogram (agg of an agg): how many
+    customers placed 0, 1, 2, ... qualifying orders. The left join
+    keeps zero-order customers; the first agg shuffles on custkey, the
+    second agg's input is already order-count-sized and collapses
+    map-side before a tiny final shuffle. Integer-only output;
+    custdist ties broken by c_count for a deterministic order."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_CUST_DIST = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3402,4 +3519,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
+    "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
+    "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
+    "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
 }

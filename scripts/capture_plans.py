@@ -50,6 +50,9 @@ HEADLINE = [
     ("text_clean", "normalization: regexp chain over the scan, zero shuffle"),
     ("tfidf_topk", "df agg broadcast back; ranked window per doc (WindowGroupLimit)"),
     ("track_sog_cog", "SOG/COG: one lag window per track, no self-join"),
+    ("order_priority", "Q4 shape: EXISTS as left-semi join, 2-col lineitem projection"),
+    ("small_order_revenue", "Q17 shape: one partkey window replaces the self-join"),
+    ("cust_order_distribution", "Q13 shape: left join + agg-of-agg, second shuffle tiny"),
 ]
 
 

@@ -3388,6 +3388,65 @@ def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular sensor stream onto a regular hourly grid
+    with last-observation-carried-forward fill — the batch analogue of
+    the reference's 'current value of X at time T' rtval lookup
+    (src/io/forward/MathForward.java:619-701) and the shape every
+    sensor dashboard resamples to.
+
+    Grid generation is sequence+explode over each key's hour span (no
+    driver loop, no cross join); the fill reuses the union-window
+    as-of join — one shuffle+sort per side, no range cross-product.
+    Observations are first collapsed to one row per (user, µs) with
+    max_by(event_id) so the fill is tie-free on any data; the grid
+    starts one hour after each user's first observation, so every grid
+    point has a preceding value (no NULL branch to diverge on). All
+    hour arithmetic is bigint integer division — no double rounding
+    can move a grid boundary."""
+    from dcafs_spark.operators.asof import asof_join
+
+    HOUR = 3_600_000_000
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+        .select("user_id", "ts_us", "event_id", "value")
+    )
+    obs = ev.groupBy("user_id", "ts_us").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
+        F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
+    )
+    grid = (
+        span.filter(F.col("h1") > F.col("h0"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0") + 1, F.col("h1"))).alias("hour"),
+        )
+        .withColumn("grid_us", F.col("hour") * HOUR)
+    )
+    filled = asof_join(grid, obs, on="user_id", left_ts="grid_us", right_ts="ts_us")
+    return filled.select(
+        "user_id",
+        F.col("hour").cast("bigint").alias("hour"),
+        F.round("asof_value", 6).alias("value"),
+    )
+
+
+SQL_RESAMPLE = """
+WITH e AS (SELECT user_id, event_id, value, (epoch_ns(ts) // 1000) AS ts_us FROM events),
+obs AS (SELECT user_id, ts_us, max_by(value, event_id) AS value FROM e GROUP BY user_id, ts_us),
+span AS (SELECT user_id, min(ts_us) // 3600000000 AS h0, max(ts_us) // 3600000000 AS h1
+         FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0 + 1, h1)) AS hour FROM span WHERE h1 > h0)
+SELECT g.user_id, CAST(g.hour AS BIGINT) AS hour, round(o.value, 6) AS value
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND o.ts_us <= g.hour * 3600000000
+"""
+
+
 SQL_CUST_DIST = """
 WITH per_cust AS (
   SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
@@ -3522,4 +3581,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
+    "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
 }

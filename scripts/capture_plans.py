@@ -53,6 +53,7 @@ HEADLINE = [
     ("order_priority", "Q4 shape: EXISTS as left-semi join, 2-col lineitem projection"),
     ("small_order_revenue", "Q17 shape: one partkey window replaces the self-join"),
     ("cust_order_distribution", "Q13 shape: left join + agg-of-agg, second shuffle tiny"),
+    ("resample_gapfill", "hourly grid via sequence+explode, LOCF fill via union-window as-of"),
 ]
 
 

@@ -63,6 +63,12 @@ FLAKY_SUSPECTS = [
     "session_funnel",
     "retention_cohorts",
     "text_hash_embedding",
+    # round-5 TPC-H shapes: semi-join counts, window-avg cents filter,
+    # agg-of-agg histogram
+    "order_priority",
+    "small_order_revenue",
+    "cust_order_distribution",
+    "resample_gapfill",
 ]
 
 

@@ -3447,6 +3447,57 @@ FROM grid g ASOF LEFT JOIN obs o
 """
 
 
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier QC per sensor key: flag readings more than 3 MADs
+    from their stream's median — the resistant version of the
+    reference's threshold/stdev triggers (rtvals stdev window,
+    src/util/data/vals/RealVal.java history stdev), immune to the very
+    outliers it hunts.
+
+    Both the median and the MAD (median absolute deviation) are
+    whole-partition window aggregates over the SAME user_id key, so
+    Catalyst reuses one exchange for the two passes — no self-join,
+    no broadcast. Outputs are per-key summaries (med, mad, counts).
+    At 100 TB swap exact `percentile` for `approx_percentile` (sketch-
+    mergeable, same plan shape); flags only need sketch accuracy."""
+    ev = _events(spark, sf_dir).select("user_id", "value")
+    w = Window.partitionBy("user_id")
+    scored = (
+        ev.withColumn("med", F.expr("percentile(value, 0.5)").over(w))
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .withColumn("mad", F.expr("percentile(adev, 0.5)").over(w))
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("bigint")).alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_OUTLIER_MAD = """
+WITH med AS (
+  SELECT user_id, value,
+         quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+  FROM events
+),
+dev AS (
+  SELECT user_id, med, abs(value - med) AS adev,
+         quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY user_id) AS mad
+  FROM med
+)
+SELECT user_id, round(min(med), 6) AS med, round(min(mad), 6) AS mad,
+       CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM dev GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SQL_CUST_DIST = """
 WITH per_cust AS (
   SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
@@ -3582,4 +3633,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
     "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
+    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
 }

@@ -54,6 +54,7 @@ HEADLINE = [
     ("small_order_revenue", "Q17 shape: one partkey window replaces the self-join"),
     ("cust_order_distribution", "Q13 shape: left join + agg-of-agg, second shuffle tiny"),
     ("resample_gapfill", "hourly grid via sequence+explode, LOCF fill via union-window as-of"),
+    ("outlier_mad", "median+MAD windows share one exchange; no self-join"),
 ]
 
 

@@ -69,6 +69,7 @@ FLAKY_SUSPECTS = [
     "small_order_revenue",
     "cust_order_distribution",
     "resample_gapfill",
+    "outlier_mad",
 ]
 
 

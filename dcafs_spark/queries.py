@@ -3447,6 +3447,110 @@ FROM grid g ASOF LEFT JOIN obs o
 """
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample: the same hourly grid as
+    `resample_gapfill`, but each grid value is interpolated between the
+    bracketing observations instead of carried forward — what a plot
+    or model-feature pipeline wants from irregular sensor data.
+
+    The backward neighbor comes from the union-window as-of join; the
+    FORWARD neighbor reuses the identical operator on negated
+    timestamps (asof(-t) == next(t)) — no second implementation, no
+    range join, still one shuffle+sort per pass. The grid spans
+    (first_obs_hour, last_obs_hour], so both neighbors always exist;
+    when a grid point lands exactly on an observation the two
+    neighbors coincide and the guard returns that value exactly.
+    Interpolation arithmetic is written identically on both engines
+    (same IEEE double expression tree), rounded at 6dp."""
+    from dcafs_spark.operators.asof import asof_join
+
+    HOUR = 3_600_000_000
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+        .select("user_id", "ts_us", "event_id", "value")
+    )
+    obs = ev.groupBy("user_id", "ts_us").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
+        F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
+    )
+    grid = (
+        span.filter(F.col("h1") > F.col("h0"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0") + 1, F.col("h1"))).alias("hour"),
+        )
+        .withColumn("grid_us", F.col("hour") * HOUR)
+    )
+    obs_b = obs.withColumn("obs_ts", F.col("ts_us"))
+    prev = asof_join(grid, obs_b, on="user_id", left_ts="grid_us", right_ts="ts_us").select(
+        "user_id", "hour", "grid_us",
+        F.col("asof_value").alias("pv"),
+        F.col("asof_obs_ts").alias("pt"),
+    )
+    obs_neg = obs.select(
+        "user_id",
+        F.col("value").alias("nv"),
+        (-F.col("ts_us")).alias("neg_ts"),
+        F.col("ts_us").alias("nt0"),
+    )
+    both = (
+        prev.withColumn("neg_grid", -F.col("grid_us"))
+        .transform(
+            lambda d: asof_join(
+                d, obs_neg, on="user_id", left_ts="neg_grid", right_ts="neg_ts"
+            )
+        )
+        .select(
+            "user_id", "hour", "grid_us", "pv", "pt",
+            F.col("asof_nv").alias("nv"),
+            F.col("asof_nt0").alias("nt"),
+        )
+    )
+    interp = F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            (F.col("grid_us") - F.col("pt")).cast("double")
+            / (F.col("nt") - F.col("pt")).cast("double")
+        )
+    )
+    return both.select(
+        "user_id",
+        F.col("hour").cast("bigint").alias("hour"),
+        F.round(interp, 6).alias("value"),
+    )
+
+
+SQL_RESAMPLE_INTERP = """
+WITH e AS (SELECT user_id, event_id, value, (epoch_ns(ts) // 1000) AS ts_us FROM events),
+obs AS (SELECT user_id, ts_us, max_by(value, event_id) AS value FROM e GROUP BY user_id, ts_us),
+span AS (SELECT user_id, min(ts_us) // 3600000000 AS h0, max(ts_us) // 3600000000 AS h1
+         FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0 + 1, h1)) AS hour,
+                unnest(generate_series(h0 + 1, h1)) * 3600000000 AS grid_us
+         FROM span WHERE h1 > h0),
+prev AS (
+  SELECT g.user_id, g.hour, g.grid_us, o.value AS pv, o.ts_us AS pt
+  FROM grid g ASOF LEFT JOIN obs o
+    ON g.user_id = o.user_id AND o.ts_us <= g.grid_us
+),
+nxt AS (
+  SELECT p.user_id, p.hour, p.grid_us, p.pv, p.pt, o.value AS nv, o.ts_us AS nt
+  FROM prev p ASOF LEFT JOIN obs o
+    ON p.user_id = o.user_id AND o.ts_us >= p.grid_us
+)
+SELECT user_id, CAST(hour AS BIGINT) AS hour,
+       round(CASE WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (CAST(grid_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             END, 6) AS value
+FROM nxt
+"""
+
+
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier QC per sensor key: flag readings more than 3 MADs
     from their stream's median — the resistant version of the
@@ -3634,4 +3738,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
     "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
+    "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
 }

@@ -55,6 +55,7 @@ HEADLINE = [
     ("cust_order_distribution", "Q13 shape: left join + agg-of-agg, second shuffle tiny"),
     ("resample_gapfill", "hourly grid via sequence+explode, LOCF fill via union-window as-of"),
     ("outlier_mad", "median+MAD windows share one exchange; no self-join"),
+    ("resample_interp", "bracketing neighbors: as-of twice (forward via negated ts)"),
 ]
 
 

@@ -70,6 +70,7 @@ FLAKY_SUSPECTS = [
     "cust_order_distribution",
     "resample_gapfill",
     "outlier_mad",
+    "resample_interp",
 ]
 
 

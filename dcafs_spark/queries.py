@@ -3641,7 +3641,13 @@ ORDER BY custdist DESC, c_count DESC
 # to the tail (editor_pipeline + listreplace gate the editor family;
 # checksum/geo/bits carry golden-value pytest suites and the filter
 # nmea gate) to bring text_clean / cross_dedup / code_detect / oov_rate
-# under the driver gate.
+# under the driver gate. The round-5 third wave swapped similarity_topk
+# (ANN family stays gated via similarity_ivf + dedup_embedding),
+# quality_band_sample (sampling via stratified_sample), and
+# random_projection (embedding-ops via embedding_quantize) to the tail
+# to gate the genuinely new shapes: resample_gapfill (grid + LOCF
+# as-of fill), outlier_mad (median/MAD windows), order_priority
+# (EXISTS/semi-join).
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -3660,7 +3666,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
-    "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
+    "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
@@ -3686,15 +3692,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER),
-    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
+    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
-    "random_projection": (q_random_projection, _sql_random_projection()),
+    "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "oov_rate": (q_oov_rate, SQL_OOV),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
+    "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
+    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
+    "random_projection": (q_random_projection, _sql_random_projection()),
     "editor_ops": (q_editor_ops, SQL_EDITOR_OPS),
     "crc16_frames": (q_crc16_frames, _sql_crc16()),
     "utm_projection": (q_utm_projection, _sql_utm()),
@@ -3733,10 +3742,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
-    "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
-    "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
-    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
 }

@@ -42,23 +42,36 @@ def asof_join(
 
     `tolerance` (same unit as the ts columns) nulls the match when the
     matched right row is older than `left_ts - tolerance` — the
-    pandas `merge_asof(tolerance=...)` semantic. Implemented by
-    carrying the matched right timestamp through the same window fill,
-    so it adds zero extra shuffles."""
+    pandas `merge_asof(tolerance=...)` semantic.
+
+    All right payloads plus the matched right timestamp ride in ONE
+    struct column filled by a single `last(ignorenulls)` window — the
+    matched row's values and its timestamp are taken atomically, so a
+    NULL payload value in the matched row stays NULL (row semantics,
+    matching pandas merge_asof) instead of resurrecting an older
+    non-null value. One shuffle, one sort, one window fill total."""
+    from pyspark.sql.types import StructField, StructType
+
     payload_cols = payload_cols or [c for c in right.columns if c not in (on, right_ts)]
+    pstruct_type = StructType(
+        [StructField("_rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.col(c) for c in left.columns if c not in (on,)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(pstruct_type).alias("_pstruct"),
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on,)],
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
+        ).cast(pstruct_type).alias("_pstruct"),
     )
     # right sorts BEFORE left at equal _t (desc side) so ties match <=
     w = (
@@ -66,22 +79,18 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "_pstruct", F.last("_pstruct", ignorenulls=True).over(w)
+    )
     if tolerance is not None:
-        # matched right ts rides as one more filled payload
-        l_tag = l_tag.withColumn("_p__rts", F.lit(None).cast(right.schema[right_ts].dataType))
-        r_tag = r_tag.withColumn("_p__rts", F.col("_t"))
-    merged = l_tag.unionByName(r_tag)
-    fill_cols = payload_cols + (["_rts"] if tolerance is not None else [])
-    for c in fill_cols:
-        merged = merged.withColumn(f"_p_{c}", F.last(f"_p_{c}", ignorenulls=True).over(w))
-    if tolerance is not None:
-        stale = F.col("_p__rts").isNull() | (F.col("_t") - F.col("_p__rts") > tolerance)
-        for c in payload_cols:
-            merged = merged.withColumn(f"_p_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_p_{c}")))
+        stale = F.col("_pstruct").isNull() | (F.col("_t") - F.col("_pstruct._rts") > tolerance)
+        merged = merged.withColumn(
+            "_pstruct", F.when(stale, F.lit(None).cast(pstruct_type)).otherwise(F.col("_pstruct"))
+        )
     out_cols = (
         [F.col("_k").alias(on)]
         + [F.col(c) for c in left.columns if c not in (on,)]
-        + [F.col(f"_p_{c}").alias(f"asof_{c}") for c in payload_cols]
+        + [F.col(f"_pstruct.{c}").alias(f"asof_{c}") for c in payload_cols]
     )
     return merged.filter(F.col("_side") == 0).select(*out_cols)
 

@@ -1313,8 +1313,8 @@ WITH q AS (
   FROM q
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_q, event_id)
 ), sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_q, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_q, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -2509,8 +2509,8 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT doc_id, n_tokens, (bkt % 8)::BIGINT AS shard,
-         sum(n_tokens) OVER (PARTITION BY bkt % 8 ORDER BY bkt ASC, doc_id ASC
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY bkt % 8 ORDER BY bkt ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, n_tokens, shard, cum_tokens,

@@ -71,9 +71,15 @@ def main():
             if name not in oracles:
                 print(f"{name:24s} rows={len(srows)} (no oracle — rows-only)")
                 continue
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # Materialize the oracle through Arrow like the driver does —
+            # fetchall() hides type coercions the driver sees (DuckDB
+            # HUGEINT -> float64, the round-3..5 sessionize red), while
+            # pandas .df() over-coerces (nullable int64 -> float64, which
+            # the driver does NOT do). Arrow matches the driver: HUGEINT
+            # downcasts, nullable ints stay ints.
+            dtab = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = list(dtab.column_names)
+            drows = [tuple(r[c] for c in dcols) for r in dtab.to_pylist()]
             sh, slines = table_digest(scols, [[r[c] for c in scols] for r in srows])
             dh, dlines = table_digest(dcols, drows)
             ok_cols = sorted(scols) == sorted(dcols)

@@ -319,29 +319,7 @@ class Engine:
                     extra += f" + {n_vals} rtval(s)"
                 return f"loaded {len(specs)} path(s): {', '.join(sorted(specs))}{extra}"
             if args[0] == "debug" and len(args) >= 3:
-                # pf:debug,<id>,<stepnr>,<sample line> — run a sample
-                # through the first N steps and show the result
-                # (ForwardPool 'pf:debug', ForwardPool.java:965; -1/0 =
-                # raw input, k = after step k)
-                h = self.paths.get(args[1])
-                if h is None:
-                    return f"No such path: {args[1]}"
-                try:
-                    upto = int(args[2])
-                except ValueError:
-                    return f"No valid step number: {args[2]}"
-                sample = rest.split(",", 3)[3] if len(args) > 3 else ""
-                if not sample:
-                    return "No sample line given: pf:debug,id,stepnr,line"
-                sub = dict(h.spec)
-                sub["steps"] = list(h.spec.get("steps", []))[: max(upto, 0)]
-                df = self.spark.createDataFrame([(sample,)], "value string")
-                out, _rejects = compile_path(df, sub)
-                rows = out.collect()
-                if not rows:
-                    return f"step {upto}: line dropped"
-                vals = ", ".join(f"{c}={rows[0][c]}" for c in out.columns)
-                return f"step {upto}: {vals}"
+                return self._pf_debug(args, rest)
             if args[0] == "stop" and len(args) == 2:
                 self.stop(args[1])
                 return f"stopped {args[1]}"
@@ -699,9 +677,12 @@ class Engine:
                 # template may contain commas: everything after the type
                 a = {"template": rest.split(",", 3)[3], "leftover": "append"}
             elif etype in ("redate", "retime"):
-                a = {"to": args[3]}
-                if len(args) > 4:
-                    a["from"] = args[4]
+                # from-pattern is required — _apply_edit compiles
+                # redate(c, a['from'], a['to']); catching it here gives a
+                # telnet-style reply instead of a KeyError at path-compile
+                if len(args) < 5:
+                    return f"Not enough arguments: ef:addedit,id,{etype},to,from[,index]"
+                a = {"to": args[3], "from": args[4]}
                 if len(args) > 5:
                     a["index"] = int(args[5])
             else:
@@ -794,6 +775,33 @@ class Engine:
             spec["src"] = src
         self.add_path(gid, source=src or {}, spec=spec)
         return f"Generic {gid} added; path assembled with {len(chain)} step(s)"
+
+    def _pf_debug(self, args: list[str], rest: str) -> str:
+        """pf:debug,<id>,<stepnr>,<sample line> — run a sample line
+        through the first N steps of a path and show the result
+        (ForwardPool 'pf:debug', ForwardPool.java:965; -1/0 = raw
+        input, k = after step k). Dedicated method so the driver-
+        collect guard can allowlist exactly this single-row collect
+        instead of the whole command dispatcher."""
+        h = self.paths.get(args[1])
+        if h is None:
+            return f"No such path: {args[1]}"
+        try:
+            upto = int(args[2])
+        except ValueError:
+            return f"No valid step number: {args[2]}"
+        sample = rest.split(",", 3)[3] if len(args) > 3 else ""
+        if not sample:
+            return "No sample line given: pf:debug,id,stepnr,line"
+        sub = dict(h.spec)
+        sub["steps"] = list(h.spec.get("steps", []))[: max(upto, 0)]
+        df = self.spark.createDataFrame([(sample,)], "value string")
+        out, _rejects = compile_path(df, sub)
+        rows = out.collect()
+        if not rows:
+            return f"step {upto}: line dropped"
+        vals = ", ".join(f"{c}={rows[0][c]}" for c in out.columns)
+        return f"step {upto}: {vals}"
 
     # --------------------------------------------------- admin: verbs
     def _log(self, msg: str) -> None:

@@ -315,9 +315,12 @@ def clean_text(col: Column) -> Column:
     stays in the Java/RE2-common subset so a DuckDB oracle reproduces
     it byte-for-byte."""
     out = F.regexp_replace(col, r"<[^>]{0,512}>", " ")  # bounded: no catastrophic scan
+    # &amp; decodes LAST (standard entity semantics): a double-escaped
+    # '&amp;lt;' must yield the literal '&lt;', not '<'
     for ent, rep in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
     ):
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")

@@ -3023,7 +3023,7 @@ WITH dirty AS (
     trim(regexp_replace(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(text, '<[^>]{0,512}>', ' ', 'g'),
-        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
       '\s+', ' ', 'g')) AS cleaned
   FROM dirty

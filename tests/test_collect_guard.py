@@ -36,7 +36,7 @@ ALLOWED = {
     ("engine.py", "_admin_command"),
     # pf:debug — runs ONE literal sample line through a sub-path and
     # collects the single-row result for the telnet-style reply
-    ("engine.py", "command"),
+    ("engine.py", "_pf_debug"),
 }
 
 

@@ -3617,6 +3617,271 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    deepest relational plan in the catalog — lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation×2 with a disjunctive nation-pair
+    predicate and a 3-key group.
+
+    Scale plan: nation (25 rows, SF-invariant) broadcasts explicitly;
+    supplier/customer grow with SF so they stay shuffle joins Catalyst
+    can re-plan under AQE; the year filter prunes lineitem at the scan
+    (PushedFilters on l_shipdate). The nation-pair disjunction is
+    applied AFTER the two nation joins on the already-tiny joined
+    rows, never as a cross-filter that would block pushdown."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share of one supplier nation inside one
+    customer region, by order year): conditional exact decimal sums
+    feed a share ratio — numerator and denominator are identical
+    doubles on both engines, so the 6dp-rounded ratio matches too.
+
+    The supplier-nation CASE rides THROUGH the aggregation (one pass,
+    map-side combined) instead of two separate aggregates joined
+    back — at 100 TB that halves the lineitem traffic."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cnk")
+    )
+    supp_nat = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cnk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))).alias(
+                "nation_volume"
+            ),
+            _dsum(vol).alias("total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.round(F.col("nation_volume") / F.col("total_volume"), 6)
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_sql_dsum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_volume,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_volume,
+       round({_sql_dsum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem joined
+    to part, conditional revenue share. part is the natural broadcast
+    side ONLY at small SF — it grows with SF, so the code leaves the
+    strategy to AQE and keeps the month filter at the lineitem scan
+    where it prunes ~99% of rows before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))).alias(
+                "promo_revenue"
+            ),
+            _dsum(vol).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+SELECT {_sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+       round(100.0 * {_sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): agg →
+    global-max filter without a self-join. The revenue view aggregates
+    once; `max(...) over ()` ranks against the single global maximum
+    with an empty-frame window (one extra exchange of the ALREADY
+    AGGREGATED per-supplier rows — at 100 TB that's s_suppkey-sized,
+    thousands of times smaller than re-aggregating lineitem twice as
+    the literal SQL view formulation would)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = rev.withColumn("_mx", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    return (
+        top.join(s, top.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (three disjunctive brand/size/quantity bands):
+    the stress test for predicate normalization — Catalyst factors the
+    common `l_partkey = p_partkey` out of the OR and pushes the
+    per-side conjuncts (quantity bands to lineitem, brand/size to
+    part) down to both scans, so the join sees pre-filtered inputs
+    rather than evaluating the disjunction on the full cross."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = f"""
+SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (untapped customers): above-average-balance
+    customers with no RECENT orders (none since 2000-01-01 — the lapsed-
+    customer variant; the generator gives every customer some order, so
+    the unrestricted NOT EXISTS would be vacuously empty), grouped by
+    nation. Two classic
+    distributed pieces: the scalar average broadcasts as a one-row
+    literal subplan (no shuffle), and the `NOT EXISTS` is a left-anti
+    join — Spark's dedicated anti-join operator, which at scale beats
+    the LEFT JOIN ... IS NULL formulation by never materializing the
+    matched rows. c_acctbal is generated at 2dp so the positive-side
+    mean uses the exact integer path (`_iavg`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(_iavg("c_acctbal").alias("a"))
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).drop("a")
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), no_orders.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_SALES_OPPORTUNITY = f"""
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT {_sql_iavg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -3745,4 +4010,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
     "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
+    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+    "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
+    "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
 }

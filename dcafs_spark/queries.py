@@ -3882,6 +3882,227 @@ GROUP BY n_name
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-row median + mean per sensor stream — the robust
+    rolling smoother (reference analogue: the rtvals history ring,
+    RealVal.java history buffer, which keeps the last-N readings for
+    derived stats). One window spec serves both aggregates, so the
+    plan is a single sort within one exchange on user_id.
+
+    Exactness: value is generated at 2dp, so a 10-row median is at
+    worst a midpoint with 3 true decimals — a 4dp round can't straddle
+    an engine's last-ulp interpolation difference. The mean uses
+    integer cent-sums over the frame (exact in both engines).
+    At 100 TB: frames are per-key and bounded (10 rows), so state
+    never exceeds the frame — this scales linearly with no spill risk
+    beyond the sort itself."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med10"),
+            (F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w))).alias("_m"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
+        )
+        .withColumn("mean10", F.round(F.col("_m"), 6))
+        .drop("_m")
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.5) OVER w, 4) AS med10,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       round(sum(CAST(round(value * 100) AS BIGINT)) OVER w / (100.0 * count(*) OVER w), 6) AS mean10
+FROM (SELECT *, (epoch_ns(ts) // 1000) AS ts_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    lag(event_type) per user → count + exact mean gap per (prev,
+    next) pair. The lag window and the groupBy shuffle on DIFFERENT
+    keys (user_id, then the type pair) — unavoidable two exchanges,
+    but the second operates on 3 small columns after the first
+    projects everything else away."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    ).filter(F.col("prev_type").isNotNull())
+    return trans.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        F.round(F.sum("gap_us") / F.count(F.lit(1)), 4).alias("mean_gap_us"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER w AS prev_type,
+         ts_us - lag(ts_us) OVER w AS gap_us
+  FROM (SELECT *, (epoch_ns(ts) // 1000) AS ts_us FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       round(CAST(sum(gap_us) AS BIGINT) / count(*), 4) AS mean_gap_us
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_hourly_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams (do clicks
+    this hour predict purchases next hour?): hourly counts, self-join
+    at lag 0 and 1, Pearson r. The correlation is computed from the
+    FIVE INTEGER window sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than
+    engine `corr()` — every input to the float formula is an exact
+    int64 on both engines, so the 6dp round is deterministic (engine
+    corr() implementations differ in summation order/algorithm).
+    The hourly pre-aggregation shrinks the stream by ~4 orders of
+    magnitude before the join — the join and corr run on hours, not
+    events, at any SF."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hr", F.expr("ts_ns DIV 1000 DIV 3600000000")
+    )
+    hourly = ev.groupBy("hr").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
+    )
+    a = hourly.select(F.col("hr"), F.col("clicks").alias("x"))
+    out = None
+    for lag in (0, 1):
+        b = hourly.select((F.col("hr") - lag).alias("hr"), F.col("purchases").alias("y"))
+        pairs = a.join(b, "hr")
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        ).select(
+            F.lit(lag).cast("long").alias("lag_hours"),
+            "n",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            ).alias("pearson_r"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+SQL_HOURLY_LAG_CORR = """
+WITH hourly AS (
+  SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+  FROM events GROUP BY hr
+), lags(lag_hours) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+pairs AS (
+  SELECT l.lag_hours, a.clicks AS x, b.purchases AS y
+  FROM lags l
+  JOIN hourly a ON true
+  JOIN hourly b ON b.hr - l.lag_hours = a.hr
+), sums AS (
+  SELECT lag_hours, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag_hours
+)
+SELECT lag_hours, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+FROM sums
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: |z| > 2.5 against a trailing
+    20-reading window per sensor (the rtvals STDEV trigger,
+    src/util/data/vals/RealVal.java + the reference's stdev-window
+    trigger type, generalized to table scale).
+
+    The FLAG DECISION is pure int64 arithmetic: with cent-values x,
+    window sums s1=Σx, s2=Σx², the test |z| > 2.5 rearranges to
+    4·(n·x − s1)²·(n−1) > 25·n·(n·s2 − s1²) — no float enters the
+    predicate, so the flagged row SET is bit-identical on every
+    engine/partitioning (a float z near the threshold can flip
+    membership by one ulp, which a value-hash gate would see). z
+    itself is then derived from the same exact integers for display.
+    One window exchange on user_id; emitted rows only — at scale the
+    output is the (tiny) anomaly set, not the stream."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    xc = F.round(F.col("value") * 100).cast("long")
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        xc.alias("xc"),
+        F.sum(xc).over(w).alias("s1"),
+        F.sum(xc * xc).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+    ).filter(F.col("n") == 20)
+    ndev = F.col("n") * F.col("xc") - F.col("s1")
+    mvar = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        scored.filter(4 * ndev * ndev * (F.col("n") - 1) > 25 * F.col("n") * mvar)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(
+                ndev * F.sqrt((F.col("n") - F.lit(1.0)) / (F.col("n") * mvar)), 4
+            ).alias("z"),
+        )
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS xc,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s2,
+         CAST(count(*) OVER w AS BIGINT) AS n
+  FROM (SELECT *, (epoch_ns(ts) // 1000) AS ts_us FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       round((n * xc - s1) * sqrt((n - 1.0) / (n * (n * s2 - s1 * s1))), 4) AS z
+FROM scored
+WHERE n = 20
+  AND 4 * (n * xc - s1) * (n * xc - s1) * (n - 1) > 25 * n * (n * s2 - s1 * s1)
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -4016,4 +4237,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
     "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
     "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "hourly_lag_corr": (q_hourly_lag_corr, SQL_HOURLY_LAG_CORR),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
 }

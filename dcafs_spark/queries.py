@@ -4103,6 +4103,207 @@ WHERE n = 20
 """
 
 
+def q_zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head with Zipf diagnostics: global token
+    frequencies, top-50 by count with rank and the rank·count product
+    (roughly constant under Zipf's law — the standard sanity probe
+    that a scraped corpus has natural-language token statistics).
+    explode → count is the canonical map-side-combinable shape; the
+    top-50 is a single-partition sort of the already-aggregated
+    vocabulary, not of the corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .withColumn("rank_x_n", (F.col("rank") * F.col("n")).cast("long"))
+    )
+
+
+SQL_ZIPF_VOCAB = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT token, n, rank, CAST(rank * n AS BIGINT) AS rank_x_n
+FROM ranked WHERE rank <= 50
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy over the token distribution — the
+    information-density quality score (low entropy flags repetitive
+    boilerplate the way the Gopher repetition fractions do, but as a
+    single scalar). Two map-side-combinable aggregations (doc×token,
+    then doc); −Σ p·ln p sums ≤ a few hundred terms per doc, so a 6dp
+    round absorbs engine summation-order ulps."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tok_counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok_counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("_sclogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens") - F.col("_sclogc") / F.col("n_tokens"), 6
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         sum(c * ln(c)) AS sclogc
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(n_tokens) - sclogc / n_tokens, 6) AS entropy_nats
+FROM agg
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution audit of the embedding corpus (dead
+    dimensions, scale drift, clipping — the standard pre-index QC over
+    an `array<float>` column). posexplode → 64-key aggregation:
+    map-side combine reduces each partition to 64 partial rows before
+    the (tiny) shuffle, so the full-corpus scan dominates at any SF.
+    Components are quantized to exact int64 micro-units before
+    summing, making mean/variance bit-deterministic across engines
+    and partitionings (float sums are order-dependent)."""
+    embs = _embs(spark, sf_dir)
+    comp = embs.select(F.posexplode("embedding").alias("dim", "val")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    s1 = F.sum("q")
+    s2 = F.sum(F.col("q") * F.col("q"))
+    return (
+        comp.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.round(s1 / (n * 1e6), 6).alias("mean"),
+            F.round(
+                F.sqrt((n * s2 - s1 * s1) / (n * (n - 1) * 1e12)), 6
+            ).alias("std"),
+            (F.min("q") / 1e6).alias("min_val"),
+            (F.max("q") / 1e6).alias("max_val"),
+        )
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH comp AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(embedding)
+), sums AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q * q) AS BIGINT) AS s2,
+         min(q) AS mn, max(q) AS mx
+  FROM comp GROUP BY dim
+)
+SELECT dim, n,
+       round(s1 / (n * 1e6), 6) AS mean,
+       round(sqrt((n * s2 - s1 * s1) / (n * (n - 1) * 1e12)), 6) AS std,
+       mn / 1e6 AS min_val, mx / 1e6 AS max_val
+FROM sums
+"""
+
+
+_PORTS = [
+    (0, 51.22, 2.92), (1, 51.33, 3.20), (2, 51.95, 4.05), (3, 53.55, 9.97),
+    (4, 50.36, 4.14), (5, 52.45, 4.58), (6, 51.50, 0.05), (7, 50.80, 1.60),
+]
+
+
+def q_nearest_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility classification for a vessel track: each fix →
+    closest port by haversine (reference analogue: Waypoints
+    'closest waypoint' queries, util/gis/Waypoints.java). The port
+    dim is SF-INVARIANT (facility lists don't grow with data), so the
+    broadcast nested-loop over 8 rows is the *correct* plan at 100 TB
+    — 8 distance evaluations per fix, no shuffle at all; the ranked
+    window collapses to a scan-side min-by. Both engines compute the
+    identical double formula, so ordering by (dist, port_id) is
+    deterministic without any rounding of the sort key."""
+    from dcafs_spark.functions.geo import haversine_km
+
+    ev = _events(spark, sf_dir)
+    pos = ev.select(
+        "event_id",
+        (50.0 + (F.col("value") % 200) / 100.0).alias("lat"),
+        (3.0 + ((F.col("value") * 7) % 300) / 100.0).alias("lon"),
+    )
+    ports = F.broadcast(
+        spark.createDataFrame(_PORTS, "port_id long, p_lat double, p_lon double")
+    )
+    scored = pos.join(ports).withColumn(
+        "dist_km",
+        haversine_km(F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon")),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("dist_km").asc(), F.col("port_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "port_id", F.round("dist_km", 4).alias("dist_km"))
+    )
+
+
+def _sql_nearest_port() -> str:
+    values = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _PORTS)
+    return f"""
+WITH ports(port_id, p_lat, p_lon) AS (VALUES {values}),
+pos AS (
+  SELECT event_id, 50.0 + (value % 200) / 100.0 AS lat,
+         3.0 + ((value * 7) % 300) / 100.0 AS lon
+  FROM events
+), scored AS (
+  SELECT event_id, CAST(port_id AS BIGINT) AS port_id,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(p_lat - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(p_lat)) * pow(sin(radians(p_lon - lon) / 2), 2)
+         )) AS dist_km
+  FROM pos, ports
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_km ASC, port_id ASC) AS rn
+  FROM scored
+)
+SELECT event_id, port_id, round(dist_km, 4) AS dist_km
+FROM ranked WHERE rn = 1
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -4241,4 +4442,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "hourly_lag_corr": (q_hourly_lag_corr, SQL_HOURLY_LAG_CORR),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "zipf_vocab": (q_zipf_vocab, SQL_ZIPF_VOCAB),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+    "nearest_port": (q_nearest_port, _sql_nearest_port()),
 }

@@ -4252,11 +4252,14 @@ def q_nearest_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     closest port by haversine (reference analogue: Waypoints
     'closest waypoint' queries, util/gis/Waypoints.java). The port
     dim is SF-INVARIANT (facility lists don't grow with data), so the
-    broadcast nested-loop over 8 rows is the *correct* plan at 100 TB
-    — 8 distance evaluations per fix, no shuffle at all; the ranked
-    window collapses to a scan-side min-by. Both engines compute the
-    identical double formula, so ordering by (dist, port_id) is
-    deterministic without any rounding of the sort key."""
+    argmin unrolls to a literal expression array and `array_min` over
+    (dist, port_id) structs — a PURE MAP, zero shuffle, zero join: the
+    naive cross-join + rank-per-point formulation would shuffle 8N
+    rows on the point key just to pick each group's minimum. Struct
+    ordering compares dist first then port_id, exactly the
+    (dist ASC, port_id ASC) tiebreak; both engines compute the
+    identical double formula, so no rounding of the sort key is
+    needed for determinism."""
     from dcafs_spark.functions.geo import haversine_km
 
     ev = _events(spark, sf_dir)
@@ -4265,18 +4268,22 @@ def q_nearest_port(spark: SparkSession, sf_dir: str) -> DataFrame:
         (50.0 + (F.col("value") % 200) / 100.0).alias("lat"),
         (3.0 + ((F.col("value") * 7) % 300) / 100.0).alias("lon"),
     )
-    ports = F.broadcast(
-        spark.createDataFrame(_PORTS, "port_id long, p_lat double, p_lon double")
+    candidates = F.array(
+        *[
+            F.struct(
+                haversine_km(
+                    F.col("lat"), F.col("lon"), F.lit(plat), F.lit(plon)
+                ).alias("dist_km"),
+                F.lit(pid).cast("long").alias("port_id"),
+            )
+            for pid, plat, plon in _PORTS
+        ]
     )
-    scored = pos.join(ports).withColumn(
-        "dist_km",
-        haversine_km(F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon")),
-    )
-    w = Window.partitionBy("event_id").orderBy(F.col("dist_km").asc(), F.col("port_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("event_id", "port_id", F.round("dist_km", 4).alias("dist_km"))
+    best = F.array_min(candidates)
+    return pos.select(
+        "event_id",
+        best["port_id"].alias("port_id"),
+        F.round(best["dist_km"], 4).alias("dist_km"),
     )
 
 

@@ -127,13 +127,14 @@ def test_nearest_port_matches_numpy(spark, sf_dir):
 def test_tpch_plans_push_down_and_broadcast(spark, sf_dir):
     """The new relational shapes must keep their scan-side pruning:
     promo month filter reaches the lineitem scan; the nearest-port
-    plan broadcasts the 8-row dim (no shuffle of the fact side)."""
+    argmin is a pure map — no join, no exchange anywhere in the
+    plan (the literal facility dim unrolls into the projection)."""
     from dcafs_spark.queries import q_nearest_port, q_promo_revenue
 
     simple = q_promo_revenue(spark, sf_dir)._jdf.queryExecution().toString()
     assert "l_shipdate" in simple and "PushedFilters" in simple
-    np_plan = q_nearest_port(spark, sf_dir)._jdf.queryExecution().toString()
-    assert "BroadcastNestedLoopJoin" in np_plan or "BroadcastHashJoin" in np_plan
+    np_plan = q_nearest_port(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in np_plan and "Exchange" not in np_plan
 
 
 def test_sales_opportunity_uses_anti_join(spark, sf_dir):

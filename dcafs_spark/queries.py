@@ -4311,6 +4311,91 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by supplier nation and
+    year), adapted to the trimmed schema: the cost leg uses
+    0.6·p_retailprice in place of the absent ps_supplycost. Four
+    joins; the profit TERM is a single arithmetic expression with
+    identical parse shape on both engines, summed through the exact
+    decimal path (a 4dp money product sum CAN land on the .xx50
+    boundary where partition order decides a double's last digit).
+    Filter: green-named parts (p_name LIKE), applied at the part scan
+    BEFORE its join — the classic Q9 selectivity lever."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("a"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
+
+SQL_NATION_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, o_year
+"""
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level audit of the greedy sequence packer: packs used,
+    token fill ratio against the 1024-token budget, and how many
+    documents straddle a pack boundary (each straddle is a truncation
+    or a cross-doc attention mask downstream — the number a data
+    engineer actually watches). Pure second-stage aggregation over
+    the packing output: one extra 8-row shuffle."""
+    from dcafs_spark.operators.packing import sequence_packing
+    from dcafs_spark.operators.textan import token_count_ws
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = sequence_packing(docs, "n_tokens", "doc_id", budget=1024, shards=8, seed=5)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            (F.max("pack_last") + 1).cast("long").alias("n_packs"),
+            F.sum((F.col("pack_first") != F.col("pack_last")).cast("long")).alias("n_straddling"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("tokens") / (F.col("n_packs") * 1024), 6)
+        )
+    )
+
+
+SQL_PACKING_EFFICIENCY = f"""
+WITH packed AS ({SQL_SEQ_PACKING})
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(max(pack_last) + 1 AS BIGINT) AS n_packs,
+       CAST(sum(CASE WHEN pack_first <> pack_last THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+       round(CAST(sum(n_tokens) AS BIGINT) / (CAST(max(pack_last) + 1 AS BIGINT) * 1024), 6) AS fill_ratio
+FROM packed GROUP BY shard
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -4453,4 +4538,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
+    "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
+    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
 }

@@ -71,6 +71,25 @@ FLAKY_SUSPECTS = [
     "resample_gapfill",
     "outlier_mad",
     "resample_interp",
+    # round-6 additions: decimal money sums through deep join trees,
+    # ratio-of-exact-sums shares, global-max window, frame medians,
+    # integer-exact corr/z-score, entropy float sums, packing audit
+    "volume_shipping",
+    "market_share",
+    "promo_revenue",
+    "top_supplier",
+    "disjunctive_revenue",
+    "sales_opportunity",
+    "rolling_median",
+    "event_transitions",
+    "hourly_lag_corr",
+    "anomaly_zscore",
+    "zipf_vocab",
+    "token_entropy",
+    "embedding_dim_stats",
+    "nearest_port",
+    "nation_profit",
+    "packing_efficiency",
 ]
 
 

@@ -56,6 +56,18 @@ HEADLINE = [
     ("resample_gapfill", "hourly grid via sequence+explode, LOCF fill via union-window as-of"),
     ("outlier_mad", "median+MAD windows share one exchange; no self-join"),
     ("resample_interp", "bracketing neighbors: as-of twice (forward via negated ts)"),
+    ("volume_shipping", "Q7 shape: 5-join tree, date pushdown, nation dims broadcast"),
+    ("market_share", "Q8 shape: conditional share in ONE agg pass over the join"),
+    ("promo_revenue", "Q14 shape: month filter prunes lineitem at the scan"),
+    ("top_supplier", "Q15 shape: per-supplier agg, global max over aggregated rows only"),
+    ("disjunctive_revenue", "Q19 shape: OR-band conjuncts pushed to both scans"),
+    ("sales_opportunity", "Q22 shape: scalar-subquery broadcast + left-anti join"),
+    ("nation_profit", "Q9 shape: profit term through exact decimal sums, 4 joins"),
+    ("rolling_median", "one window frame serves median + cent-exact mean"),
+    ("anomaly_zscore", "integer-only flag predicate; one window exchange"),
+    ("hourly_lag_corr", "hour pre-agg shrinks stream 10^4x before the lag join"),
+    ("nearest_port", "map-only argmin: array_min over literal dim, zero shuffle"),
+    ("embedding_dim_stats", "posexplode + 64-key agg, map-side combined"),
 ]
 
 

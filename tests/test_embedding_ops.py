@@ -96,6 +96,45 @@ class TestAsofTolerance:
         assert rows[3] is None     # gap 760 > 100 -> nulled
         assert rows[4] is None     # no preceding right row at t=50
 
+    def test_null_payload_in_matched_row_stays_null(self, spark):
+        """Row semantics under NULL payloads (round-5 ADVICE): the
+        matched right row's values are taken ATOMICALLY — a NULL
+        payload in the newest matched row must NOT resurrect an older
+        non-null value, and the tolerance check must pair the value
+        with ITS OWN row's timestamp (pandas merge_asof parity)."""
+        import pandas as pd
+
+        from dcafs_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "a", 100), (2, "a", 260), (3, "a", 1000)],
+            "id int, k string, t long",
+        )
+        # newest right row at rt=250 has a NULL payload
+        right = spark.createDataFrame(
+            [("a", 90, 9.0), ("a", 250, None)],
+            "k string, rt long, payload double",
+        )
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+        rows = {r["id"]: r["asof_payload"] for r in out.collect()}
+        assert rows[1] == 9.0   # only rt=90 precedes t=100
+        assert rows[2] is None  # matched row rt=250 has NULL payload — not 9.0
+        assert rows[3] is None  # same: newest match wins, NULL rides along
+        # with tolerance: the stale rt=90 value must not be validated
+        # against the newer rt=250 row's timestamp
+        out_tol = asof_join(left, right, on="k", left_ts="t", right_ts="rt", tolerance=50)
+        rows_tol = {r["id"]: r["asof_payload"] for r in out_tol.collect()}
+        assert rows_tol[1] == 9.0   # gap 10 <= 50
+        assert rows_tol[2] is None  # matched row is rt=250 (gap 10) but its payload is NULL
+        assert rows_tol[3] is None  # gap 750 > 50
+        # pandas agreement on the same frames
+        lp = pd.DataFrame([(1, "a", 100), (2, "a", 260), (3, "a", 1000)], columns=["id", "k", "t"])
+        rp = pd.DataFrame([("a", 90, 9.0), ("a", 250, None)], columns=["k", "rt", "payload"])
+        want = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k", direction="backward")
+        for _, row in want.iterrows():
+            g = rows[row["id"]]
+            assert (g is None) == pd.isna(row["payload"]) and (g is None or g == row["payload"])
+
     def test_matches_pandas_merge_asof(self, spark):
         import pandas as pd
 

@@ -4396,6 +4396,82 @@ FROM packed GROUP BY shard
 """
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit non-hierarchical GROUPING SETS — ((status, priority),
+    (priority), ()) is NOT expressible as rollup or cube (rollup
+    would give (status), not (priority)), so this exercises the
+    general grouping-sets expansion path. One Expand node feeds one
+    aggregation: each input row replicates 3× with per-set null
+    masks, map-side combined before a single shuffle — the same cost
+    envelope as rollup at any SF."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def q_cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active + CUMULATIVE distinct users — the growth-dashboard
+    query. The naive formulation (count(distinct user) over an
+    expanding window) re-scans every prior day per output row; the
+    scalable identity is cumulative-distinct(d) = Σ new-users(d'),
+    d' ≤ d, where a user is 'new' on their min(day) — two small
+    aggregations plus a running sum over the per-DAY rollup (a few
+    thousand rows at any SF, so the single-partition ordered window
+    is free)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.expr("ts_ns DIV 1000 DIV 86400000000")
+    )
+    daily = ev.groupBy("day").agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    )
+    joined = daily.join(news, "day", "left").fillna({"new_users": 0})
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_ACTIVE = """
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events
+), daily AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ev GROUP BY day
+), firsts AS (
+  SELECT user_id, min(day) AS day FROM ev GROUP BY user_id
+), news AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM firsts GROUP BY day
+)
+SELECT d.day, d.dau, coalesce(n.new_users, 0) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily d LEFT JOIN news n USING (day)
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -4540,4 +4616,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
+    "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS),
+    "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
 }

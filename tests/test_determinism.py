@@ -90,6 +90,8 @@ FLAKY_SUSPECTS = [
     "nearest_port",
     "nation_profit",
     "packing_efficiency",
+    "grouping_sets_revenue",
+    "cumulative_active_users",
 ]
 
 

@@ -4502,7 +4502,18 @@ FROM daily d LEFT JOIN news n USING (day)
 # random_projection (embedding-ops via embedding_quantize) to the tail
 # to gate the genuinely new shapes: resample_gapfill (grid + LOCF
 # as-of fill), outlier_mad (median/MAD windows), order_priority
-# (EXISTS/semi-join).
+# (EXISTS/semi-join). The round-6 wave swapped token_counts /
+# history_window / dedup_simhash / doc_length_quantiles /
+# lang_mix_weights / embedding_quantize to the tail (each family stays
+# in-cap: text stats via lang_id/text_quality/text_repetition, rtvals
+# via current_values/threshold_crossings, dedup via
+# exact/minhash/apply/clusters/embedding, percentile windows via
+# outlier_mad, sampling via stratified_sample, embeddings via
+# similarity_ivf/dedup_embedding_clusters) to gate the round-6
+# flagships: volume_shipping (Q7 5-join tree), nation_profit (Q9),
+# rolling_median (frame median + cent-exact mean), anomaly_zscore
+# (integer-exact |z| flags), nearest_port (map-only argmin), and
+# cumulative_active_users (scalable cumulative distinct).
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -4512,15 +4523,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
     "generic_projection": (q_generic_projection, SQL_GENERIC),
     "valmap_kv": (q_valmap, SQL_VALMAP),
-    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "current_values": (q_current_values, SQL_CURRENT_VALUES),
-    "history_window": (q_history_window, SQL_HISTORY),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
     "topk_customers": (q_topk_customers, SQL_TOPK),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
-    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
@@ -4540,7 +4551,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
+    "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
@@ -4548,8 +4559,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
-    "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
-    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
+    "nearest_port": (q_nearest_port, _sql_nearest_port()),
+    "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
@@ -4600,22 +4611,22 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
     "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
-    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "market_share": (q_market_share, SQL_MARKET_SHARE),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
     "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
     "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
-    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "hourly_lag_corr": (q_hourly_lag_corr, SQL_HOURLY_LAG_CORR),
-    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "zipf_vocab": (q_zipf_vocab, SQL_ZIPF_VOCAB),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
-    "nearest_port": (q_nearest_port, _sql_nearest_port()),
-    "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
     "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS),
-    "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "history_window": (q_history_window, SQL_HISTORY),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
+    "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
 }

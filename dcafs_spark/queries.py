@@ -4472,6 +4472,142 @@ FROM daily d LEFT JOIN news n USING (day)
 """
 
 
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: extract a typed field from the
+    events JSON `props` payload and aggregate on it — the reference
+    parses only delimited text (SURVEY §1.2), so JSON is a new-format
+    tier the Spark engine adds natively (`get_json_object` /
+    `from_json`, JVM-side, no UDF). Extraction stays inside the scan
+    projection; the aggregation shuffles 25 keys."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 5).alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type, k_band
+"""
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding per stream — ntile(10) over the ordered value
+    (the remaining ranked-window family member: rank/row_number gate
+    via window_rank, percentile via outlier_mad). Deterministic
+    because the order key (value, event_id) is unique; per-decile
+    cent-exact sums make the aggregate hash-stable."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _csum("value").alias("sum_value"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+SQL_NTILE_DECILES = f"""
+WITH banded AS (
+  SELECT event_type, value,
+         CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS decile
+  FROM events
+)
+SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+       {_sql_csum('value')} AS sum_value,
+       min(value) AS lo, max(value) AS hi
+FROM banded GROUP BY event_type, decile
+"""
+
+
+def q_levenshtein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance between each document and its successor's head —
+    the near-identical-revision detector (CommonCrawl re-crawls,
+    doc versioning) on the string-function tier both engines implement
+    as the classic DP. Bounded to the first 40 chars so the cost is
+    O(1600) per pair regardless of doc length; the lead() window is
+    one exchange on the (tiny) doc_id ordering."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy("doc_id")
+    heads = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("head"),
+        F.lead(F.substring("text", 1, 40)).over(w).alias("next_head"),
+    ).filter(F.col("next_head").isNotNull())
+    return heads.select(
+        "doc_id",
+        F.levenshtein("head", "next_head").cast("long").alias("edit_dist"),
+        (F.levenshtein("head", "next_head") <= 8).alias("near_dup_head"),
+    )
+
+
+SQL_LEVENSHTEIN = """
+WITH heads AS (
+  SELECT doc_id, substring(text, 1, 40) AS head,
+         lead(substring(text, 1, 40)) OVER (ORDER BY doc_id) AS next_head
+  FROM documents
+)
+SELECT doc_id, CAST(levenshtein(head, next_head) AS BIGINT) AS edit_dist,
+       levenshtein(head, next_head) <= 8 AS near_dup_head
+FROM heads WHERE next_head IS NOT NULL
+"""
+
+
+def q_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned length histogram per source — the standard corpus
+    length-distribution panel (linear bins hide the tail; log bins
+    show it). Pure integer bin math (floor of the bit length), one
+    map-side-combinable aggregation."""
+    docs = _docs(spark, sf_dir)
+    bin_ = F.floor(F.log2("n_chars")).cast("long")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy("source", bin_.alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn("bin_lo", F.pow(F.lit(2.0), F.col("log2_bin")).cast("long"))
+    )
+
+
+SQL_HISTOGRAM_LOG = """
+WITH binned AS (
+  SELECT source, CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bin, n_chars
+  FROM documents WHERE n_chars > 0
+)
+SELECT source, log2_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(pow(2, log2_bin) AS BIGINT) AS bin_lo
+FROM binned
+GROUP BY source, log2_bin
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -4629,4 +4765,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
     "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
+    "ntile_deciles": (q_ntile_deciles, SQL_NTILE_DECILES),
+    "levenshtein_drift": (q_levenshtein_drift, SQL_LEVENSHTEIN),
+    "histogram_log_bins": (q_histogram_log_bins, SQL_HISTOGRAM_LOG),
 }

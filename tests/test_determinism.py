@@ -92,6 +92,10 @@ FLAKY_SUSPECTS = [
     "packing_efficiency",
     "grouping_sets_revenue",
     "cumulative_active_users",
+    "json_props_extract",
+    "ntile_deciles",
+    "levenshtein_drift",
+    "histogram_log_bins",
 ]
 
 

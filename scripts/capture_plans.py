@@ -68,6 +68,10 @@ HEADLINE = [
     ("hourly_lag_corr", "hour pre-agg shrinks stream 10^4x before the lag join"),
     ("nearest_port", "map-only argmin: array_min over literal dim, zero shuffle"),
     ("embedding_dim_stats", "posexplode + 64-key agg, map-side combined"),
+    ("grouping_sets_revenue", "one Expand node, 3 grouping sets, single shuffle"),
+    ("cumulative_active_users", "cumulative distinct = running sum of first-seen rollup"),
+    ("json_props_extract", "JSON path extraction inside the scan projection"),
+    ("histogram_log_bins", "integer log2 bins, map-side combined"),
 ]
 
 

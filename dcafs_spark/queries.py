@@ -4608,6 +4608,42 @@ GROUP BY source, log2_bin
 """
 
 
+def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect-to-string per key (the LISTAGG / string_agg
+    family): each user's distinct event types as a canonical CSV —
+    the per-entity behavioral signature used for segment joins.
+    collect_set is order-nondeterministic by contract, so the profile
+    is canonicalized with array_sort BEFORE array_join — the output
+    is then partition-order independent (raw collect_list would flip
+    the hash under any shuffle-layout change). Single map-side
+    combinable aggregation; profiles are bounded by the type-alphabet
+    size, not the stream length."""
+    ev = _events(spark, sf_dir)
+    # composite arg-min key as a fixed-width zero-padded string
+    # (lexicographic == numeric for non-negatives): DuckDB's arg_min
+    # accepts no struct keys, so both engines order by the same VARCHAR
+    okey = F.concat(F.lpad(F.col("ts_ns").cast("string"), 20, "0"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    first_val = F.round(F.min_by("value", okey), 2)
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        first_val.alias("first_value"),
+    )
+
+
+SQL_EVENT_TYPE_PROFILE = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(arg_min(value, lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS first_value
+FROM events GROUP BY user_id
+"""
+
+
 # pipeline_dsl's oracle, lsh_multiprobe/valmap_remap/charsplit_rexsplit/
 # train_test_split/multimodal_frames/sliding_window are second gates of
 # in-cap rows, rollup/cube are the same grouping-sets code path, pivot and
@@ -4769,4 +4805,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ntile_deciles": (q_ntile_deciles, SQL_NTILE_DECILES),
     "levenshtein_drift": (q_levenshtein_drift, SQL_LEVENSHTEIN),
     "histogram_log_bins": (q_histogram_log_bins, SQL_HISTOGRAM_LOG),
+    "event_type_profile": (q_event_type_profile, SQL_EVENT_TYPE_PROFILE),
 }

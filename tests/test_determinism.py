@@ -96,6 +96,7 @@ FLAKY_SUSPECTS = [
     "ntile_deciles",
     "levenshtein_drift",
     "histogram_log_bins",
+    "event_type_profile",
 ]
 
 

@@ -140,6 +140,87 @@ def test_tpch_plans_push_down_and_broadcast(spark, sf_dir):
     assert "Join" not in np_plan and "hashpartitioning" not in np_plan
 
 
+def test_json_props_extract_matches_pandas(spark, sf_dir):
+    import json
+
+    from dcafs_spark.queries import q_json_props_extract
+
+    got = {
+        (r.event_type, r.k_band): (r.n, r.sum_k, r.min_k, r.max_k)
+        for r in q_json_props_extract(spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir)
+    from dcafs_spark.queries import _events
+
+    props = (
+        _events(spark, sf_dir).select("event_id", "event_type", "props").toPandas()
+    )
+    props["k"] = props["props"].map(lambda s: json.loads(s).get("k"))
+    props = props.dropna(subset=["k"])
+    props["k"] = props["k"].astype(int)
+    want = props.groupby(["event_type", props["k"] % 5])["k"].agg(["size", "sum", "min", "max"])
+    assert len(got) == len(want) > 0
+    for (et, band), w in want.iterrows():
+        assert got[(et, band)] == (w["size"], w["sum"], w["min"], w["max"])
+    assert len(ev) >= len(props)  # sanity: dropna only removed missing keys
+
+
+def test_ntile_deciles_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    from dcafs_spark.queries import q_ntile_deciles
+
+    got = {
+        (r.event_type, r.decile): r.n for r in q_ntile_deciles(spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir)
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        # SQL ntile: first (n % 10) tiles get ceil(n/10) rows
+        base, extra = divmod(n, 10)
+        for d in range(1, 11):
+            expect = base + (1 if d <= extra else 0)
+            if expect:
+                assert got[(et, d)] == expect, (et, d)
+
+
+def test_levenshtein_drift_matches_python(spark, sf_dir):
+    from dcafs_spark.queries import _docs, q_levenshtein_drift
+
+    got = {r.doc_id: r.edit_dist for r in q_levenshtein_drift(spark, sf_dir).collect()}
+    docs = (
+        _docs(spark, sf_dir).select("doc_id", "text").toPandas().sort_values("doc_id")
+    )
+    heads = [(int(i), t[:40]) for i, t in zip(docs["doc_id"], docs["text"])]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert len(got) == len(heads) - 1 > 0
+    for (i, a), (_j, b) in zip(heads, heads[1:]):
+        assert got[i] == lev(a, b), i
+
+
+def test_event_type_profile_matches_pandas(spark, sf_dir):
+    from dcafs_spark.queries import q_event_type_profile
+
+    got = {
+        r.user_id: (r.types_csv, r.n_types, r.n_events, r.first_value)
+        for r in q_event_type_profile(spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir)
+    for uid, g in ev.groupby("user_id"):
+        csv = ",".join(sorted(g["event_type"].unique()))
+        first = round(float(g.iloc[0]["value"]), 2)  # g pre-sorted by (ts, event_id)
+        assert got[uid] == (csv, g["event_type"].nunique(), len(g), first), uid
+
+
 def test_sales_opportunity_uses_anti_join(spark, sf_dir):
     from dcafs_spark.queries import q_sales_opportunity
 

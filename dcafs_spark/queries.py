@@ -3820,7 +3820,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
            & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30))
     )
     return j.filter(band).agg(
@@ -3835,7 +3835,7 @@ SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
 """
 
 
@@ -3998,11 +3998,24 @@ def q_hourly_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(lag).cast("long").alias("lag_hours"),
             "n",
+            # products formed in DOUBLE: n·sxx etc. would wrap int64 once
+            # hourly counts grow large (silent in Spark, error in DuckDB);
+            # the double tree is overflow-free and engine-deterministic
+            # (fixed IEEE op sequence on exact integer aggregates).
             F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
                 / (
-                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    F.sqrt(
+                        F.col("n").cast("double") * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    )
+                    * F.sqrt(
+                        F.col("n").cast("double") * F.col("syy").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy").cast("double")
+                    )
                 ),
                 6,
             ).alias("pearson_r"),
@@ -4032,8 +4045,9 @@ pairs AS (
   FROM pairs GROUP BY lag_hours
 )
 SELECT lag_hours, n,
-       round((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
 FROM sums
 """
 
@@ -4109,17 +4123,21 @@ def q_zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (roughly constant under Zipf's law — the standard sanity probe
     that a scraped corpus has natural-language token statistics).
     explode → count is the canonical map-side-combinable shape; the
-    top-50 is a single-partition sort of the already-aggregated
-    vocabulary, not of the corpus."""
+    top-50 comes from `orderBy(...).limit(50)` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-50 heaps merged on the
+    driver), so the FULL vocabulary never funnels through a
+    single-partition Exchange; only the 50 survivors see the trivial
+    ranking window. At 100 TB the vocabulary is billions of tokens —
+    a global row_number window over it would be one task."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top50 = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        top50.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn("rank_x_n", (F.col("rank") * F.col("n")).cast("long"))
     )
 
@@ -4197,8 +4215,15 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine reduces each partition to 64 partial rows before
     the (tiny) shuffle, so the full-corpus scan dominates at any SF.
     Components are quantized to exact int64 micro-units before
-    summing, making mean/variance bit-deterministic across engines
-    and partitionings (float sums are order-dependent)."""
+    summing; the SUMS are deterministic at any partitioning. The
+    variance is then formed in DOUBLE (n·s2 − s1², cast first): the
+    int64 product n·s2 would wrap at roughly n ≈ 2.3·10⁴ embeddings
+    (Spark wraps silently → negative variance → NaN std; DuckDB
+    raises), while the double expression tree is overflow-free and —
+    being a fixed sequence of IEEE-754 ops on identical exact inputs
+    — still engine-deterministic. Below ~2⁵³ the cast is exact, so
+    small-SF hashes are unchanged; at larger n the 6dp round absorbs
+    the ~1-ulp cast rounding."""
     embs = _embs(spark, sf_dir)
     comp = embs.select(F.posexplode("embedding").alias("dim", "val")).select(
         F.col("dim").cast("long").alias("dim"),
@@ -4207,13 +4232,16 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).cast("long")
     s1 = F.sum("q")
     s2 = F.sum(F.col("q") * F.col("q"))
+    nd = n.cast("double")
+    s1d = s1.cast("double")
+    s2d = s2.cast("double")
     return (
         comp.groupBy("dim")
         .agg(
             n.alias("n"),
             F.round(s1 / (n * 1e6), 6).alias("mean"),
             F.round(
-                F.sqrt((n * s2 - s1 * s1) / (n * (n - 1) * 1e12)), 6
+                F.sqrt((nd * s2d - s1d * s1d) / (nd * (nd - 1) * 1e12)), 6
             ).alias("std"),
             (F.min("q") / 1e6).alias("min_val"),
             (F.max("q") / 1e6).alias("max_val"),
@@ -4235,7 +4263,9 @@ WITH comp AS (
 )
 SELECT dim, n,
        round(s1 / (n * 1e6), 6) AS mean,
-       round(sqrt((n * s2 - s1 * s1) / (n * (n - 1) * 1e12)), 6) AS std,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 1e12)), 6) AS std,
        mn / 1e6 AS min_val, mx / 1e6 AS max_val
 FROM sums
 """
@@ -4257,9 +4287,13 @@ def q_nearest_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive cross-join + rank-per-point formulation would shuffle 8N
     rows on the point key just to pick each group's minimum. Struct
     ordering compares dist first then port_id, exactly the
-    (dist ASC, port_id ASC) tiebreak; both engines compute the
-    identical double formula, so no rounding of the sort key is
-    needed for determinism."""
+    (dist ASC, port_id ASC) tiebreak. The sort key is QUANTIZED to
+    8dp before the argmin on both engines: Spark (Java Math) and
+    DuckDB (libm) trig agree only to ~1 ulp, so comparing raw doubles
+    could flip a near-equidistant argmin or a display-round boundary;
+    after the shared 8dp quantization both engines order and round
+    identical values (residual risk only if the true distance sits
+    within the trig ulp of a 5·10⁻⁹ boundary)."""
     from dcafs_spark.functions.geo import haversine_km
 
     ev = _events(spark, sf_dir)
@@ -4271,8 +4305,11 @@ def q_nearest_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = F.array(
         *[
             F.struct(
-                haversine_km(
-                    F.col("lat"), F.col("lon"), F.lit(plat), F.lit(plon)
+                F.round(
+                    haversine_km(
+                        F.col("lat"), F.col("lon"), F.lit(plat), F.lit(plon)
+                    ),
+                    8,
                 ).alias("dist_km"),
                 F.lit(pid).cast("long").alias("port_id"),
             )
@@ -4297,10 +4334,10 @@ pos AS (
   FROM events
 ), scored AS (
   SELECT event_id, CAST(port_id AS BIGINT) AS port_id,
-         2 * 6371.0088 * asin(sqrt(
+         round(2 * 6371.0088 * asin(sqrt(
            pow(sin(radians(p_lat - lat) / 2), 2)
            + cos(radians(lat)) * cos(radians(p_lat)) * pow(sin(radians(p_lon - lon) / 2), 2)
-         )) AS dist_km
+         )), 8) AS dist_km
   FROM pos, ports
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_km ASC, port_id ASC) AS rn
@@ -4494,14 +4531,22 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TRY_CAST + filter-on-the-cast mirrors Spark's null-on-failure
+# .cast('long') semantics: a non-numeric $.k value silently drops on
+# BOTH engines instead of erroring here while Spark keeps running.
 SQL_JSON_PROPS = """
-SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_band,
+WITH ex AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, k % 5 AS k_band,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events
-WHERE json_extract_string(props, '$.k') IS NOT NULL
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ex
+WHERE k IS NOT NULL
 GROUP BY event_type, k_band
 """
 
@@ -4548,16 +4593,40 @@ def q_levenshtein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-identical-revision detector (CommonCrawl re-crawls,
     doc versioning) on the string-function tier both engines implement
     as the classic DP. Bounded to the first 40 chars so the cost is
-    O(1600) per pair regardless of doc length; the lead() window is
-    one exchange on the (tiny) doc_id ordering."""
+    O(1600) per pair regardless of doc length.
+
+    Scale shape: the successor lookup is NOT a global-orderBy window
+    (that funnels every head through one task). Heads are bucketed by
+    `doc_id DIV B`; `lead()` runs within buckets (partitioned window,
+    parallel), and the one missing successor per bucket — the bucket's
+    last row — is stitched from a 1-row-per-bucket table of bucket
+    first-heads (N/B rows; its own ordering window is over bucket ids
+    only, a B-fold reduction — recurse the bucketing if N/B itself
+    ever gets large). lead() is null exactly on each bucket's last
+    row, so coalesce(lead, next_bucket_first) is the global successor
+    even when doc_ids are sparse and buckets are empty."""
     docs = _docs(spark, sf_dir)
-    w = Window.orderBy("doc_id")
+    B = 1024
     heads = docs.select(
         "doc_id",
+        F.expr(f"doc_id DIV {B}").alias("bucket"),
         F.substring("text", 1, 40).alias("head"),
-        F.lead(F.substring("text", 1, 40)).over(w).alias("next_head"),
-    ).filter(F.col("next_head").isNotNull())
-    return heads.select(
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    in_bucket = heads.withColumn("lead_head", F.lead("head").over(wb))
+    firsts = heads.groupBy("bucket").agg(
+        F.min_by("head", "doc_id").alias("first_head")
+    )
+    wt = Window.orderBy("bucket")
+    nxt = firsts.select(
+        "bucket", F.lead("first_head").over(wt).alias("boundary_head")
+    )
+    stitched = (
+        in_bucket.join(nxt, "bucket")
+        .withColumn("next_head", F.coalesce("lead_head", "boundary_head"))
+        .filter(F.col("next_head").isNotNull())
+    )
+    return stitched.select(
         "doc_id",
         F.levenshtein("head", "next_head").cast("long").alias("edit_dist"),
         (F.levenshtein("head", "next_head") <= 8).alias("near_dup_head"),
@@ -4685,7 +4754,17 @@ FROM events GROUP BY user_id
 # flagships: volume_shipping (Q7 5-join tree), nation_profit (Q9),
 # rolling_median (frame median + cent-exact mean), anomaly_zscore
 # (integer-exact |z| flags), nearest_port (map-only argmin), and
-# cumulative_active_users (scalable cumulative distinct).
+# cumulative_active_users (scalable cumulative distinct). The round-7
+# wave executes the round-6 verdict's promotion list verbatim:
+# session_funnel / retention_cohorts / resample_interp /
+# sequence_packing / tfidf_topk / track_sog_cog enter the cap
+# (rtvals-trigger/history analogues + the two north-star curation
+# shapes the driver had never exercised); demoted with their families
+# still gated in-cap: text_repetition / text_clean / code_detect /
+# oov_rate / gopher_filter (quality family: text_quality + pii_scrub
+# stay in-cap) and line_dedup (dedup family: exact / minhash / apply /
+# clusters / embedding / cross all in-cap; chunk-apply twin stays
+# pytest+replica-gated in the tail).
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -4726,19 +4805,25 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "gopher_filter": (q_gopher_filter, SQL_GOPHER),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
-    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
+    "session_funnel": (q_session_funnel, SQL_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
+    "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
+    "track_sog_cog": (q_track_sog_cog, SQL_SOG_COG),
+    # ---- past the driver's 50-entry cap: in-cap-covered variants ----
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "oov_rate": (q_oov_rate, SQL_OOV),
-    # ---- past the driver's 50-entry cap: in-cap-covered variants ----
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
     "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
     "random_projection": (q_random_projection, _sql_random_projection()),
@@ -4769,20 +4854,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "listreplace": (q_listreplace, SQL_LISTREPLACE),
     "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
-    "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
-    "track_sog_cog": (q_track_sog_cog, SQL_SOG_COG),
-    "session_funnel": (q_session_funnel, SQL_FUNNEL),
-    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
-    "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
     "market_share": (q_market_share, SQL_MARKET_SHARE),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),

@@ -916,11 +916,11 @@ WITH f AS (
 SELECT doc_id, n_chars AS q_chars, n_words AS q_words,
        mean_word_len AS q_mean_word_len, punct_ratio AS q_punct_ratio,
        stop_ratio AS q_stop_ratio, upper_ratio AS q_upper_ratio,
-       round((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+       CAST(round((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12 THEN 0.2 ELSE 0.0 END)
            + (CASE WHEN stop_ratio > 0.01 THEN 0.2 ELSE 0.0 END)
            + (CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END)
-           + (CASE WHEN upper_ratio < 0.3 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+           + (CASE WHEN upper_ratio < 0.3 THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
 FROM g
 """
 

@@ -135,17 +135,22 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
-    # The driver captures only the LAST 2000 chars of output and
-    # json-parses the final line — round 5's 94-query line overflowed
-    # that window and the headline total was lost. Trim the printed
-    # queries dict (registry order) until the line fits with margin;
-    # the dropped tail lives in BENCH_DETAIL.json.
-    shown = dict(timings)
-    while len(json.dumps(payload)) > 1800 and shown:
-        shown.pop(next(reversed(shown)))
-        payload["queries"] = shown
-        payload["detail"] = "BENCH_DETAIL.json"
+    # The driver captures only the tail of stdout and json-parses the
+    # FINAL line — round 5's 94-query single line overflowed the window
+    # and the headline total was lost; round 6's trimmed single line
+    # kept totals but only 66/117 per-query entries. So: emit the full
+    # per-query line FIRST (whatever of it survives the clip is bonus
+    # detail), then a trimmed line LAST that is guaranteed to fit —
+    # the parsed final line always carries totals + as many per-query
+    # entries as fit. Full detail is committed in BENCH_DETAIL.json.
     print(json.dumps(payload))
+    shown = dict(timings)
+    tail = dict(payload)
+    while len(json.dumps(tail)) > 1800 and shown:
+        shown.pop(next(reversed(shown)))
+        tail["queries"] = shown
+        tail["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(tail))
 
 
 if __name__ == "__main__":

@@ -188,19 +188,41 @@ def stateful_geofence_stream(stream_df, waypoints: list[Waypoint], lat="lat", lo
 
 class StreamingGeofence:
     """Cross-batch ENTER/LEAVE: carries last inside-flag per
-    (track, waypoint) between micro-batches (foreachBatch flavor)."""
+    (track, waypoint) between micro-batches (foreachBatch flavor).
 
-    def __init__(self, waypoints: list[Waypoint]):
+    `max_transitions_per_batch` bounds the per-batch driver collect:
+    transitions are "rare by nature" until a noisy GPS stream chatters
+    across a fence boundary every other fix, at which point an
+    unbounded collect is a driver OOM. The cap keeps the EARLIEST
+    transitions of the batch (TakeOrdered by ts — still distributed)
+    and counts the remainder in `overflow`, so a chattering sensor
+    degrades to a diagnosable counter instead of a crash. `max_events`
+    similarly bounds the accumulated event log (oldest dropped,
+    counted in `evicted`)."""
+
+    def __init__(
+        self,
+        waypoints: list[Waypoint],
+        max_transitions_per_batch: int = 10_000,
+        max_events: int = 1_000_000,
+    ):
         self.waypoints = waypoints
         self.state: dict[tuple[str, str], bool] = {}
         self.events: list[tuple] = []
+        self.max_transitions_per_batch = max_transitions_per_batch
+        self.max_events = max_events
+        self.overflow = 0  # transitions dropped by the per-batch cap
+        self.evicted = 0  # oldest events trimmed from the log
 
     def process_batch(self, batch_df: DataFrame, batch_id: int = 0, **cols) -> None:
-        """Only two sparse result sets reach the driver: (a) the
-        transition rows the plan already found (event ≠ NULL — rare by
-        nature), and (b) ONE first/last boundary row per (track,
-        waypoint) via min_by/max_by — never the full batch. Driver work
-        is O(#transitions + #keys), independent of batch row count."""
+        """Only two sparse result sets reach the driver: (a) up to
+        `max_transitions_per_batch` transition rows (event ≠ NULL),
+        taken as the batch's earliest via a distributed TakeOrdered,
+        and (b) ONE first/last boundary row per (track, waypoint) via
+        min_by/max_by — never the full batch. Driver work is
+        O(min(#transitions, cap) + #keys), independent of batch row
+        count; the exact dropped count is paid for with one extra
+        distributed count() only on the rare overflow path."""
         evd = waypoint_events(batch_df, self.waypoints, **cols)
         track = cols.get("track", "track_id")
         ts = cols.get("ts", "ts")
@@ -212,7 +234,12 @@ class StreamingGeofence:
             "event",
             "dist_km",
         )
-        trans = sel.filter(F.col("event").isNotNull()).collect()
+        cap = self.max_transitions_per_batch
+        trans_df = sel.filter(F.col("event").isNotNull())
+        trans = trans_df.orderBy("_ts", "_track", "wp_id").limit(cap + 1).collect()
+        if len(trans) > cap:
+            self.overflow += trans_df.count() - cap
+            trans = trans[:cap]
         bounds = (
             sel.groupBy("_track", "wp_id")
             .agg(
@@ -234,3 +261,7 @@ class StreamingGeofence:
             new_events.append((r["_track"], r["wp_id"], r["_ts"], r["event"], r["dist_km"]))
         new_events.sort(key=lambda e: e[2])
         self.events.extend(new_events)
+        if len(self.events) > self.max_events:
+            drop = len(self.events) - self.max_events
+            self.evicted += drop
+            del self.events[:drop]

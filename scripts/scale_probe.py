@@ -111,6 +111,55 @@ def main() -> None:
             .repartition(32)
         )
 
+    def inflate_emb_perturbed(n: int):
+        """Inflation for CONTENT-sensitive embedding probes: exact
+        copies would all be mutual near-dups (cross-copy cosine = 1.0),
+        inflating the pair count quadratically by construction. A
+        deterministic per-copy, per-dimension nudge keeps each copy's
+        internal near-dup structure while killing cross-copy matches —
+        the realistic growth mode (more distinct vectors)."""
+        base = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        if n == 1:
+            return base.repartition(32)
+        copies = spark.range(n).select(F.col("id").alias("copy"))
+        return (
+            base.crossJoin(copies)
+            .select(
+                (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+                F.transform(
+                    "v",
+                    lambda x, i: x
+                    + F.cos(F.col("copy") * 13.7 + i.cast("double")) * 0.08,
+                ).alias("v"),
+            )
+            .repartition(32)
+        )
+
+    def _emb_dedup_probe(d, n_planes):
+        from dcafs_spark.operators.similarity import dot, hyperplanes, l2_norm, lsh_bucket
+
+        planes = hyperplanes(64, n_planes, 42)
+        b = d.select(
+            "vec_id", "v",
+            lsh_bucket(F.col("v"), planes).alias("bucket"),
+            l2_norm(F.col("v")).alias("nrm"),
+        )
+        return (
+            b.alias("l")
+            .join(
+                b.alias("r"),
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vec_id") < F.col("r.vec_id")),
+            )
+            .select(
+                (dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))).alias("c")
+            )
+            .filter(F.col("c") >= 0.995)
+            .count()
+        )
+
     emb_probes = {
         "jl_project": lambda d: random_projection(d)
         .write.format("noop").mode("overwrite").save(),
@@ -145,6 +194,35 @@ def main() -> None:
 
     run(probes, inflate)
     run(emb_probes, inflate_emb)
+
+    # dedup_embedding: two variants on perturbed inflation. The gated
+    # query's fixed 8-plane bucketing has only 256 buckets, so in-bucket
+    # candidate pairs grow O(N²/256) once N >> 256 — the probe SHOWS
+    # that; the fix is scaling plane count with log2(N) (constant
+    # expected bucket occupancy), probed alongside.
+    def run_emb_dedup():
+        import math as _m
+
+        for label, planes_of_n in (
+            ("dedup_embedding_8plane", lambda _n_rows: 8),
+            ("dedup_embedding_logN", lambda n_rows: max(8, int(_m.log2(max(n_rows, 2))) + 3)),
+        ):
+            row = [label]
+            for n in factors:
+                d = inflate_emb_perturbed(n).localCheckpoint(eager=True)
+                n_rows = emb_n * n
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    _emb_dedup_probe(d, planes_of_n(n_rows))
+                    best = min(best, time.time() - t0)
+                row.append(f"{best:.2f}")
+                d.unpersist()
+            lines.append("| " + " | ".join(row) + " |")
+            print(lines[-1])
+
+    emb_n = emb.count()
+    run_emb_dedup()
 
     # --- time-series family over inflated events: salt user_id so KEY
     # cardinality grows with inflation (per-key series length constant —

@@ -174,6 +174,37 @@ class TestValuesStore:
         assert kinds == [("LEAVE", 2.0), ("ENTER", 4.0)]
         assert g.state[("t1", "wp")] is True
 
+    def test_geofence_chattering_fence_bounded(self, spark):
+        """A noisy GPS chattering across the fence every fix must NOT
+        collect unboundedly: the per-batch cap keeps the earliest
+        transitions and counts the dropped remainder in `overflow`."""
+        from dcafs_spark.operators.waypoint import StreamingGeofence, Waypoint
+
+        schema = "track_id string, lat double, lon double, ts double"
+        # alternate inside (51.0) / outside (55.0) → a transition on
+        # every fix after the first: 199 transitions in one batch
+        rows = [("t1", 51.0 if i % 2 == 0 else 55.0, 3.0, float(i)) for i in range(200)]
+        g = StreamingGeofence(
+            [Waypoint("wp", 51.0, 3.0, 25.0)], max_transitions_per_batch=50
+        )
+        g.process_batch(spark.createDataFrame(rows, schema), track="track_id", ts="ts")
+        # cap held: 50 collected transitions (earliest), 149 counted out
+        trans_events = [e for e in g.events]
+        assert len(trans_events) == 50
+        assert g.overflow == 149
+        # earliest-first: the kept transitions are ts 1..50
+        assert [e[2] for e in trans_events] == [float(i) for i in range(1, 51)]
+        # event-log eviction bound
+        tight = StreamingGeofence(
+            [Waypoint("wp", 51.0, 3.0, 25.0)],
+            max_transitions_per_batch=50,
+            max_events=10,
+        )
+        tight.process_batch(
+            spark.createDataFrame(rows, schema), track="track_id", ts="ts"
+        )
+        assert len(tight.events) == 10 and tight.evicted == 40
+
 
 class TestStreamingPath:
     def test_file_stream_to_store_and_sink(self, spark, tmp_path):

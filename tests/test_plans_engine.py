@@ -82,6 +82,31 @@ class TestPlanQuality:
         plan = physical_plan(QUERIES["waypoint_geofence"][0](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_zipf_vocab_topk_is_take_ordered(self, spark, sf_dir):
+        """The top-50 must come from TakeOrderedAndProject, not from a
+        single-partition window Exchange over the FULL vocabulary (the
+        scale-killer shape at 100 TB). The trivial ranking window runs
+        only over the 50 surviving rows — i.e. any SinglePartition
+        exchange in the plan must sit above the limit, not below it."""
+        plan = physical_plan(QUERIES["zipf_vocab"][0](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        # the window's single-partition exchange must consume the
+        # TakeOrdered output (50 rows), never the vocabulary aggregate
+        seg_before_limit = plan.split("TakeOrderedAndProject")[-1]
+        assert "Exchange SinglePartition" not in seg_before_limit
+
+    def test_levenshtein_drift_window_is_partitioned(self, spark, sf_dir):
+        """The successor lead() must run in doc_id-DIV-B buckets
+        (partitioned window, parallel); only the 1-row-per-bucket
+        boundary-stitch table may see a global ordering."""
+        plan = physical_plan(QUERIES["levenshtein_drift"][0](spark, sf_dir))
+        assert "hashpartitioning(bucket" in plan
+        # every window over the full heads table is bucket-partitioned:
+        # PartitionBy-less specs appear as 'Window [...], [bucket...]'
+        # only the tiny firsts-table window may order globally
+        win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert any("bucket" in ln and "doc_id" in ln for ln in win_lines)
+
     def test_kmeans_seed_selection_is_take_ordered(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

@@ -476,6 +476,19 @@ def main() -> None:
 
     run_pairs(li_probes)
 
+    lines += [
+        "",
+        "## Reading the embedding-dedup pair",
+        "",
+        "`dedup_embedding_8plane` is the gated query's shape: sign-LSH with a",
+        "FIXED 8 planes = 256 buckets, so in-bucket candidate pairs grow",
+        "O(N²/256) once N ≫ 256 — the probe shows it going super-linear.",
+        "`dedup_embedding_logN` scales the plane count with ⌈log2(N)⌉+3",
+        "(constant expected bucket occupancy) and stays ~linear: that is the",
+        "production setting at 100 TB. The gated query keeps 8 planes only",
+        "because its oracle SQL must enumerate the plane literals; the",
+        "operator takes n_planes as a parameter.",
+    ]
     with open("/root/repo/SCALE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")

@@ -557,3 +557,221 @@ class TestResizeImages:
         row = resize_images(df, 2, 2).first()
         assert bytes(row["payload"]) == b"\xff\xd8notjpegreally"
         assert row["meta"]["width"] == 10  # untouched meta
+
+
+# ------------------------------------------------------------------ JPEG
+# Minimal baseline-JPEG ENCODER (test-side only): uniform quant table,
+# tiny custom Huffman tables (12 DC categories at 4 bits; AC EOB at
+# 1 bit + optional (0,1) symbol at 2 bits), DC-dominated blocks. This
+# is an independent implementation of the T.81 *writer* side, so the
+# decoder test is a true round-trip, not decoder-vs-itself.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, val, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def tobytes(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)  # pad with 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+def _enc_dc(bw, diff):
+    cat = abs(diff).bit_length()
+    bw.write(cat, 4)  # DC symbol `cat` has canonical code == cat at len 4
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+
+def _make_jpeg(w, h, comp_blocks, q=8, restart_interval=0, samps=None, sof=0xC0):
+    """comp_blocks: per component, list of blocks in MCU order; each
+    block is (dc,) or (dc, ac1) with ac1 the quantized coefficient at
+    zigzag index 1. samps: per-comp (h,v) sampling, default 1x1."""
+    import struct
+
+    nc = len(comp_blocks)
+    samps = samps or [(1, 1)] * nc
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0]) + bytes([q] * 64)
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        hi, vi = samps[c]
+        out += bytes([c + 1, (hi << 4) | vi, 0])
+    counts_dc = bytes([0, 0, 0, 12] + [0] * 12)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + bytes([0x00]) + counts_dc + bytes(range(12))
+    counts_ac = bytes([1, 1] + [0] * 14)  # EOB: code 0 (len 1); (0,1): code 10 (len 2)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2) + bytes([0x10]) + counts_ac + bytes([0x00, 0x01])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * nc + 3, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00])
+    out += bytes([0, 63, 0])
+
+    def enc_block(bw, blk, pred):
+        dc = blk[0]
+        _enc_dc(bw, dc - pred)
+        if len(blk) > 1 and blk[1]:
+            ac = blk[1]
+            assert abs(ac) == 1, "test encoder supports size-1 AC only"
+            bw.write(0b10, 2)  # symbol (run=0,size=1)
+            bw.write(1 if ac > 0 else 0, 1)
+        bw.write(0, 1)  # EOB
+        return dc
+
+    n_units = len(comp_blocks[0])  # blocks of comp 0
+    bpm = [hi * vi for hi, vi in samps]  # blocks per MCU per comp
+    n_mcus = n_units // bpm[0]
+    mcu_stream = []
+    for m in range(n_mcus):
+        unit = []
+        for c in range(nc):
+            for b in range(bpm[c]):
+                unit.append((c, comp_blocks[c][m * bpm[c] + b]))
+        mcu_stream.append(unit)
+    step = restart_interval or n_mcus
+    segs = []
+    for s0 in range(0, n_mcus, step):
+        bw = _BitWriter()
+        preds = [0] * nc
+        for unit in mcu_stream[s0 : s0 + step]:
+            for c, blk in unit:
+                preds[c] = enc_block(bw, blk, preds[c])
+        segs.append(bw.tobytes())
+    for k, seg in enumerate(segs):
+        out += seg
+        if k < len(segs) - 1:
+            out += bytes([0xFF, 0xD0 + (k % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestJpegDecode:
+    def test_solid_gray_roundtrip(self):
+        from dcafs_spark.operators.multimodal import _decode_jpeg
+
+        # v=200 → DC = 8*(200-128)/q = 72 at q=8; IDCT restores exactly
+        jp = _make_jpeg(8, 8, [[(72,)]])
+        assert _decode_jpeg(jp) == [8.0, 8.0, 200.0, 200.0]
+
+    def test_two_blocks_dc_diff_negative(self):
+        from dcafs_spark.operators.multimodal import _decode_jpeg_pixels
+
+        # left block 200, right block 100 → second DC diff = -100
+        jp = _make_jpeg(16, 8, [[(72,), (-28,)]])
+        px = _decode_jpeg_pixels(jp)
+        assert px.shape == (8, 16, 3)
+        assert (px[:, :8] == 200).all() and (px[:, 8:] == 100).all()
+
+    def test_solid_color_ycbcr(self):
+        import numpy as np
+
+        from dcafs_spark.operators.multimodal import _decode_jpeg_pixels
+
+        r0, g0, b0 = 250, 120, 40
+        y = round(0.299 * r0 + 0.587 * g0 + 0.114 * b0)
+        cb = round(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0)
+        cr = round(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0)
+        # at q=8 the quantized DC of a solid block v is 8·(v−128)/8 = v−128
+        jp = _make_jpeg(8, 8, [[(y - 128,)], [(cb - 128,)], [(cr - 128,)]], q=8)
+        px = _decode_jpeg_pixels(jp)
+        exp = np.clip(
+            np.round(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ]
+            ),
+            0,
+            255,
+        ).astype("uint8")
+        assert (px == exp.reshape(1, 1, 3)).all()
+        # lossy but close to the source color
+        assert abs(int(px[0, 0, 0]) - r0) <= 2
+
+    def test_restart_markers(self):
+        from dcafs_spark.operators.multimodal import _decode_jpeg_pixels
+
+        blocks = [[(72,), (-28,), (0,), (40,)]]
+        plain = _decode_jpeg_pixels(_make_jpeg(32, 8, blocks))
+        rst = _decode_jpeg_pixels(_make_jpeg(32, 8, blocks, restart_interval=1))
+        assert plain is not None and (plain == rst).all()
+
+    def test_ac_coefficient_idct(self):
+        import numpy as np
+
+        from dcafs_spark.operators.multimodal import _decode_jpeg_pixels
+
+        # one AC coef at zigzag 1 (u=0, v=1): independent IDCT reference
+        jp = _make_jpeg(8, 8, [[(0, 1)]], q=8)
+        px = _decode_jpeg_pixels(jp)
+        xs = np.arange(8)
+        basis1 = np.cos((2 * xs + 1) * np.pi / 16)  # v=1 row pattern
+        # reference: s(x,y) = 1/4 * C(0)C(1) * F * cos((2x+1)π/16); F=8
+        exp_row = np.clip(np.round(128 + 0.25 * (1 / np.sqrt(2)) * 8 * basis1), 0, 255)
+        assert (px[0, :, 0] == exp_row.astype("uint8")).all()
+        assert (px[:, :, 0] == px[0, :, 0]).all()  # constant down columns
+
+    def test_chroma_subsampling_420(self):
+        from dcafs_spark.operators.multimodal import _decode_jpeg_pixels
+
+        # 16x16, Y at 2x2 (4 blocks/MCU), Cb/Cr at 1x1: solid gray
+        jp = _make_jpeg(
+            16, 16,
+            [[(50,)] * 4, [(0,)], [(0,)]],
+            q=8, samps=[(2, 2), (1, 1), (1, 1)],
+        )
+        px = _decode_jpeg_pixels(jp)
+        assert px.shape == (16, 16, 3) and (px == 178).all()
+
+    def test_progressive_returns_none_and_byte_stats_fallback(self):
+        from dcafs_spark.operators.multimodal import _decode_image, _decode_jpeg
+
+        prog = _make_jpeg(8, 8, [[(72,)]], sof=0xC2)
+        assert _decode_jpeg(prog) is None
+        feats = _decode_image(prog)
+        assert feats[0] == float(len(prog))  # byte-stats tier
+
+    def test_truncated_entropy_returns_none(self):
+        from dcafs_spark.operators.multimodal import _decode_jpeg
+
+        jp = _make_jpeg(16, 8, [[(72,), (-28,)]])
+        assert _decode_jpeg(jp[:-12]) is None
+
+    def test_resize_jpeg_emits_ppm(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+        jp = _make_jpeg(16, 8, [[(72,), (-28,)]])
+        df = spark.createDataFrame(
+            [(7, "image", jp, ("image/jpeg", 16, 8, 0, 0))], MEDIA_SCHEMA
+        )
+        row = resize_images(df, 4, 2).first()
+        out = bytes(row["payload"])
+        assert out.startswith(b"P6\n4 2\n255\n")
+        px = out[len(b"P6\n4 2\n255\n"):]
+        # cols sampled at x=0,4 (left=200) and 8,12 (right=100)
+        assert px == bytes([200] * 6 + [100] * 6) * 2
+        assert row["meta"]["width"] == 4 and row["meta"]["height"] == 2
+
+    def test_feature_pipeline_consumes_jpeg(self, spark):
+        from dcafs_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+        jp = _make_jpeg(8, 8, [[(72,)]])
+        df = spark.createDataFrame(
+            [(11, "image", jp, ("image/jpeg", 8, 8, 0, 0))], MEDIA_SCHEMA
+        )
+        row = extract_features(df).first()
+        assert row["feature"] == [8.0, 8.0, 200.0, 200.0]

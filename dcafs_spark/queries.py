@@ -4766,6 +4766,379 @@ FROM events GROUP BY user_id
 # clusters / embedding / cross all in-cap; chunk-apply twin stays
 # pytest+replica-gated in the tail).
 
+
+# ------------------------------------------------- round-7 new families
+
+
+def _toks_expr():
+    """Shared tokenizer expression: lowercase, trim, split on runs of
+    whitespace, drop empties — identical semantics in the oracle's
+    list_filter(string_split_regex(...))."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs — the classic multiword-expression detector a corpus
+    pipeline runs before tokenizer training. PMI = ln((c_xy·U²)/(T·c_x·c_y))
+    with c_xy pair counts, c_x/c_y unigram counts, T total pairs, U
+    total tokens — every input an exact int64 aggregate, the log a
+    SINGLE identical double expression on both engines, so the 6dp
+    round is deterministic.
+
+    Scale shape: pairs are built map-side by zipping each token array
+    with its own tail (no window, no self-join); pair and unigram
+    counts are map-side-combinable groupBys; the two count joins are
+    equi-joins on the token key (co-partitioned by AQE); the T/U
+    scalars ride in as a broadcast 1-row cross join. Nothing touches a
+    driver or a global sort at any SF. min-count 5 bounds the output
+    to the interesting head without a top-k."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(_toks_expr().alias("w"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS x, w[i + 1] AS y))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = uni.agg(
+        F.sum("c").cast("long").alias("u_total"),
+    )
+    pair_counts = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    t_total = pair_counts.agg(F.sum("c_xy").cast("long").alias("t_total"))
+    return (
+        pair_counts.filter(F.col("c_xy") >= 5)
+        .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("u_total") * F.col("u_total"))
+                    / (F.col("t_total").cast("double") * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_BIGRAM_PMI = r"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+), pairs AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM d CROSS JOIN generate_series(1, 100000) AS t(i)
+  WHERE i <= len(w) - 1
+), uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS t FROM d) GROUP BY t
+), pc AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs GROUP BY x, y
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS u_total FROM uni),
+tt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS t_total FROM pc)
+SELECT pc.x, pc.y, pc.c_xy, ux.c AS c_x, uy.c AS c_y,
+       round(ln((CAST(c_xy AS DOUBLE) * u_total * u_total)
+                / (CAST(t_total AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+FROM pc
+JOIN uni ux ON ux.t = pc.x
+JOIN uni uy ON uy.t = pc.y
+CROSS JOIN tot CROSS JOIN tt
+WHERE c_xy >= 5
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM cross-entropy against the corpus unigram model —
+    the perplexity-style quality score a data pipeline uses to flag
+    gibberish (high surprisal) and boilerplate (low). Each token's
+    surprisal ln(U/c) is computed from exact integer counts and
+    QUANTIZED to int64 micro-nats BEFORE the per-doc sum, so the
+    aggregation is integer (order-independent) and the final division
+    is one deterministic double op — the same trick the embedding
+    stats use for float sums.
+
+    Scale shape: token→count is one map-side-combinable groupBy; the
+    score join is a token-key equi-join (vocab is corpus-sized, NOT
+    broadcast — at 100 TB a broadcast vocab would OOM every executor);
+    the per-doc rollup shuffles doc_id once."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_toks_expr()).alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
+    scored = (
+        toks.join(uni, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("u_total").cast("double") / F.col("c")) * 1e6)
+            .cast("long")
+            .alias("q_nats"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("q_nats") / (1e6 * F.count(F.lit(1))), 6).alias("mean_surprisal"),
+    )
+
+
+SQL_UNIGRAM_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+  FROM documents
+), uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS u_total FROM uni),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(u_total AS DOUBLE) / c) * 1e6) AS BIGINT) AS q_nats
+  FROM toks JOIN uni USING (t) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(q_nats) AS BIGINT) / (1e6 * count(*)), 6) AS mean_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance of the first 8 embedding dimensions — the
+    correlated-dimension audit run before whitening/PCA. Each row
+    contributes its 36 upper-triangle products MAP-SIDE (a literal
+    36-struct array, exploded), so the aggregation is one map-side-
+    combinable groupBy on 36 keys — NO self-join on vec_id, which at
+    100 TB would shuffle the corpus to compute what a partial
+    aggregate gets for free. Components quantize to int64 micro-units;
+    product sums ride in DECIMAL(38,0) (exact at any SF — int64 would
+    wrap at ~2M rows) and the covariance is one identical double
+    expression on both engines."""
+    embs = _embs(spark, sf_dir)
+    q = [
+        F.round(F.element_at("embedding", i + 1).cast("double") * 1_000_000)
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(8)
+    ]
+    wide = embs.select(*q)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("i"),
+                F.lit(j).cast("long").alias("j"),
+                (F.col(f"q{i}") * F.col(f"q{j}")).alias("xy"),
+                F.col(f"q{i}").alias("x"),
+                F.col(f"q{j}").alias("y"),
+            )
+            for i in range(8)
+            for j in range(i, 8)
+        ]
+    )
+    flat = wide.select(F.explode(cells).alias("c")).select("c.*")
+    n = F.count(F.lit(1)).cast("long")
+    sxy = F.sum(F.col("xy").cast("decimal(38,0)")).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    return (
+        flat.groupBy("i", "j")
+        .agg(
+            n.alias("n"),
+            F.round(
+                (n.cast("double") * sxy - sx * sy)
+                / (n.cast("double") * (n.cast("double") - 1) * 1e12),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+SQL_DIM_COVARIANCE = """
+WITH q AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+         CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS y
+  FROM embeddings
+  CROSS JOIN generate_series(0, 7) AS a(i)
+  CROSS JOIN generate_series(0, 7) AS b(j)
+  WHERE j >= i
+), s AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy
+  FROM q GROUP BY i, j
+)
+SELECT i, j, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 1e12), 9) AS cov
+FROM s
+"""
+
+
+def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit: Gini coefficient of docs-per-source
+    (a training mix dominated by one crawl source is a diversity bug).
+    Gini = (2·Σᵢ i·cᵢ)/(k·Σc) − (k+1)/k over ascending per-source
+    counts — exact integers until one final double expression. The
+    ranking window runs over the per-source ROLLUP (one row per
+    source, bounded by the source alphabet at any SF), never the
+    corpus; the corpus only sees a map-side-combinable count."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("c", "source")
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
+    k = F.count(F.lit(1)).cast("long")
+    sc = F.sum("c").cast("long")
+    sic = F.sum(F.col("i") * F.col("c")).cast("long")
+    return ranked.agg(
+        k.alias("n_sources"),
+        sc.alias("total_docs"),
+        F.round(
+            (2.0 * sic) / (k.cast("double") * sc)
+            - (k.cast("double") + 1) / k.cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_GINI_SOURCES = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+), ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(c) AS BIGINT) AS total_docs,
+       round((2.0 * CAST(sum(i * c) AS BIGINT)) / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS BIGINT))
+             - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order marketing attribution: each purchase is credited to
+    the same user's most recent click within the preceding hour (ties
+    on timestamp → the click row, then the larger event_id). The
+    classic as-of-with-tolerance SELF-stream shape, built with the
+    union+window trick: tag clicks 0 / purchases 1, one window per
+    user ordered by (ts, tag, event_id), `last(click_struct,
+    ignorenulls)` fills each purchase with its predecessor click
+    atomically — ONE shuffle + sort total, versus the naive
+    per-purchase correlated lookup (the oracle's formulation) which is
+    O(purchases × clicks) without an index. Tolerance nulls the credit
+    when the click is older than 1 h."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_ns",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.struct(F.col("ts_ns").alias("cts"), F.col("event_id").alias("cid")).alias("ck"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ns", F.lit(1).alias("tag"), "event_id", F.lit(None).cast(
+            "struct<cts:bigint,cid:bigint>"
+        ).alias("ck"),
+    )
+    u = clicks.unionByName(buys)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("last_ck", F.last("ck", ignorenulls=True).over(w))
+    hour_ns = 3_600_000_000_000
+    return (
+        filled.filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(
+                F.col("last_ck.cts") >= F.col("ts_ns") - hour_ns, F.col("last_ck.cid")
+            ).alias("click_id"),
+            F.when(
+                F.col("last_ck.cts") >= F.col("ts_ns") - hour_ns,
+                (F.col("ts_ns") - F.col("last_ck.cts")).cast("double") / 1e9,
+            ).alias("gap_sec"),
+        )
+    )
+
+
+SQL_CLICK_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT b.event_id AS purchase_id, b.user_id,
+       a.event_id AS click_id,
+       CAST(b.ts_ns - a.ts_ns AS DOUBLE) / 1e9 AS gap_sec
+FROM buys b LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts_ns FROM clicks c
+  WHERE c.user_id = b.user_id AND c.ts_ns <= b.ts_ns
+    AND c.ts_ns >= b.ts_ns - 3600000000000
+  ORDER BY c.ts_ns DESC, c.event_id DESC LIMIT 1
+) a ON true
+"""
+
+
+def q_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag, via a BLOOM-STYLE PREFILTER
+    built from relational ops (Spark's `bloom_filter_agg` is not in the
+    public registry): the urgent keyset's 4096-bucket hash projection
+    (≤4096 rows whatever the SF — a bitmap, relationally) broadcasts
+    onto lineitem as a cheap semi-join that discards most non-matching
+    rows BEFORE the exact key semi-join pays its shuffle. False
+    positives survive the prefilter and die in the exact join, so the
+    result is bit-identical to the plain semi-join the oracle runs —
+    this is the runtime-filter/bloom-join pattern at 100 TB, expressed
+    so Catalyst sees every step."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    buckets = urgent.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(4096)).alias("b")
+    ).distinct()
+    pre = li.withColumn("b", F.pmod(F.xxhash64("l_orderkey"), F.lit(4096))).join(
+        F.broadcast(buckets), "b", "left_semi"
+    )
+    return (
+        pre.join(urgent, pre.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+SQL_PREFILTER_SEMI = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -4885,4 +5258,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "levenshtein_drift": (q_levenshtein_drift, SQL_LEVENSHTEIN),
     "histogram_log_bins": (q_histogram_log_bins, SQL_HISTOGRAM_LOG),
     "event_type_profile": (q_event_type_profile, SQL_EVENT_TYPE_PROFILE),
+    # round-7 families: collocation mining, LM surprisal scoring,
+    # map-side pairwise covariance, source-concentration audit,
+    # as-of self-stream attribution, bloom-style prefiltered semi-join
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
+    "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
+    "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
+    "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
 }

@@ -226,3 +226,164 @@ def test_sales_opportunity_uses_anti_join(spark, sf_dir):
 
     plan = q_sales_opportunity(spark, sf_dir)._jdf.queryExecution().toString()
     assert "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_bigram_pmi_matches_counter(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from dcafs_spark.queries import _docs, q_bigram_pmi
+
+    got = {(r.x, r.y): (r.c_xy, r.c_x, r.c_y, r.pmi) for r in q_bigram_pmi(spark, sf_dir).collect()}
+    texts = [r.text for r in _docs(spark, sf_dir).select("text").collect()]
+    uni, pairs = Counter(), Counter()
+    for t in texts:
+        ws = [w for w in t.lower().strip().split() if w]
+        uni.update(ws)
+        pairs.update(zip(ws, ws[1:]))
+    U, T = sum(uni.values()), sum(pairs.values())
+    exp = {
+        (x, y): c for (x, y), c in pairs.items() if c >= 5
+    }
+    assert set(got) == set(exp) and len(got) > 0
+    for (x, y), c in exp.items():
+        pmi = round(math.log((c * U * U) / (T * uni[x] * uni[y])), 6)
+        assert got[(x, y)][0] == c
+        assert abs(got[(x, y)][3] - pmi) < 1e-9, (x, y)
+
+
+def test_unigram_surprisal_matches_counter(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from dcafs_spark.queries import _docs, q_unigram_surprisal
+
+    got = {r.doc_id: (r.n_tokens, r.mean_surprisal) for r in q_unigram_surprisal(spark, sf_dir).collect()}
+    docs = [(r.doc_id, r.text) for r in _docs(spark, sf_dir).select("doc_id", "text").collect()]
+    uni = Counter()
+    toks = {}
+    for i, t in docs:
+        ws = [w for w in t.lower().strip().split() if w]
+        toks[i] = ws
+        uni.update(ws)
+    # Spark's round() is HALF_UP over the double's shortest decimal
+    # repr (BigDecimal.valueOf); python round() is banker's — mimic
+    # Spark exactly or boundary terms drift by one micro-nat.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def hround(x, places="1"):
+        return Decimal(repr(x)).quantize(Decimal(places), ROUND_HALF_UP)
+
+    U = sum(uni.values())
+    for i, ws in toks.items():
+        if not ws:
+            assert i not in got
+            continue
+        q = sum(int(hround(math.log(U / uni[w]) * 1e6)) for w in ws)
+        exp = float(hround(q / (1e6 * len(ws)), "0.000001"))
+        assert got[i][0] == len(ws)
+        assert abs(got[i][1] - exp) < 1e-9, i
+
+
+def test_dim_covariance_matches_numpy(spark, sf_dir):
+    from dcafs_spark.queries import _embs, q_dim_covariance
+
+    got = {(r.i, r.j): r.cov for r in q_dim_covariance(spark, sf_dir).collect()}
+    embs = np.array(
+        [r.embedding[:8] for r in _embs(spark, sf_dir).select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.round(embs * 1e6)  # the query's micro-unit quantization
+    cov = np.cov(q.T, ddof=1) / 1e12
+    assert len(got) == 36
+    for i in range(8):
+        for j in range(i, 8):
+            assert abs(got[(i, j)] - cov[i, j]) < 1e-6, (i, j)
+
+
+def test_gini_sources_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from dcafs_spark.queries import _docs, q_gini_sources
+
+    row = q_gini_sources(spark, sf_dir).first()
+    counts = Counter(r.source for r in _docs(spark, sf_dir).select("source").collect())
+    cs = sorted(counts.values())
+    k, tot = len(cs), sum(cs)
+    gini = (2 * sum((i + 1) * c for i, c in enumerate(cs))) / (k * tot) - (k + 1) / k
+    assert row.n_sources == k and row.total_docs == tot
+    assert abs(row.gini - round(gini, 6)) < 1e-9
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_click_attribution_matches_pandas(spark, sf_dir):
+    from dcafs_spark.queries import q_click_attribution
+
+    got = {r.purchase_id: (r.click_id, r.gap_sec) for r in q_click_attribution(spark, sf_dir).collect()}
+    ev = _events_pd(spark, sf_dir)
+    ns = ev.assign(ts_ns=ev["ts_us"] * 1000)
+    n_attr = 0
+    for uid, g in ns.groupby("user_id"):
+        clicks = [
+            (int(r.ts_ns), int(r.event_id))
+            for r in g[g["event_type"] == "click"].itertuples()
+        ]
+        for r in g[g["event_type"] == "purchase"].itertuples():
+            cand = [
+                (t, e) for t, e in clicks
+                if t <= r.ts_ns and t >= r.ts_ns - 3_600_000_000_000
+            ]
+            exp = max(cand) if cand else None  # (latest ts, then max id)
+            gid, ggap = got[int(r.event_id)]
+            if exp is None:
+                assert gid is None and ggap is None, r.event_id
+            else:
+                n_attr += 1
+                assert gid == exp[1], r.event_id
+                assert abs(ggap - (r.ts_ns - exp[0]) / 1e9) < 1e-12
+    assert n_attr > 0
+
+
+def test_click_attribution_tiebreak_same_timestamp(spark):
+    """Two clicks at the purchase's exact timestamp: the larger
+    event_id wins; a click 1ns after the purchase never matches."""
+    from dcafs_spark.queries import q_click_attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:00:00", 7, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:00:01", 7, "click", 1.0, "{}"),
+        (5, "2024-01-01 02:00:00", 7, "purchase", 1.0, "{}"),
+    ]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r.purchase_id: r.click_id for r in q_click_attribution(spark, d).collect()}
+    assert got[3] == 2  # same-ts tie → larger click id
+    assert got[5] is None  # click at 00:00:01 is > 1h before 02:00:00
+
+
+def test_prefilter_semi_join_exact_and_broadcast(spark, sf_dir):
+    from dcafs_spark.queries import _t, q_prefilter_semi_join
+
+    plan = q_prefilter_semi_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the bucket prefilter broadcasts
+    got = {r.l_returnflag: (r.n_items, r.revenue) for r in q_prefilter_semi_join(spark, sf_dir).collect()}
+    li = _t(spark, sf_dir, "lineitem").toPandas()
+    orders = _t(spark, sf_dir, "orders").toPandas()
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_orderkey"])
+    sel = li[li["l_orderkey"].isin(urgent)]
+    for flag, g in sel.groupby("l_returnflag"):
+        exp_rev = round(float((g["l_extendedprice"] * (1 - g["l_discount"])).sum()), 2)
+        assert got[flag][0] == len(g)
+        assert abs(got[flag][1] - exp_rev) < 0.02

@@ -5094,6 +5094,100 @@ FROM buys b LEFT JOIN LATERAL (
 """
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final stage of the fuzzy-dedup pipeline: per near-dup CLUSTER,
+    keep the longest member (ties → smallest doc_id) — the canonical-
+    document election a curation run performs after detect → cluster.
+    The argmax rides a composite fixed-width string key (n_chars asc ++
+    inverted doc_id) through max_by/arg_max, identical lexicographic
+    semantics on both engines (DuckDB's arg_max takes no struct keys).
+    Scale: clusters → members is an equi-join on doc_id; the election
+    is one map-side-combinable agg over (cluster) — document BODIES
+    never join in, only (doc_id, n_chars)."""
+    from dcafs_spark.operators.dedup import connected_components
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5)
+    clusters = connected_components(pairs)
+    lens = corpus.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    members = clusters.join(lens, clusters.node == lens.doc_id)
+    okey = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), 12, "0"),
+        F.lpad((F.lit(999_999_999_999) - F.col("doc_id")).cast("string"), 12, "0"),
+    )
+    return members.groupBy("cluster").agg(
+        F.max_by("doc_id", okey).alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _sql_cluster_representatives() -> str:
+    clusters_sql = _sql_dedup_clusters()
+    return f"""
+WITH clusters AS ({clusters_sql}),
+corpus AS {_SQL_NEAR_CORPUS},
+members AS (
+  SELECT c.cluster, c.node AS doc_id, CAST(length(t.text) AS BIGINT) AS n_chars
+  FROM clusters c JOIN corpus t ON c.node = t.doc_id
+)
+SELECT cluster,
+       arg_max(doc_id, lpad(CAST(n_chars AS VARCHAR), 12, '0')
+                       || lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0')) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM members GROUP BY cluster
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-quantity orders): customers whose order
+    totals ≥ 250 units — the GROUP-BY-HAVING SUBQUERY membership
+    shape. The having-filtered keyset is computed ONCE from the
+    lineitem rollup (map-side-combinable sum on l_orderkey), then
+    joined back as plain inner joins; at scale the rollup output is
+    orders-not-lines sized and the threshold usually makes it small
+    enough for AQE to broadcast. Quantities are integer-valued in the
+    generator, so the HAVING comparison and qty sums are exact; the
+    money total uses the decimal path. Tie-free output key
+    (o_orderkey)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") >= 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_total"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING CAST(round(sum(l_quantity)) AS BIGINT) >= 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       round(o_totalprice, 2) AS o_total, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgent-order revenue by return flag, via a BLOOM-STYLE PREFILTER
     built from relational ops (Spark's `bloom_filter_agg` is not in the
@@ -5267,4 +5361,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
     "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
     "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
 }

@@ -72,6 +72,16 @@ HEADLINE = [
     ("cumulative_active_users", "cumulative distinct = running sum of first-seen rollup"),
     ("json_props_extract", "JSON path extraction inside the scan projection"),
     ("histogram_log_bins", "integer log2 bins, map-side combined"),
+    ("zipf_vocab", "top-50 via TakeOrdered — full vocabulary never single-partitions"),
+    ("levenshtein_drift", "bucketed lead() windows + 1-row-per-bucket boundary stitch"),
+    ("bigram_pmi", "map-side pair zip (no window); token-key count joins"),
+    ("unigram_surprisal", "vocab equi-join (not broadcast); int micro-nat doc rollup"),
+    ("dim_covariance", "36 structs per row exploded map-side — no vec_id self-join"),
+    ("gini_sources", "corpus sees only a count; window runs on the source rollup"),
+    ("click_attribution", "self-stream as-of: union + one window, single shuffle"),
+    ("prefilter_semi_join", "broadcast bucket-bitmap prefilter before exact semi-join"),
+    ("large_orders", "Q18 shape: HAVING keyset from the lineitem rollup, joined back"),
+    ("cluster_representatives", "cluster election: (id, len) only — bodies never join"),
 ]
 
 

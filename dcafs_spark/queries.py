@@ -5094,6 +5094,115 @@ FROM buys b LEFT JOIN LATERAL (
 """
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN `session_window` (the
+    engine-native gaps-and-islands operator; the custom union-window
+    formulation is gated separately as `sessionize`): 30-minute gap
+    sessions per user, one shuffle on user_id, state merged by the
+    operator itself. The oracle reproduces the semantics with the
+    classic lag/cumsum islands — Spark closes a session when the next
+    event's ts ≥ last ts + gap, which is exactly `gap_us ≥ 30 min ⇒
+    new island`. Session end = last event + gap by session_window's
+    contract; timestamps format as strings for engine portability."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _csum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return s
+
+
+SQL_SESSIONIZE_NATIVE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, value, epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN epoch_ns(ts) // 1000
+                   - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), isl AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT user_id,
+       strftime(to_timestamp(min(ts_us) / 1000000.0), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(to_timestamp(max(ts_us) / 1000000.0 + 1800), '%Y-%m-%d %H:%M:%S') AS s_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_sql_csum('value')} AS sum_value
+FROM isl GROUP BY user_id, sid
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: compute per-lang rebalance-to-uniform
+    weights (the `lang_mix_weights` integer-ppm math), cap at 1.0
+    (downsample-only — upsampling is a repeat pass, not a filter), and
+    apply them as a deterministic md5-bucket keep decision per doc.
+    Reports per-lang original/kept counts plus the applied ppm — the
+    audit a mixing run emits. One scan for the weights rollup (tiny,
+    broadcast back), one scan-side filter, one count rollup; documents
+    never shuffle, the keep decision is a pure narrow map — the same
+    plan at 100 TB."""
+    from dcafs_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    totals = per.agg(F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k"))
+    weights = per.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.floor(F.col("_total") * 1_000_000 / (F.col("_k") * F.col("n_docs"))),
+            F.lit(1_000_000),
+        )
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    kept = (
+        docs.join(F.broadcast(weights), "lang")
+        .filter(hash_bucket(F.col("doc_id"), seed=13) < F.col("keep_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return weights.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_docs").alias("n_orig"),
+        "keep_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k FROM per),
+w AS (
+  SELECT lang, n_docs,
+         CAST(least(floor(total * 1000000 / (k * n_docs)), 1000000) AS BIGINT) AS keep_ppm
+  FROM per CROSS JOIN t
+), kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN w ON d.lang = w.lang
+  WHERE {_sql_bucket('d.doc_id', 13)} < w.keep_ppm
+  GROUP BY d.lang
+)
+SELECT w.lang, w.n_docs AS n_orig, w.keep_ppm,
+       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+FROM w LEFT JOIN kept ON w.lang = kept.lang
+"""
+
+
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final stage of the fuzzy-dedup pipeline: per near-dup CLUSTER,
     keep the longest member (ties → smallest doc_id) — the canonical-
@@ -5363,4 +5472,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
     "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
+    "sessionize_native": (q_sessionize_native, SQL_SESSIONIZE_NATIVE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }

@@ -82,6 +82,8 @@ HEADLINE = [
     ("prefilter_semi_join", "broadcast bucket-bitmap prefilter before exact semi-join"),
     ("large_orders", "Q18 shape: HAVING keyset from the lineitem rollup, joined back"),
     ("cluster_representatives", "cluster election: (id, len) only — bodies never join"),
+    ("sessionize_native", "built-in session_window: engine-managed gap merge, one shuffle"),
+    ("mixture_sample", "mix weights broadcast back; keep decision stays scan-side"),
 ]
 
 

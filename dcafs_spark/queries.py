@@ -4764,7 +4764,12 @@ FROM events GROUP BY user_id
 # oov_rate / gopher_filter (quality family: text_quality + pii_scrub
 # stay in-cap) and line_dedup (dedup family: exact / minhash / apply /
 # clusters / embedding / cross all in-cap; chunk-apply twin stays
-# pytest+replica-gated in the tail).
+# pytest+replica-gated in the tail). Second round-7 swap: bigram_pmi
+# (new collocation family) and prefilter_semi_join (bloom-style join
+# strategy flagship) enter for dedup_apply (dedup family keeps six
+# in-cap gates) and dedup_embedding_clusters (CC family gated via
+# dedup_clusters; embedding family via dedup_embedding +
+# similarity_ivf).
 
 
 # ------------------------------------------------- round-7 new families
@@ -5363,7 +5368,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
-    "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, _sql_range_join()),
     "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),
@@ -5380,7 +5385,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
-    "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
+    "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
@@ -5464,13 +5469,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round-7 families: collocation mining, LM surprisal scoring,
     # map-side pairwise covariance, source-concentration audit,
     # as-of self-stream attribution, bloom-style prefiltered semi-join
-    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
     "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
     "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
-    "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    # displaced by the round-7 in-cap swaps (families stay gated:
+    # dedup via exact/minhash/clusters/embedding/cross/decontaminate,
+    # CC via dedup_clusters)
+    "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
     "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
     "sessionize_native": (q_sessionize_native, SQL_SESSIONIZE_NATIVE),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),

@@ -775,3 +775,54 @@ class TestJpegDecode:
         )
         row = extract_features(df).first()
         assert row["feature"] == [8.0, 8.0, 200.0, 200.0]
+
+    def test_fuzz_random_block_grids(self):
+        """Seeded fuzz in the suite's vectorized-grid style: random
+        image sizes, component counts, restart intervals, and DC
+        levels; DC-only blocks decode to exactly clip(DC·q/8 + 128)
+        per block, computed here independently of the decoder."""
+        import random
+
+        import numpy as np
+
+        from dcafs_spark.operators.multimodal import _decode_jpeg_pixels
+
+        rng = random.Random(1234)
+        for _case in range(25):
+            bw_, bh_ = rng.randint(1, 4), rng.randint(1, 3)
+            w, h = bw_ * 8, bh_ * 8
+            nc = rng.choice([1, 3])
+            q = rng.choice([1, 2, 8, 16])
+            ri = rng.choice([0, 0, 1, 2])
+            def draw_dc():
+                # avoid dc*q ≡ 4 (mod 8): those land exactly on a .5
+                # pixel level where the IDCT's last-ulp decides the
+                # round — not a correctness property of any decoder
+                while True:
+                    dc = rng.randint(-1024 // q, 1023 // q)
+                    if (dc * q) % 8 != 4:
+                        return dc
+
+            comp_blocks = []
+            for _c in range(nc):
+                comp_blocks.append([(draw_dc(),) for _ in range(bw_ * bh_)])
+            jp = _make_jpeg(w, h, comp_blocks, q=q, restart_interval=ri)
+            px = _decode_jpeg_pixels(jp)
+            assert px is not None and px.shape == (h, w, 3), (w, h, nc, q, ri)
+            for bi in range(bw_ * bh_):
+                my, mx = divmod(bi, bw_)
+                block = px[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                if nc == 1:
+                    v = int(np.clip(round(comp_blocks[0][bi][0] * q / 8 + 128), 0, 255))
+                    assert (block == v).all(), (bi, v)
+                else:
+                    y = comp_blocks[0][bi][0] * q / 8 + 128
+                    cb = comp_blocks[1][bi][0] * q / 8
+                    cr = comp_blocks[2][bi][0] * q / 8
+                    exp = np.clip(
+                        np.round([y + 1.402 * cr,
+                                  y - 0.344136 * cb - 0.714136 * cr,
+                                  y + 1.772 * cb]),
+                        0, 255,
+                    ).astype("uint8")
+                    assert (block == exp.reshape(1, 1, 3)).all(), (bi, exp)

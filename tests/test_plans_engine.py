@@ -107,6 +107,30 @@ class TestPlanQuality:
         win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
         assert any("bucket" in ln and "doc_id" in ln for ln in win_lines)
 
+    def test_sessionize_native_single_shuffle(self, spark, sf_dir):
+        """The built-in session_window must cost exactly ONE exchange
+        (user_id) — no join, no second shuffle: the operator merges
+        gaps inside the sorted partition."""
+        plan = physical_plan(QUERIES["sessionize_native"][0](spark, sf_dir))
+        hashes = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+        assert len(hashes) == 1 and "user_id" in hashes[0]
+        assert "Join" not in plan
+
+    def test_dim_covariance_has_no_join(self, spark, sf_dir):
+        """Pairwise covariance must come from map-side per-row struct
+        contributions — a vec_id self-join here would shuffle the whole
+        corpus at 100 TB."""
+        plan = physical_plan(QUERIES["dim_covariance"][0](spark, sf_dir))
+        assert "Join" not in plan
+        assert "Generate explode" in plan  # the 36-struct explode
+
+    def test_prefilter_semi_join_shape(self, spark, sf_dir):
+        """Bucket prefilter broadcasts; both membership tests are
+        LeftSemi (never materializing matches)."""
+        plan = physical_plan(QUERIES["prefilter_semi_join"][0](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("LeftSemi") >= 2
+
     def test_kmeans_seed_selection_is_take_ordered(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

@@ -81,7 +81,45 @@ def main() -> None:
         "ngram_topk": lambda d: ngram_topk(d, n=2, k=50).count(),
         # token-df agg + broadcast anti-join (the oov_rate shape)
         "oov_rate": lambda d: _oov_probe(d),
+        # map-side pair zip + two token-key count joins (bigram_pmi shape)
+        "bigram_pmi": lambda d: _pmi_probe(d),
+        # vocab equi-join + int micro-nat doc rollup (unigram_surprisal)
+        "unigram_surprisal": lambda d: _surprisal_probe(d),
     }
+
+    def _pmi_probe(d):
+        toks = d.select(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "").alias("w")
+        )
+        pairs = toks.select(
+            F.explode(
+                F.expr("transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS x, w[i + 1] AS y))")
+            ).alias("p")
+        ).select("p.x", "p.y")
+        uni = toks.select(F.explode("w").alias("t")).groupBy("t").count()
+        pc = pairs.groupBy("x", "y").agg(F.count("*").alias("c"))
+        return (
+            pc.filter(F.col("c") >= 5)
+            .join(uni.select(F.col("t").alias("x"), F.col("count").alias("cx")), "x")
+            .join(uni.select(F.col("t").alias("y"), F.col("count").alias("cy")), "y")
+            .count()
+        )
+
+    def _surprisal_probe(d):
+        toks = d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+            ).alias("t"),
+        )
+        uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+        return (
+            toks.join(uni, "t")
+            .select("doc_id", F.round(F.log(1e9 / F.col("c")) * 1e6).cast("long").alias("q"))
+            .groupBy("doc_id")
+            .agg(F.sum("q"))
+            .count()
+        )
 
     def _oov_probe(d):
         toks = d.select(
@@ -375,8 +413,34 @@ def main() -> None:
         )
         return pos.select(best["p"].alias("p")).groupBy("p").count().count()
 
+    def _attribution_probe(d):
+        from pyspark.sql import Window
+
+        typed = d.withColumn("tag", (F.col("value") % 10 < 3).cast("int"))
+        clicks = typed.filter(F.col("tag") == 0).select(
+            "user_id", "ts_us", F.lit(0).alias("k"), "event_id",
+            F.struct("ts_us", "event_id").alias("ck"),
+        )
+        buys = typed.filter(F.col("tag") == 1).select(
+            "user_id", "ts_us", F.lit(1).alias("k"), "event_id",
+            F.lit(None).cast("struct<ts_us:bigint,event_id:bigint>").alias("ck"),
+        )
+        u = clicks.unionByName(buys)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "k", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            u.withColumn("lck", F.last("ck", ignorenulls=True).over(w))
+            .filter(F.col("k") == 1)
+            .agg(F.sum(F.col("lck.event_id")))
+            .collect()
+        )
+
     ev_probes = {
         "asof_gapfill": _resample_probe,
+        "click_attribution": _attribution_probe,
         "resample_interp": _interp_probe,
         "outlier_mad": _mad_probe,
         "sessionize": _session_probe,

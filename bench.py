@@ -86,6 +86,127 @@ def streaming_lines_per_sec(spark) -> float:
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
+def streaming_sustained(spark) -> dict:
+    """Sustained-rate run of the reference's real workload shape
+    (`src/worker/LabelWorker.java:464`: receive → label → forwards →
+    rtvals store): rate source → line synth → the SAME compiled
+    filter→math→generic path the replay bench uses → per-key running
+    aggregates in the Spark state store (applyInPandasWithState,
+    `streaming/stateful.py`) — a true streaming stateful operator, not
+    a foreachBatch loop. Runs ≥60 s (SPARK_GRAFT_STREAM_SECONDS) at an
+    offered SPARK_GRAFT_STREAM_RPS rows/s and reports steady-state
+    processed rows/s (first progress entries dropped as warmup),
+    whether the pipeline kept up with the offered rate, and the state
+    store row count — which must stay bounded at the key-space size
+    (2000 keys here; state is per-key, not per-row)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.plans.dsl import compile_path
+    from dcafs_spark.streaming.stateful import stateful_values
+
+    seconds = float(os.environ.get("SPARK_GRAFT_STREAM_SECONDS", "60"))
+    rps = int(os.environ.get("SPARK_GRAFT_STREAM_RPS", "250000"))
+    ckpt = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", 8)
+            .load()
+        )
+        lines = src.select(
+            F.col("timestamp").alias("_rts"),
+            F.concat_ws(
+                ",",
+                F.lit("$EV"),
+                F.concat(F.lit("t"), (F.col("value") % 5).cast("string")),
+                ((F.col("value") % 1000) / 7.0).cast("string"),
+                ((F.col("value") / 5).cast("long") % 400).cast("string"),
+            ).alias("value"),
+        )
+        main, _rej = compile_path(
+            lines,
+            {
+                "delimiter": ",",
+                "steps": [
+                    {"type": "filter", "rules": [["start", "$EV"], ["minitems", "4"]]},
+                    {"type": "math", "ops": [{"target": "i2", "formula": "i2*0.5"}]},
+                    {
+                        "type": "generic",
+                        "fields": [
+                            {"name": "etype", "index": 1, "dtype": "text"},
+                            {"name": "val", "index": 2, "dtype": "real"},
+                            {"name": "uid", "index": 3, "dtype": "int"},
+                        ],
+                        "keep": ["_rts"],
+                    },
+                ],
+            },
+        )
+        keyed = main.select(
+            "etype",
+            F.col("uid").cast("string").alias("uid"),
+            "val",
+            F.col("_rts").cast("double").alias("tsd"),
+        )
+        out = stateful_values(
+            keyed, history_n=10, group="etype", name="uid", value="val", ts="tsd"
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .queryName("bench_sustained")
+            .start()
+        )
+        try:
+            time.sleep(seconds)
+            progress = [p for p in (q.recentProgress or []) if p]
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        # steady state: drop the first two micro-batches (stream start +
+        # state-store open) and any zero-duration entries
+        entries = []
+        for p in progress:
+            d = p if isinstance(p, dict) else p.asDict() if hasattr(p, "asDict") else None
+            if d is None:
+                import json as _j
+
+                d = _j.loads(str(p))
+            entries.append(d)
+        steady = [
+            e
+            for e in entries[2:]
+            if e.get("batchDuration", 0) > 0 and e.get("numInputRows", 0) > 0
+        ]
+        if not steady:
+            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        rows = sum(e["numInputRows"] for e in steady)
+        wall = sum(e["batchDuration"] for e in steady) / 1000.0
+        state_rows = 0
+        for e in reversed(entries):
+            ops = e.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal", 0)
+                break
+        rate = rows / wall if wall > 0 else 0.0
+        return {
+            "sustained_rows_per_sec": round(rate, 1),
+            "offered_rows_per_sec": rps,
+            "kept_up": bool(rate >= 0.95 * rps),
+            "state_rows": int(state_rows),
+            "state_bounded": bool(state_rows <= 2000),
+            "seconds": round(sum(e["batchDuration"] for e in entries) / 1000.0, 1),
+            "n_batches": len(steady),
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     from dcafs_spark import get_spark
     from dcafs_spark.queries import QUERIES
@@ -118,6 +239,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     streaming_rate = round(streaming_lines_per_sec(spark), 1)
+    sustained = streaming_sustained(spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -128,6 +250,7 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),  # normalize round-over-round totals
         "streaming_lines_per_sec": streaming_rate,
+        "streaming_sustained": sustained,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail always lands in the repo for the judge.

@@ -1417,6 +1417,76 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
 """
 
 
+def q_dedup_embedding_logn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the SCALABLE plane count — the
+    shape that survives 100 TB. The 8-plane gate (`dedup_embedding`)
+    fixes 256 buckets, so in-bucket candidate pairs grow O(N²/256):
+    fine at sf0.01, dead at cluster scale (SCALE.md's 8×→32× probe
+    shows the super-linear curve). The production rule is
+    n_planes = ⌈log2 N⌉ + 3, which keeps expected bucket occupancy
+    ~1/8 and candidate pairs ~O(N); this gate pins n_planes=14
+    (= ⌈log2 2000⌉ + 3 at the bench SF) so the 14 plane literals can
+    be enumerated verbatim in the DuckDB oracle — the same build-time
+    trick as the 8-plane gate. The operator itself
+    (`operators/similarity.py:lsh_bucket`) takes n_planes as a
+    parameter; SCALE.md's logN-plane probe row is the linearity
+    evidence, this row is the correctness evidence for that setting.
+    Recall note: near-identical vectors (θ ≈ 0.01 rad) keep
+    P[all 14 sign bits agree] ≈ (1-θ/π)^14 ≈ 0.95 — a production run
+    adds multiprobe (gated separately as `similarity_lsh_multiprobe`)
+    to close the gap; the oracle matches whatever the plane set finds,
+    deterministically. Reference analogue: the dedup north-star
+    (BASELINE.json)."""
+    from dcafs_spark.operators.similarity import dot, hyperplanes, l2_norm, lsh_bucket
+
+    planes = hyperplanes(64, 14, 42)
+    emb = _perturbed_embeddings(spark, sf_dir)
+    b = emb.select(
+        "vec_id",
+        "v",
+        lsh_bucket(F.col("v"), planes).alias("bucket"),
+        l2_norm(F.col("v")).alias("nrm"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.995)
+
+
+def _sql_dedup_embedding_logn() -> str:
+    from dcafs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 14, 42)
+    plane_lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j in range(14)
+    )
+    return f"""
+WITH emb AS {_SQL_PERTURBED},
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
+"""
+
+
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end: embedding near-dup pairs (sign-LSH
     buckets + exact cosine verify) → connected components → one
@@ -3769,23 +3839,38 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier by quarterly revenue): agg →
-    global-max filter without a self-join. The revenue view aggregates
-    once; `max(...) over ()` ranks against the single global maximum
-    with an empty-frame window (one extra exchange of the ALREADY
-    AGGREGATED per-supplier rows — at 100 TB that's s_suppkey-sized,
-    thousands of times smaller than re-aggregating lineitem twice as
-    the literal SQL view formulation would)."""
+    global-max filter without a self-join on lineitem. The revenue
+    view aggregates once; the global max is a 1-row aggregate of the
+    ALREADY AGGREGATED per-supplier rollup, broadcast-joined back as
+    the filter (max is exact, so the hash is unchanged vs the window
+    formulation). This avoids the `max(...) over ()` empty-frame
+    window, which funnels every rollup row through ONE task
+    (`Exchange SinglePartition` + single-partition Window) — bounded
+    by supplier cardinality but still a needless serial point at
+    scale; the broadcast-scalar join keeps the rollup fully parallel
+    (plan-asserted: lineitem scanned once via AQE stage reuse, no
+    Window, `tests/test_plans_engine.py`).
+
+    The explicit `l_suppkey IS NOT NULL` conjunct is load-bearing for
+    the single-scan plan: the supplier join infers that constraint
+    into the join-side rollup subtree only, which de-canonicalizes it
+    from the max-side subtree and kills exchange-stage reuse
+    (observed: two full lineitem scans). Stating it on the shared
+    `li` makes both subtrees canonically identical → one scan + one
+    shuffle, reused. The scalar-max side then shuffles only one
+    partial-max row per partition (never the rollup itself)."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        & F.col("l_suppkey").isNotNull()
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = (
         li.groupBy("l_suppkey")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    top = rev.withColumn("_mx", F.max("total_revenue").over(Window.partitionBy())).filter(
-        F.col("total_revenue") == F.col("_mx")
-    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)
     return (
         top.join(s, top.l_suppkey == s.s_suppkey)
         .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "total_revenue")
@@ -4805,7 +4890,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = toks.select(
         F.explode(
             F.expr(
-                "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS x, w[i + 1] AS y))"
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))"
             )
         ).alias("p")
     ).select("p.x", "p.y")
@@ -4848,8 +4933,7 @@ WITH d AS (
   FROM documents
 ), pairs AS (
   SELECT w[i] AS x, w[i + 1] AS y
-  FROM d CROSS JOIN generate_series(1, 100000) AS t(i)
-  WHERE i <= len(w) - 1
+  FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
 ), uni AS (
   SELECT t, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(w) AS t FROM d) GROUP BY t
@@ -5131,9 +5215,9 @@ SQL_SESSIONIZE_NATIVE = f"""
 WITH seq AS (
   SELECT user_id, event_id, ts, value, epoch_ns(ts) // 1000 AS ts_us,
          CASE WHEN epoch_ns(ts) // 1000
-                   - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
                    >= 1800000000
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+              OR lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ), isl AS (
@@ -5347,6 +5431,323 @@ GROUP BY l_returnflag
 """
 
 
+_SQL_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def _win_expr(n: int = 8):
+    """n-token rolling-window md5 hashes over the shared tokenizer
+    output: each window is hashed map-side so only 32-hex keys (not
+    token strings) ever shuffle. `greatest(..., 0)` guards docs with
+    < n tokens (empty/whitespace text → zero windows, no crash)."""
+    return F.explode(
+        F.expr(
+            f"transform(slice(w, 1, greatest(size(w) - {n - 1}, 0)),"
+            f" (t, i) -> md5(concat_ws(' ', slice(w, i + 1, {n}))))"
+        )
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication (the Lee et al. 2022
+    'Deduplicating Training Data' signal, window-hash approximation of
+    the suffix-array pass): 8-token rolling windows, md5-hashed
+    map-side, reported where the window occurs in ≥2 DISTINCT docs.
+    Within-doc repetition is the separate `text_repetition` gate; this
+    one finds boilerplate shared ACROSS pages — the dominant dup class
+    in web corpora.
+
+    Scale shape: windows are hashed before they move, so the shuffle
+    key is a fixed 32-hex string regardless of token length; the
+    (h, doc_id) pre-aggregation is map-side-combinable and collapses
+    per-doc repeats before the per-hash rollup; both aggs share the
+    `h` hash-partitioning (AQE co-partitions, one wide exchange of
+    hashes only). Document bodies never shuffle. min-docs 2 bounds the
+    output to actual cross-doc dups."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _toks_expr().alias("w"))
+    # one explicit h-shuffle: HashPartitioning(h) satisfies BOTH the
+    # (h, doc_id) pre-agg and the h rollup (subset clustering), so the
+    # whole chain after it is exchange-free — vs the planner's default
+    # of two back-to-back wide shuffles of the window set
+    wins = toks.select("doc_id", _win_expr(8).alias("h")).repartition(F.col("h"))
+    per_doc = wins.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    return (
+        per_doc.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+wins AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM d, unnest(generate_series(1, len(w) - 7)) AS t(i)
+),
+pd AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS occ FROM wins GROUP BY h, doc_id)
+SELECT h, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM pd GROUP BY h HAVING count(*) >= 2
+"""
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction — the actual FILTER signal
+    Lee et al. derive from substring dedup: what fraction of a doc's
+    8-token windows also appear in some OTHER document. Docs above a
+    threshold get dropped/trimmed by the curation pass; this query
+    emits the per-doc audit (window count, cross-doc-dup count, 6dp
+    fraction) for every doc with ≥1 window.
+
+    Scale shape: the dup-hash set (windows in ≥2 distinct docs) is
+    h-keyed and typically corpus-⋘-sized; membership is tested with a
+    LEFT SEMI-shaped flag join on `h` (hash-partitioned both sides, no
+    pair materialization) and the per-doc rollup shuffles doc_id once.
+    The fraction is exact integer division at 6dp — deterministic."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _toks_expr().alias("w"))
+    # same single-h-shuffle trick as substring_dedup: the dup-set agg
+    # and the semi-join probe side then share one partitioning
+    wins = toks.select("doc_id", _win_expr(8).alias("h")).repartition(F.col("h"))
+    multi = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(multi, "h", "left_semi")
+    total = wins.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    dup = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+    return total.join(dup, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_windows",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        F.round(
+            F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_windows"), 6
+        ).alias("dup_frac"),
+    )
+
+
+SQL_DUP_SPAN_FRACTION = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+wins AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM d, unnest(generate_series(1, len(w) - 7)) AS t(i)
+),
+multi AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(m.h) AS BIGINT) AS n_dup,
+       round(count(m.h) * 1.0 / count(*), 6) AS dup_frac
+FROM wins w LEFT JOIN multi m ON w.h = m.h
+GROUP BY w.doc_id
+"""
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an INTERPOLATED BIGRAM model —
+    one LM order up from `unigram_surprisal`, the KenLM-style quality
+    score a curation pipeline uses when unigram stats are too blunt
+    (catches shuffled-word salad that unigram perplexity misses).
+    p(y|x) = 0.7·c_xy/c_x + 0.3·c_y/U, surprisal −ln p quantized to
+    int64 micro-nats BEFORE the per-doc sum (integer aggregation ⇒
+    order-independent ⇒ engine-deterministic; the float work is a
+    fixed IEEE expression on exact int64 counts, identical on both
+    engines — same trick as `unigram_surprisal`).
+
+    Scale shape: pair and unigram counts are map-side-combinable
+    groupBys; scoring joins are token-key equi-joins (vocab is
+    corpus-sized, NOT broadcast); U rides in as a broadcast 1-row
+    cross join; the per-doc rollup shuffles doc_id once."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _toks_expr().alias("w"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (t, i) -> struct(t AS x, w[i + 1] AS y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.x", "p.y")
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
+    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    p = (
+        F.lit(0.7) * (F.col("c_xy").cast("double") / F.col("c_x"))
+        + F.lit(0.3) * (F.col("c_y").cast("double") / F.col("u_total"))
+    )
+    scored = (
+        pairs.join(pc, ["x", "y"])
+        .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * 1e6).cast("long").alias("q_nats"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("q_nats") / (F.count(F.lit(1)) * 1e6), 6).alias("bigram_xent"),
+    )
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS x, w[i + 1] AS y
+  FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS t FROM d) GROUP BY t
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS u_total FROM uni),
+pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs GROUP BY x, y),
+scored AS (
+  SELECT pairs.doc_id,
+         CAST(round(-ln(0.7 * (CAST(c_xy AS DOUBLE) / ux.c)
+                        + 0.3 * (CAST(uy.c AS DOUBLE) / u_total)) * 1000000) AS BIGINT) AS q_nats
+  FROM pairs
+  JOIN pc ON pc.x = pairs.x AND pc.y = pairs.y
+  JOIN uni ux ON ux.t = pairs.x
+  JOIN uni uy ON uy.t = pairs.y
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(q_nats) / (count(*) * 1000000.0), 6) AS bigram_xent
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus outlier QC: per-vector diagonal Mahalanobis
+    distance against the corpus per-dimension mean/std (the
+    `embedding_dim_stats` rollup) — flags corrupted/degenerate vectors
+    before they poison an ANN index or a semantic-dedup pass.
+
+    Determinism: per-dim mean/std are the 6dp-rounded stats (exact on
+    both engines per the dim_stats gate); each dim's normalized
+    squared deviation is then quantized to int64 micro-units BEFORE
+    the per-vector sum, so the aggregation is integer and
+    order-independent. Scale shape: the 64-row stats rollup broadcasts
+    (AQE, dim-key equi-join); components posexplode map-side; one
+    vec_id shuffle for the rollup. Corpus scanned twice (stats + score)
+    — at 100 TB the stats pass would be snapshotted, as dim_stats'
+    docstring records."""
+    embs = _embs(spark, sf_dir)
+    comp = embs.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    q = comp.select(
+        "dim", F.round(F.col("val") * 1_000_000).cast("long").alias("qv")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    s1 = F.sum("qv")
+    s2 = F.sum(F.col("qv") * F.col("qv"))
+    nd = n.cast("double")
+    stats = q.groupBy("dim").agg(
+        F.round(s1 / (n * 1e6), 6).alias("mu"),
+        F.round(
+            F.sqrt((nd * s2.cast("double") - s1.cast("double") * s1.cast("double"))
+                   / (nd * (nd - 1) * 1e12)),
+            6,
+        ).alias("sigma"),
+    )
+    dev = comp.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.round(
+            F.pow((F.col("val") - F.col("mu")) / F.col("sigma"), 2) * 1e6
+        ).cast("long").alias("qd"),
+    )
+    return dev.groupBy("vec_id").agg(
+        F.round(F.sum("qd") / 1e6, 6).alias("md2"),
+        (F.sum("qd") > F.lit(128_000_000)).alias("is_outlier"),
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH comp AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS val,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+stats AS (
+  SELECT dim,
+         round(sum(qv) / (count(*) * 1000000.0), 6) AS mu,
+         round(sqrt((count(*) * CAST(sum(qv * qv) AS DOUBLE)
+                     - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE))
+                    / (count(*) * (count(*) - 1.0) * 1e12)), 6) AS sigma
+  FROM comp GROUP BY dim
+),
+dev AS (
+  SELECT vec_id,
+         CAST(round(pow((val - mu) / sigma, 2) * 1000000) AS BIGINT) AS qd
+  FROM comp JOIN stats USING (dim)
+)
+SELECT vec_id, round(sum(qd) / 1000000.0, 6) AS md2,
+       sum(qd) > 128000000 AS is_outlier
+FROM dev GROUP BY vec_id
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: the mislabel
+    audit a multilingual corpus runs before trusting its metadata
+    (`lang` column) for mixing decisions — each (declared, predicted)
+    cell with its count and share of the declared-lang total.
+
+    Scale shape: lang_id is a narrow Catalyst expression (no UDF); the
+    rollup is map-side-combinable to ≤ |langs|×|preds| rows; the
+    per-lang share divides by a window over that bounded rollup (never
+    the corpus). NULL declared langs group as their own row — the
+    unlabeled bucket a real audit must show."""
+    from dcafs_spark.operators.textan import lang_id
+
+    docs = _docs(spark, sf_dir)
+    cells = (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("frac"),
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+WITH pred AS ({SQL_LANG_ID}),
+cells AS (
+  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY d.lang, p.lang_pred
+)
+SELECT lang, lang_pred, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS frac
+FROM cells
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -5359,14 +5760,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "current_values": (q_current_values, SQL_CURRENT_VALUES),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
-    "topk_customers": (q_topk_customers, SQL_TOPK),
+    "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
-    "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "asof_join": (q_asof_join, SQL_ASOF),
@@ -5377,8 +5778,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
+    "sessionize_native": (q_sessionize_native, SQL_SESSIONIZE_NATIVE),
+    "dedup_embedding_logn": (q_dedup_embedding_logn, _sql_dedup_embedding_logn()),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
@@ -5387,13 +5788,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
+    "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
-    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
     "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
@@ -5470,16 +5871,22 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # map-side pairwise covariance, source-concentration audit,
     # as-of self-stream attribution, bloom-style prefiltered semi-join
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
-    "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
     "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
-    "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
-    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
     # displaced by the round-7 in-cap swaps (families stay gated:
     # dedup via exact/minhash/clusters/embedding/cross/decontaminate,
     # CC via dedup_clusters)
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, _sql_dedup_embedding_clusters()),
-    "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
-    "sessionize_native": (q_sessionize_native, SQL_SESSIONIZE_NATIVE),
-    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE),
+    "topk_customers": (q_topk_customers, SQL_TOPK),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
+    "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
+    "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
 }

@@ -85,7 +85,48 @@ def main() -> None:
         "bigram_pmi": lambda d: _pmi_probe(d),
         # vocab equi-join + int micro-nat doc rollup (unigram_surprisal)
         "unigram_surprisal": lambda d: _surprisal_probe(d),
+        # weights rollup → broadcast join → narrow md5-bucket filter →
+        # count rollup (the mixture_sample shape; docs never shuffle)
+        "mixture_sample": lambda d: _mixture_probe(d),
+        # cluster→member equi-join + max_by composite-key election over
+        # synthetic star clusters (the cluster_representatives tail;
+        # the upstream LSH+CC stages are probed separately above)
+        "cluster_reps": lambda d: _cluster_reps_probe(d),
     }
+
+    def _mixture_probe(d):
+        from dcafs_spark.operators.sampling import hash_bucket
+
+        docs2 = d.withColumn("lang", (F.col("doc_id") % 7).cast("string"))
+        per = docs2.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        tot = per.agg(F.sum("n").alias("_t"), F.count(F.lit(1)).alias("_k"))
+        w = per.crossJoin(F.broadcast(tot)).select(
+            "lang",
+            F.least(F.floor(F.col("_t") * 1_000_000 / (F.col("_k") * F.col("n"))), F.lit(1_000_000)).alias("ppm"),
+        )
+        return (
+            docs2.join(F.broadcast(w), "lang")
+            .filter(hash_bucket(F.col("doc_id"), seed=13) < F.col("ppm"))
+            .groupBy("lang").count().count()
+        )
+
+    def _cluster_reps_probe(d):
+        lens = d.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        clusters = d.select(
+            F.col("doc_id").alias("node"),
+            (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster"),
+        )
+        okey = F.concat(
+            F.lpad(F.col("n_chars").cast("string"), 12, "0"),
+            F.lpad((F.lit(999_999_999_999) - F.col("doc_id")).cast("string"), 12, "0"),
+        )
+        return (
+            clusters.join(lens, clusters.node == lens.doc_id)
+            .groupBy("cluster")
+            .agg(F.max_by("doc_id", okey).alias("rep"), F.count(F.lit(1)).alias("m"))
+            .agg(F.sum("rep"))
+            .collect()
+        )
 
     def _pmi_probe(d):
         toks = d.select(
@@ -93,7 +134,7 @@ def main() -> None:
         )
         pairs = toks.select(
             F.explode(
-                F.expr("transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t AS x, w[i + 1] AS y))")
+                F.expr("transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))")
             ).alias("p")
         ).select("p.x", "p.y")
         uni = toks.select(F.explode("w").alias("t")).groupBy("t").count()
@@ -215,16 +256,34 @@ def main() -> None:
         "| operator | " + " | ".join(f"{n}× ({base_n * n} docs)" for n in factors) + " |",
         "|---|" + "---|" * len(factors),
     ]
+    def _gc():
+        # long probe sessions accumulate JVM old-gen garbage (dozens of
+        # checkpointed blocks + shuffle states); a full GC hitting inside
+        # a measurement fabricates a "cliff" — round 7's transitions 32×
+        # row (3.73 s in-session vs 0.86 s isolated) was exactly that.
+        spark.sparkContext._jvm.System.gc()
+
     def run(table, mk_input):
         for name, fn in table.items():
             row = [name]
+            prev = None
             for n in factors:
                 d = mk_input(n).localCheckpoint(eager=True)  # isolate inflation cost
+                _gc()
                 best = float("inf")
-                for _ in range(2):
+                reps = 2
+                for r in range(4):
+                    if r >= reps:
+                        # artifact guard: a jump >2.5x the previous
+                        # factor on 2x data is suspect — re-measure
+                        # (up to 2 extra reps) before reporting it
+                        if prev is None or best <= 2.5 * prev:
+                            break
+                        _gc()
                     t0 = time.time()
                     fn(d)
                     best = min(best, time.time() - t0)
+                prev = best
                 row.append(f"{best:.2f}")
                 d.unpersist()
             lines.append("| " + " | ".join(row) + " |")
@@ -523,15 +582,23 @@ def main() -> None:
     def run_pairs(table):
         for name, fn in table.items():
             row = [name]
+            prev = None
             for n in factors:
                 lin, on = inflate_li(n)
                 lin = lin.localCheckpoint(eager=True)
                 on = on.localCheckpoint(eager=True)
+                _gc()
                 best = float("inf")
-                for _ in range(2):
+                reps = 2
+                for r in range(4):
+                    if r >= reps:
+                        if prev is None or best <= 2.5 * prev:
+                            break
+                        _gc()
                     t0 = time.time()
                     fn((lin, on))
                     best = min(best, time.time() - t0)
+                prev = best
                 row.append(f"{best:.2f}")
                 lin.unpersist()
                 on.unpersist()
@@ -549,9 +616,21 @@ def main() -> None:
         "O(N²/256) once N ≫ 256 — the probe shows it going super-linear.",
         "`dedup_embedding_logN` scales the plane count with ⌈log2(N)⌉+3",
         "(constant expected bucket occupancy) and stays ~linear: that is the",
-        "production setting at 100 TB. The gated query keeps 8 planes only",
-        "because its oracle SQL must enumerate the plane literals; the",
-        "operator takes n_planes as a parameter.",
+        "production setting at 100 TB. Since round 8 the scalable setting is",
+        "ALSO oracle-gated (`dedup_embedding_logn`, 14 planes = ⌈log2 N⌉+3 at",
+        "bench SF, plane literals enumerated in the SQL); the 8-plane gate",
+        "remains as the small-SF correctness fixture only.",
+        "",
+        "## Measurement-artifact guard",
+        "",
+        "Round 7's `transitions` 32× row read 3.73 s (vs 0.56 s at 16×) —",
+        "re-measured in an isolated session the same shape runs 0.86 s at",
+        "32×, flat vs sessionize on the identical inflated input. The cliff",
+        "was a JVM full-GC landing inside both timed reps near the end of a",
+        "long probe session, not an operator property. The harness now",
+        "forces System.gc() between operators and re-measures (up to 2 extra",
+        "reps) any factor whose best exceeds 2.5× the previous factor before",
+        "reporting it.",
     ]
     with open("/root/repo/SCALE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")

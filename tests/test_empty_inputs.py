@@ -69,6 +69,8 @@ DOC_FAMILIES = (
     "dedup", "text", "token", "lang", "corpus", "doc", "fingerprint", "pii",
     "gopher", "quality", "ngram", "line", "chunk", "decontaminate", "oov",
     "code", "sequence", "inverted", "stratified", "train",
+    "gram", "pmi", "surprisal", "zipf", "tfidf", "entropy", "mixture",
+    "sample", "packing", "dup", "confusion",
 )
 
 

@@ -98,6 +98,7 @@ def cons():
 
 ORACLES = {
     "sessionize": Q.SQL_SESSIONIZE,
+    "sessionize_native": Q.SQL_SESSIONIZE_NATIVE,
     "range_join": Q._sql_range_join(),
     "current_values": Q.SQL_CURRENT_VALUES,
     "history_window": Q.SQL_HISTORY,

@@ -131,6 +131,20 @@ class TestPlanQuality:
         assert "BroadcastHashJoin" in plan
         assert plan.count("LeftSemi") >= 2
 
+    def test_top_supplier_single_scan_no_window(self, spark, sf_dir):
+        """Q15's global max must be a broadcast scalar join, not a
+        `max() over ()` window (which funnels the whole rollup through
+        one task), and the rollup must be computed ONCE: after
+        execution the adaptive plan shows the lineitem shuffle stage
+        reused, not a second scan."""
+        df = QUERIES["top_supplier"][0](spark, sf_dir)
+        df.collect()
+        plan = physical_plan(df)
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert "Window" not in final
+        assert "Reused" in final, "rollup exchange not reused — lineitem scanned twice"
+        assert final.count("lineitem.parquet") == 1
+
     def test_kmeans_seed_selection_is_take_ordered(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

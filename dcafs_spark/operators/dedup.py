@@ -130,6 +130,31 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def banded_signature(
+    col: Column, shingle_n: int = 3, num_hashes: int = 16, bands: int = 4
+) -> Column:
+    """Full banded LSH signature as ONE string key: the per-band bucket
+    hashes (same bands/buckets as `minhash_lsh_pairs`, so ingest and
+    batch agree on bucket identity) concatenated with '#'. Two docs
+    share the key iff they collide in EVERY band — the exact-mirror
+    class the streaming first-wins dedup collapses
+    (`streaming/dedup.py`). Pure column expression; codegen CSE
+    evaluates the underlying minhash fold once per row."""
+    rows = num_hashes // bands
+    sig = minhash_signature(word_shingles(col, shingle_n), num_hashes)
+    return F.concat_ws(
+        "#",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+                )
+            )
+            for b in range(bands)
+        ],
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -5789,8 +5789,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
-    "nearest_port": (q_nearest_port, _sql_nearest_port()),
-    "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
@@ -5884,9 +5884,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL),
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
-    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "nearest_port": (q_nearest_port, _sql_nearest_port()),
+    "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
 }

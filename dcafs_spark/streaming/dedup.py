@@ -1,0 +1,100 @@
+"""Streaming ingest dedup: the online counterpart of the batch dedup
+family (`operators/dedup.py`) for a continuously-fed corpus.
+
+Batch dedup re-scans the corpus; an ingest pipeline instead wants each
+arriving document checked against what already streamed past. Spark's
+state-store-backed `dropDuplicates` / `dropDuplicatesWithinWatermark`
+is exactly that operator: per-key state sharded across executors
+(RocksDB on a real cluster), no driver involvement, and — with a
+watermark — state that EXPIRES, which is what makes it viable at
+100 TB/day ingest (unbounded dedup state is a slow OOM; the watermark
+bounds it to the late-data horizon).
+
+Two tiers, mirroring the batch API:
+  * `streaming_exact_dedup` — content-hash (md5 of normalized text)
+    exact dedup. Hash computed map-side; only the 16-byte key enters
+    the state store, bodies never shuffle for the membership test.
+  * `streaming_minhash_bucket_dedup` — first-wins per LSH band-bucket:
+    collapses NEAR-dup floods (mirror pages arriving within the
+    horizon) by keeping one doc per (band, bucket-hash). Coarser than
+    the batch pair-verify pipeline — a deliberate ingest-side
+    pre-filter; the batch pass remains the precise tier.
+
+Reference analogue: dcafs has no dedup surface (sensor streams do not
+repeat); this extends the streaming path for the LLM-data workload the
+engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dcafs_spark.operators.dedup import normalize_text
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """First occurrence of each normalized-content hash passes; later
+    copies are dropped by state-store lookup.
+
+    With `ts_col` + `watermark` (e.g. "1 hour"), uses
+    `dropDuplicatesWithinWatermark`: duplicates are suppressed within
+    the watermark horizon and the per-key state is evicted once the
+    watermark passes it — bounded state, the production setting. Without
+    a watermark, state grows with distinct-doc count (fine for tests /
+    bounded replays; document the horizon in production configs).
+    """
+    hashed = stream_df.withColumn("_h", F.md5(normalize_text(F.col(text_col))))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return (
+            hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_h"])
+            .drop("_h")
+        )
+    return hashed.dropDuplicates(["_h"]).drop("_h")
+
+
+def streaming_minhash_bucket_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Keep the first document per (band, bucket) LSH key — an
+    ingest-side near-dup pre-filter.
+
+    The minhash signature is computed map-side with the same banded
+    scheme as the batch operator (`operators/dedup.py:minhash_lsh_pairs`
+    — same shingles, same permutation constants, so ingest and batch
+    agree on what a bucket is). A doc is kept only if it opens a NEW
+    bucket in ALL bands — i.e. it collides with a previously-kept doc
+    in no band. That is approximated stream-side by keying the
+    dedup state on the full banded signature (concatenated band
+    hashes): exact mirrors (all bands equal) are collapsed; partial
+    collisions pass through to the precise batch tier.
+    """
+    from dcafs_spark.operators.dedup import banded_signature
+
+    keyed = stream_df.withColumn(
+        "_sig",
+        banded_signature(F.col(text_col), shingle_n, num_hashes, bands),
+    )
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return (
+            keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_sig"])
+            .drop("_sig")
+        )
+    return keyed.dropDuplicates(["_sig"]).drop("_sig")

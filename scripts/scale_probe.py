@@ -92,7 +92,32 @@ def main() -> None:
         # synthetic star clusters (the cluster_representatives tail;
         # the upstream LSH+CC stages are probed separately above)
         "cluster_reps": lambda d: _cluster_reps_probe(d),
+        # 8-token window md5 explode → single-h-shuffle double rollup
+        # (the substring_dedup / dup_span_fraction shape)
+        "substring_dedup": lambda d: _substring_probe(d),
     }
+
+    def _substring_probe(d):
+        toks = d.select(
+            "doc_id",
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "").alias("w"),
+        )
+        wins = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, greatest(size(w) - 7, 0)),"
+                    " (t, i) -> md5(concat_ws(' ', slice(w, i + 1, 8))))"
+                )
+            ).alias("h"),
+        ).repartition(F.col("h"))
+        pd_ = wins.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+        return (
+            pd_.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nd"), F.sum("occ").alias("no"))
+            .filter(F.col("nd") >= 2)
+            .count()
+        )
 
     def _mixture_probe(d):
         from dcafs_spark.operators.sampling import hash_bucket

@@ -145,6 +145,28 @@ class TestPlanQuality:
         assert "Reused" in final, "rollup exchange not reused — lineitem scanned twice"
         assert final.count("lineitem.parquet") == 1
 
+    def test_substring_dedup_single_hash_shuffle(self, spark, sf_dir):
+        """The window set (largest intermediate) must cross the wire
+        exactly once: one explicit h-repartition whose HashPartitioning
+        satisfies both the (h, doc_id) pre-agg and the h rollup. Only
+        32-hex hashes shuffle — never token strings or bodies."""
+        plan = physical_plan(QUERIES["substring_dedup"][0](spark, sf_dir))
+        wide = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(wide) == 1 and "h#" in wide[0], wide
+        assert "text" not in wide[0]  # hashes move, text stays at the scan
+
+    def test_embedding_outliers_stats_broadcast(self, spark, sf_dir):
+        """The 64-row per-dim stats rollup must broadcast back onto the
+        component stream — a shuffled join here would move the whole
+        exploded corpus on dim (64 hot keys = guaranteed skew)."""
+        plan = physical_plan(QUERIES["embedding_outliers"][0](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_kmeans_seed_selection_is_take_ordered(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

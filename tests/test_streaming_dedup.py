@@ -1,0 +1,151 @@
+"""Streaming ingest dedup (state-store dropDuplicates tiers).
+
+Covers: exact content-hash dedup across micro-batches, watermark-bounded
+state (dropDuplicatesWithinWatermark), the banded-signature near-dup
+pre-filter, and batch/stream bucket-identity agreement.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from dcafs_spark.operators.dedup import banded_signature, minhash_lsh_pairs
+from dcafs_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_minhash_bucket_dedup,
+)
+
+
+def _drain(q, predicate, timeout_s=60):
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        q.processAllAvailable()
+        if predicate():
+            return True
+        time.sleep(0.2)
+    return False
+
+
+def _run_stream(spark, watch, transform, rows):
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+    out = transform(raw)
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .start()
+    )
+    return q
+
+
+class TestStreamingExactDedup:
+    def test_dedup_across_microbatches(self, spark, tmp_path):
+        """A duplicate arriving in a LATER micro-batch must be dropped:
+        the membership state persists in the state store between
+        batches (unlike a per-batch dropDuplicates in foreachBatch)."""
+        watch = tmp_path / "w"
+        watch.mkdir()
+        (watch / "b1.txt").write_text("alpha beta gamma\nsecond doc\n")
+        rows: list = []
+        q = _run_stream(
+            spark, watch, lambda df: streaming_exact_dedup(df, text_col="value"), rows
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+            # batch 2: one exact repeat (normalized: case/whitespace
+            # folded) + one new doc
+            (watch / "b2.txt").write_text("ALPHA   beta GAMMA\nthird doc\n")
+            assert _drain(q, lambda: len(rows) >= 3)
+            time.sleep(0.3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        texts = sorted(r["value"] for r in rows)
+        assert len(rows) == 3, texts  # the re-arrival was suppressed
+        assert "ALPHA   beta GAMMA" not in texts
+
+    def test_watermark_variant_builds_and_dedups(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark path: same-batch duplicates are
+        suppressed and the query runs with bounded (evictable) state.
+        Event times ride in the lines; the watermark horizon covers the
+        test data so behavior matches the unbounded tier here."""
+        watch = tmp_path / "w2"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(
+            "2024-01-01 10:00:00|doc one\n"
+            "2024-01-01 10:00:05|doc one\n"
+            "2024-01-01 10:00:09|doc two\n"
+        )
+        rows: list = []
+
+        def transform(df):
+            parts = F.split("value", r"\|")
+            parsed = df.select(
+                F.to_timestamp(parts[0]).alias("ts"), parts[1].alias("text")
+            )
+            return streaming_exact_dedup(
+                parsed, text_col="text", ts_col="ts", watermark="10 minutes"
+            )
+
+        q = _run_stream(spark, watch, transform, rows)
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+        finally:
+            q.stop()
+        assert sorted(r["text"] for r in rows) == ["doc one", "doc two"]
+
+    def test_requires_ts_for_watermark(self, spark):
+        import pytest
+
+        df = spark.readStream.format("rate").load().withColumn("text", F.lit("x"))
+        with pytest.raises(ValueError, match="ts_col"):
+            streaming_exact_dedup(df, watermark="1 hour")
+
+
+class TestStreamingMinhashBucketDedup:
+    def test_mirror_pages_collapse_variants_pass(self, spark, tmp_path):
+        """Exact mirrors (identical shingle sets → identical banded
+        signature) collapse to first-wins; a genuinely different doc
+        passes. A lightly-edited variant may or may not collide in all
+        bands — it must NEVER be dropped unless its full signature
+        matches, so the distinct signature count is the floor."""
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        other = "completely different content about oceanographic sensors"
+        watch = tmp_path / "w3"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(f"{base}\n{other}\n")
+        rows: list = []
+        q = _run_stream(
+            spark,
+            watch,
+            lambda df: streaming_minhash_bucket_dedup(df, text_col="value"),
+            rows,
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+            # mirror arrives later (same words → same shingles/signature)
+            (watch / "b2.txt").write_text(f"{base}\n")
+            time.sleep(0.3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(r["value"] for r in rows) == sorted([base, other])
+
+    def test_bucket_identity_matches_batch_operator(self, spark):
+        """Stream and batch must agree on bucket identity: two docs the
+        BATCH operator pairs in all 4 bands (est_jaccard == 1.0 at 16
+        hashes) have equal banded signatures, and a non-pair doc does
+        not."""
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        c = "nothing in common with those shingle sets at all here"
+        df = spark.createDataFrame([(1, a), (2, a), (3, c)], ["doc_id", "text"])
+        sigs = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", banded_signature(F.col("text")).alias("s")
+            ).collect()
+        }
+        assert sigs[1] == sigs[2] != sigs[3]
+        pairs = minhash_lsh_pairs(df).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]

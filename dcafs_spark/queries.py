@@ -5748,6 +5748,67 @@ FROM cells
 """
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training (Sennrich et al.
+    2016): adjacent character-pair counts weighted by word frequency,
+    top-20 merge candidates with a deterministic (count desc, a, b)
+    tiebreak — the step a tokenizer-training pipeline fans out over
+    the corpus before the iterative merge loop.
+
+    Scale shape is the key design point: the corpus is touched ONCE by
+    the word-frequency rollup (map-side combinable, word-key shuffle);
+    pair explosion happens on the VOCABULARY (corpus-distinct words ≪
+    corpus tokens — the zipf head carries its count as a weight, not
+    repeated rows), and the pair rollup is alphabet²-sized. The top-20
+    is TakeOrdered (no global sort). At 100 TB the only corpus-sized
+    edge is the first rollup; every later stage is vocab-bounded."""
+    docs = _docs(spark, sf_dir)
+    vf = (
+        docs.select(F.explode(_toks_expr()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # length>=2 filter is REQUIRED before sequence(): Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0] (not empty — DuckDB's
+    # generate_series(1, 0) IS empty), so an unguarded single-char
+    # word would fabricate pairs on one engine only
+    pairs = (
+        vf.filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> struct(substring(t, i, 1) AS a, substring(t, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+            "c",
+        )
+        .select("p.a", "p.b", "c")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = f"""
+WITH w AS (
+  SELECT unnest({_SQL_TOKS}) AS t FROM documents
+),
+vf AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY t),
+p AS (
+  SELECT substring(t, i, 1) AS a, substring(t, i + 1, 1) AS b, c
+  FROM vf, unnest(generate_series(1, length(t) - 1)) AS s(i)
+  WHERE length(t) >= 2
+)
+SELECT a, b, CAST(sum(c) AS BIGINT) AS pair_count
+FROM p GROUP BY a, b
+ORDER BY pair_count DESC, a, b LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -5887,6 +5948,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
 }

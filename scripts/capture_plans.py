@@ -84,6 +84,13 @@ HEADLINE = [
     ("cluster_representatives", "cluster election: (id, len) only — bodies never join"),
     ("sessionize_native", "built-in session_window: engine-managed gap merge, one shuffle"),
     ("mixture_sample", "mix weights broadcast back; keep decision stays scan-side"),
+    ("substring_dedup", "window hashes move once: h-repartition feeds both rollups"),
+    ("dup_span_fraction", "dup-set LeftSemi on h; per-doc rollup shuffles ids once"),
+    ("bigram_surprisal", "pair/vocab equi-joins (never broadcast); int micro-nat rollup"),
+    ("embedding_outliers", "64-row stats broadcast onto the component stream"),
+    ("lang_confusion", "share window over the bounded lang×pred rollup only"),
+    ("bpe_merge_candidates", "corpus touched once; pair explosion on the VOCAB; TakeOrdered"),
+    ("dedup_embedding_logn", "logN-plane sign-LSH: O(N) candidates, bucket equi-join"),
 ]
 
 

@@ -159,6 +159,12 @@ class TestPlanQuality:
         assert len(wide) == 1 and "h#" in wide[0], wide
         assert "text" not in wide[0]  # hashes move, text stays at the scan
 
+    def test_bpe_merge_topk_is_take_ordered(self, spark, sf_dir):
+        """The top-20 merge candidates must come from TakeOrdered, not
+        a global sort of the pair rollup."""
+        plan = physical_plan(QUERIES["bpe_merge_candidates"][0](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
     def test_embedding_outliers_stats_broadcast(self, spark, sf_dir):
         """The 64-row per-dim stats rollup must broadcast back onto the
         component stream — a shuffled join here would move the whole

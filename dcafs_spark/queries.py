@@ -1365,7 +1365,14 @@ _SQL_PERTURBED = """
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH sign-bucket equi-join
     prunes candidates (no cross product), exact cosine verifies —
-    the 5th dedup tier (embedding-space)."""
+    the 5th dedup tier (embedding-space).
+
+    SMALL-SF FIXTURE SHAPE: 8 fixed planes = 256 buckets, so in-bucket
+    candidate pairs grow O(N²/256) — correct at test SF, not the
+    cluster setting. The production parameterization (n_planes =
+    ⌈log2 N⌉+3, ~O(N) candidates) is gated separately as
+    `dedup_embedding_logn`; SCALE.md's probe pair shows the two
+    growth curves."""
     from dcafs_spark.operators.similarity import dot, hyperplanes, l2_norm, lsh_bucket
 
     planes = hyperplanes(64, 8, 42)

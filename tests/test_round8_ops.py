@@ -1,0 +1,204 @@
+"""Python-reference checks for the round-8 corpus operators:
+substring windows, dup-span fractions, BPE pair counts, interpolated
+bigram surprisal, embedding Mahalanobis QC — each validated against a
+direct python computation on small generated corpora (independent of
+the DuckDB oracle, which shares SQL-shaped blind spots)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from dcafs_spark.queries import QUERIES
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split() if t]
+
+
+def _mk_sf(tmp_path, docs, embeddings=None):
+    """Minimal sf_dir with a documents table (and optional embeddings)."""
+    out = tmp_path / "sf"
+    out.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] if len(d) > 2 else "en" for d in docs]),
+            "source": pa.array(["web"] * len(docs)),
+            "n_chars": pa.array([len(d[1] or "") for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(out / "documents.parquet"))
+    if embeddings is not None:
+        e = pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in embeddings], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in embeddings], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(e, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def _windows(text: str, n: int = 8) -> list[str]:
+    w = _toks(text)
+    return [
+        hashlib.md5(" ".join(w[i : i + n]).encode()).hexdigest()
+        for i in range(len(w) - n + 1)
+    ]
+
+
+BOILER = "all rights reserved contact us terms of service apply here"
+CORPUS = [
+    (1, f"unique article one about plankton {BOILER} tail text one two three"),
+    (2, f"another piece on currents {BOILER} with different endings four five"),
+    (3, "entirely original essay with no shared boilerplate at all in it today ok"),
+    (4, "short doc"),  # < 8 tokens → zero windows
+]
+
+
+class TestSubstringDedup:
+    def test_matches_python_reference(self, spark, tmp_path):
+        sf = _mk_sf(tmp_path, CORPUS)
+        got = {
+            r["h"]: (r["n_docs"], r["n_occ"], r["first_doc"])
+            for r in QUERIES["substring_dedup"][0](spark, sf).collect()
+        }
+        per_doc: dict[str, Counter] = {}
+        for doc_id, text in [(d[0], d[1]) for d in CORPUS]:
+            for h in _windows(text):
+                per_doc.setdefault(h, Counter())[doc_id] += 1
+        want = {
+            h: (len(c), sum(c.values()), min(c))
+            for h, c in per_doc.items()
+            if len(c) >= 2
+        }
+        assert got == want
+        assert len(want) >= 2  # the boilerplate span yields shared windows
+
+    def test_dup_span_fraction_reference(self, spark, tmp_path):
+        sf = _mk_sf(tmp_path, CORPUS)
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_frac"])
+            for r in QUERIES["dup_span_fraction"][0](spark, sf).collect()
+        }
+        per_doc: dict[str, Counter] = {}
+        for doc_id, text in [(d[0], d[1]) for d in CORPUS]:
+            for h in _windows(text):
+                per_doc.setdefault(h, Counter())[doc_id] += 1
+        multi = {h for h, c in per_doc.items() if len(c) >= 2}
+        want = {}
+        for doc_id, text in [(d[0], d[1]) for d in CORPUS]:
+            ws = _windows(text)
+            if not ws:
+                continue  # zero-window docs are excluded by contract
+            nd = sum(1 for h in ws if h in multi)
+            want[doc_id] = (len(ws), nd, round(nd / len(ws), 6))
+        assert got == want
+        assert 4 not in got  # the short doc has no windows
+        assert got[3][1] == 0  # the original essay shares nothing
+
+
+class TestBpeMergeCandidates:
+    def test_pair_counts_match_python(self, spark, tmp_path):
+        rng = random.Random(11)
+        vocab = ["spark", "data", "scale", "ab", "a", "banana", "анна"]
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=30))) for i in range(1, 6)
+        ]
+        sf = _mk_sf(tmp_path, docs)
+        got = [
+            (r["a"], r["b"], r["pair_count"])
+            for r in QUERIES["bpe_merge_candidates"][0](spark, sf).collect()
+        ]
+        wc = Counter(t for _, text in [(d[0], d[1]) for d in docs] for t in _toks(text))
+        pairs: Counter = Counter()
+        for w, c in wc.items():
+            if len(w) < 2:
+                continue  # single-char words contribute no pairs
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += c
+        want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert got == [(a, b, c) for (a, b), c in want]
+
+    def test_single_char_words_no_phantom_pairs(self, spark, tmp_path):
+        # all-1-char corpus: Spark's sequence(1,0) descends — the guard
+        # must yield ZERO pairs, like DuckDB's empty generate_series
+        sf = _mk_sf(tmp_path, [(1, "a b c a b"), (2, "x y z")])
+        assert QUERIES["bpe_merge_candidates"][0](spark, sf).count() == 0
+
+
+class TestBigramSurprisal:
+    def test_matches_python_reference(self, spark, tmp_path):
+        rng = random.Random(5)
+        vocab = ["tide", "wave", "salt", "deep", "cold"]
+        docs = [(i, " ".join(rng.choices(vocab, k=25))) for i in range(1, 5)]
+        sf = _mk_sf(tmp_path, docs)
+        got = {
+            r["doc_id"]: (r["n_pairs"], r["bigram_xent"])
+            for r in QUERIES["bigram_surprisal"][0](spark, sf).collect()
+        }
+        uni: Counter = Counter()
+        pc: Counter = Counter()
+        doc_pairs: dict[int, list] = {}
+        for doc_id, text in [(d[0], d[1]) for d in docs]:
+            w = _toks(text)
+            uni.update(w)
+            ps = list(zip(w, w[1:]))
+            pc.update(ps)
+            doc_pairs[doc_id] = ps
+        u_total = sum(uni.values())
+        want = {}
+        for doc_id, ps in doc_pairs.items():
+            q = [
+                round(-math.log(0.7 * (pc[p] / uni[p[0]]) + 0.3 * (uni[p[1]] / u_total)) * 1e6)
+                for p in ps
+            ]
+            want[doc_id] = (len(ps), round(sum(q) / (len(ps) * 1e6), 6))
+        assert got == want
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_flagged(self, spark, tmp_path):
+        rng = random.Random(3)
+        vecs = [(i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(40)]
+        vecs.append((99, [25.0] * 64))  # planted gross outlier
+        sf = _mk_sf(tmp_path, [(1, "x")], embeddings=vecs)
+        rows = {r["vec_id"]: r for r in QUERIES["embedding_outliers"][0](spark, sf).collect()}
+        assert rows[99]["is_outlier"] is True
+        flagged = [v for v, r in rows.items() if r["is_outlier"]]
+        assert flagged == [99]  # gaussians stay under the 2.0-avg threshold
+        # md2 of the outlier dwarfs every normal vector
+        assert rows[99]["md2"] > 10 * max(
+            r["md2"] for v, r in rows.items() if v != 99
+        )
+
+
+class TestLangConfusion:
+    def test_shares_sum_to_one_per_lang(self, spark, tmp_path):
+        docs = [
+            (1, "the cat and the dog is a pet", "en"),
+            (2, "le chat et les chiens des une", "en"),  # mislabeled fr
+            (3, "der hund und die katze ist nicht", "de"),
+            (4, "你好 世界 你好 世界 你好", "zh"),
+        ]
+        sf = _mk_sf(tmp_path, docs)
+        out = QUERIES["lang_confusion"][0](spark, sf)
+        sums = {
+            r["lang"]: r["s"]
+            for r in out.groupBy("lang").agg(F.round(F.sum("frac"), 4).alias("s")).collect()
+        }
+        assert all(s == pytest.approx(1.0) for s in sums.values())
+        cells = {(r["lang"], r["lang_pred"]): r["n"] for r in out.collect()}
+        assert cells[("en", "fr")] == 1  # the mislabel shows up
+        assert cells[("zh", "zh")] == 1

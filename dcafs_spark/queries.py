@@ -1387,7 +1387,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         lsh_bucket(F.col("v"), planes).alias("bucket"),
         l2_norm(F.col("v")).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
+    # localCheckpoint: the self-join references b on BOTH sides; without
+    # it each side re-scans the parquet and re-evaluates the bucket/norm
+    # map (measured 1.76 s -> 0.36 s at sf0.1). Same trade as
+    # minhash_lsh_pairs' signature checkpoint; values are unchanged.
     pairs = (
         b.alias("l")
         .join(b.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
@@ -1453,7 +1457,8 @@ def q_dedup_embedding_logn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         lsh_bucket(F.col("v"), planes).alias("bucket"),
         l2_norm(F.col("v")).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
+    # checkpoint before the self-join — see q_dedup_embedding
     pairs = (
         b.alias("l")
         .join(

@@ -5821,6 +5821,126 @@ ORDER BY pair_count DESC, a, b LIMIT 20
 """
 
 
+def q_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: Jensen-Shannon divergence
+    of each source's unigram distribution vs the REST of the corpus —
+    the monitoring metric a curation pipeline tracks to catch a feed
+    going off-distribution (spam influx, template change, scraper
+    drift). JS (not KL) because it is symmetric and finite even where
+    supports differ — exactly the cross-source case.
+
+    The scale trick: JS needs a sum over the UNION of both vocabularies,
+    but tokens ABSENT from the source contribute 0.5·q·ln2 each, which
+    telescopes to the closed form 0.5·ln2·(1 − Q_present) — and
+    Q_present's numerator (Σ c_t over the source's own tokens − T_s) is
+    an exact int64. So only (source, token) rows the source actually
+    contains are ever joined or summed; the full-vocab side collapses
+    into two integer totals. Per-token contributions are quantized to
+    int64 nano-nats BEFORE the per-source sum (order-independent ⇒
+    engine-deterministic); the closed-form tail is one fixed double
+    expression on exact integers.
+
+    Shapes: two map-side-combinable rollups, one token-key equi-join
+    (vocab-sized, NOT broadcast), per-source totals broadcast (bounded
+    by source cardinality). Single-source corpora emit NULL (no rest
+    to compare against; guarded with nullif on both engines)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(_toks_expr()).alias("t"))
+    st = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    ct = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    ts = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
+    tot = ct.agg(F.sum("c_t").cast("long").alias("t_all"))
+    p = F.col("c_st").cast("double") / F.col("t_s")
+    q = (F.col("c_t") - F.col("c_st")).cast("double") / F.nullif(
+        (F.col("t_all") - F.col("t_s")).cast("double"), F.lit(0.0)
+    )
+    m = (p + q) / 2
+    term = F.lit(0.5) * p * F.log(p / m) + F.when(
+        F.col("c_t") > F.col("c_st"), F.lit(0.5) * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    # null-safe source join: a NULL source is a real group (the
+    # unlabeled bucket); plain equi-join would silently drop it on the
+    # Spark side while the oracle's IS NOT DISTINCT FROM keeps it
+    ts2 = ts.withColumnRenamed("source", "_src")
+    contrib = (
+        st.join(ct, "t")
+        .join(F.broadcast(ts2), F.col("source").eqNullSafe(F.col("_src")))
+        .drop("_src")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_t",
+            F.round(term * 1e9).cast("long").alias("qn"),
+        )
+    )
+    agg = contrib.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("qn").alias("js_q"),
+        F.sum("c_t").cast("long").alias("present_ct"),
+    )
+    out = (
+        agg.join(F.broadcast(ts2), F.col("source").eqNullSafe(F.col("_src")))
+        .drop("_src")
+        .crossJoin(F.broadcast(tot))
+    )
+    tail = (
+        F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (
+            F.lit(1.0)
+            - (F.col("present_ct") - F.col("t_s")).cast("double")
+            / F.nullif((F.col("t_all") - F.col("t_s")).cast("double"), F.lit(0.0))
+        )
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("js_q") / 1e9 + tail, 6).alias("js_divergence"),
+    )
+
+
+SQL_SOURCE_DRIFT_JS = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS}) AS t FROM documents
+),
+st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st FROM toks GROUP BY source, t),
+ct AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM toks GROUP BY t),
+ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY source),
+tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_all FROM ct),
+contrib AS (
+  SELECT st.source, ct.c_t,
+         CAST(round((0.5 * (CAST(c_st AS DOUBLE) / t_s)
+                     * ln((CAST(c_st AS DOUBLE) / t_s)
+                          / (((CAST(c_st AS DOUBLE) / t_s)
+                              + (CAST(c_t - c_st AS DOUBLE) / nullif(CAST(t_all - t_s AS DOUBLE), 0.0))) / 2))
+                + CASE WHEN c_t > c_st
+                       THEN 0.5 * (CAST(c_t - c_st AS DOUBLE) / nullif(CAST(t_all - t_s AS DOUBLE), 0.0))
+                            * ln((CAST(c_t - c_st AS DOUBLE) / nullif(CAST(t_all - t_s AS DOUBLE), 0.0))
+                                 / (((CAST(c_st AS DOUBLE) / t_s)
+                                     + (CAST(c_t - c_st AS DOUBLE) / nullif(CAST(t_all - t_s AS DOUBLE), 0.0))) / 2))
+                       ELSE 0.0 END) * 1000000000) AS BIGINT) AS qn
+  FROM st JOIN ct ON st.t = ct.t
+  JOIN ts ON ts.source IS NOT DISTINCT FROM st.source
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(qn) AS js_q, CAST(sum(c_t) AS BIGINT) AS present_ct
+  FROM contrib GROUP BY source
+)
+SELECT agg.source, agg.n_tokens,
+       round(js_q / 1000000000.0
+             + 0.5 * ln(2.0)
+               * (1.0 - CAST(present_ct - t_s AS DOUBLE)
+                        / nullif(CAST(t_all - t_s AS DOUBLE), 0.0)), 6) AS js_divergence
+FROM agg
+JOIN ts ON ts.source IS NOT DISTINCT FROM agg.source
+CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -5961,6 +6081,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
 }

@@ -70,7 +70,7 @@ DOC_FAMILIES = (
     "gopher", "quality", "ngram", "line", "chunk", "decontaminate", "oov",
     "code", "sequence", "inverted", "stratified", "train",
     "gram", "pmi", "surprisal", "zipf", "tfidf", "entropy", "mixture",
-    "sample", "packing", "dup", "confusion", "bpe",
+    "sample", "packing", "dup", "confusion", "bpe", "drift",
 )
 
 

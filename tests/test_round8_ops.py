@@ -184,6 +184,62 @@ class TestEmbeddingOutliers:
         )
 
 
+class TestSourceDriftJs:
+    def test_matches_python_reference(self, spark, tmp_path):
+        rng = random.Random(17)
+        vocab_a = ["tide", "wave", "salt", "deep"]
+        vocab_b = ["spam", "click", "free", "wave"]
+        docs = [(i, " ".join(rng.choices(vocab_a, k=20)), "en") for i in range(1, 6)]
+        docs += [(i, " ".join(rng.choices(vocab_b, k=20)), "en") for i in range(6, 9)]
+        sf = _mk_sf(tmp_path, docs)
+        # source column: web for doc 1-5, spammy for 6-8
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(sf + "/documents.parquet")
+        src = pa.array(["web"] * 5 + ["spammy"] * 3)
+        t = t.set_column(t.schema.get_field_index("source"), "source", src)
+        _pq.write_table(t, sf + "/documents.parquet")
+
+        got = {
+            r["source"]: (r["n_tokens"], r["js_divergence"])
+            for r in QUERIES["source_drift_js"][0](spark, sf).collect()
+        }
+        # python reference: quantized exactly like the query
+        by_src: dict[str, Counter] = {}
+        corpus: Counter = Counter()
+        srcs = ["web"] * 5 + ["spammy"] * 3
+        for (doc_id, text, _), s in zip(docs, srcs):
+            w = _toks(text)
+            by_src.setdefault(s, Counter()).update(w)
+            corpus.update(w)
+        t_all = sum(corpus.values())
+        want = {}
+        for s, cnt in by_src.items():
+            t_s = sum(cnt.values())
+            js_q = 0
+            present_ct = 0
+            for tok, c_st in cnt.items():
+                c_t = corpus[tok]
+                present_ct += c_t
+                p = c_st / t_s
+                q = (c_t - c_st) / (t_all - t_s)
+                m = (p + q) / 2
+                term = 0.5 * p * math.log(p / m) + (
+                    0.5 * q * math.log(q / m) if c_t > c_st else 0.0
+                )
+                js_q += round(term * 1e9)
+            tail = 0.5 * math.log(2.0) * (1.0 - (present_ct - t_s) / (t_all - t_s))
+            want[s] = (len(cnt), round(js_q / 1e9 + tail, 6))
+        assert got == want
+        # disjoint-heavy sources diverge more than self-similar ones
+        assert got["spammy"][1] > 0.1
+
+    def test_single_source_is_null(self, spark, tmp_path):
+        sf = _mk_sf(tmp_path, [(1, "a b c"), (2, "c d e")])  # all source=web
+        rows = QUERIES["source_drift_js"][0](spark, sf).collect()
+        assert len(rows) == 1 and rows[0]["js_divergence"] is None
+
+
 class TestLangConfusion:
     def test_shares_sum_to_one_per_lang(self, spark, tmp_path):
         docs = [

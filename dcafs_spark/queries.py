@@ -5941,6 +5941,135 @@ CROSS JOIN tot
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index acceptance eval with PLANTED ground truth: 20 corpus
+    vectors rotated by a deterministic ~0.1-0.3 rad offset are the
+    queries, the full corpus is the index, and a method scores a hit
+    when the KNOWN source vector appears in its top-5. This is the
+    metric a similarity deployment gates index parameters on — and
+    unlike recall-vs-brute-force on uniform random vectors (whose
+    "top-5" is noise and which LSH rightly cannot retrieve), the
+    planted pair IS retrievable, so the numbers rank the methods
+    meaningfully: brute force ≈ 1.0, plain 8-plane LSH loses the
+    queries whose rotation flipped a plane sign (P ≈ 1−(1−θ/π)^8),
+    multiprobe recovers the hamming-1 subset of those.
+
+    Scale shape: the query set is bounded (20), broadcast against the
+    corpus; the hit check compares the top-5 id against query_id −
+    100000 (the planting offset) — a narrow map over k×|queries|
+    rows; the rollup is 3 rows."""
+    from dcafs_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.select("vec_id", F.col("v").alias("embedding"))
+    # eval queries: vec_id<20 rotated by a DETERMINISTIC integer-
+    # rational offset per component (exact small rationals — identical
+    # on both engines, unlike transcendental "noise" whose last ulp
+    # could flip a bucket sign). The rotation (~0.1-0.3 rad) is big
+    # enough that some queries flip a plane — which is the point: the
+    # dedup-grade ×1.001+0.002 perturbation flips nothing and every
+    # method scores 1.0, discriminating nothing.
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("query_id"),
+        F.expr(
+            "transform(v, (x, i) -> x + ((vec_id * 31 + i * 17) % 13 - 6) / 40.0)"
+        ).alias("query_vec"),
+    )
+    out = []
+    for method, top5 in (
+        ("brute_force", cosine_topk(corpus, queries, k=5)),
+        ("lsh", lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64)),
+        (
+            "lsh_multiprobe",
+            lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, multiprobe=True),
+        ),
+    ):
+        found = (
+            top5.select(
+                "query_id",
+                (F.col("vec_id") == F.col("query_id") - 100000).cast("int").alias("hit"),
+            )
+            .groupBy("query_id")
+            .agg(F.max("hit").alias("hit"))
+        )
+        # left join from the FULL query set: a query whose bucket was
+        # empty returns no top-5 rows at all — that's a miss, not a
+        # smaller denominator (lsh would otherwise report 17/20
+        # queries and flatter its own hit rate)
+        found = queries.select("query_id").join(found, "query_id", "left").select(
+            "query_id", F.coalesce("hit", F.lit(0)).alias("hit")
+        )
+        out.append(
+            found.agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("hit").cast("long").alias("n_found"),
+                F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+def _sql_ann_recall() -> str:
+    from dcafs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+    plane_lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j in range(8)
+    )
+    probe_list = "[bucket0, " + ", ".join(f"xor(bucket0, {1 << j})" for j in range(8)) + "]"
+    base = f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM emb),
+q AS (SELECT vec_id + 100000 AS query_id,
+             list_transform(generate_series(1, len(v)),
+                            i -> v[i] + ((vec_id * 31 + (i - 1) * 17) % 13 - 6) / 40.0) AS qv
+      FROM emb WHERE vec_id < 20),
+cb AS (SELECT vec_id, v AS cv, {bucket} AS bucket FROM c),
+qb0 AS (SELECT query_id, qv, {bucket.replace('(v,', '(qv,')} AS bucket0 FROM q),
+qb1 AS (SELECT query_id, qv, bucket0 AS bucket FROM qb0),
+qbm AS (SELECT query_id, qv, unnest({probe_list}) AS bucket FROM qb0)
+"""
+
+    def topk(joined: str) -> str:
+        return f"""SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM ({joined})) WHERE rank <= 5"""
+
+    bf_scored = """SELECT query_id, vec_id,
+       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM c CROSS JOIN q"""
+    lsh_scored = """SELECT DISTINCT query_id, vec_id,
+       round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM cb JOIN qb1 USING (bucket)"""
+    mp_scored = """SELECT DISTINCT query_id, vec_id,
+       round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM cb JOIN qbm USING (bucket)"""
+
+    def method(name: str, scored: str) -> str:
+        return f"""SELECT '{name}' AS method,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_found,
+       round(sum(coalesce(hit, 0)) * 1.0 / count(*), 6) AS hit_rate
+FROM (SELECT query_id FROM q) qs
+LEFT JOIN (SELECT query_id, max(CASE WHEN vec_id = query_id - 100000 THEN 1 ELSE 0 END) AS hit
+           FROM ({topk(scored)}) GROUP BY query_id) h USING (query_id)"""
+
+    return (
+        "WITH " + base + "\n"
+        + method("brute_force", bf_scored)
+        + "\nUNION ALL\n"
+        + method("lsh", lsh_scored)
+        + "\nUNION ALL\n"
+        + method("lsh_multiprobe", mp_scored)
+    )
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -6082,6 +6211,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
+    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
 }

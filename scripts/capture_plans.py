@@ -91,6 +91,7 @@ HEADLINE = [
     ("lang_confusion", "share window over the bounded lang×pred rollup only"),
     ("bpe_merge_candidates", "corpus touched once; pair explosion on the VOCAB; TakeOrdered"),
     ("dedup_embedding_logn", "logN-plane sign-LSH: O(N) candidates, bucket equi-join"),
+    ("source_drift_js", "JS drift: closed-form absent-token tail, vocab equi-join only"),
 ]
 
 

@@ -6080,10 +6080,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "valmap_kv": (q_valmap, SQL_VALMAP),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "current_values": (q_current_values, SQL_CURRENT_VALUES),
-    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
     "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
-    "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
@@ -6210,8 +6210,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
-    "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
-    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
 }

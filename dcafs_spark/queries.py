@@ -6070,6 +6070,107 @@ LEFT JOIN (SELECT query_id, max(CASE WHEN vec_id = query_id - 100000 THEN 1 ELSE
     )
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the dedup-family acceptance
+    eval mirroring `ann_recall`: for every LSH candidate pair
+    (threshold 0 — the full candidate set), compare the 16-hash
+    Jaccard ESTIMATE against the exact shingle Jaccard, rolled up per
+    estimate decile (n, mean est, mean true, mean |err|). This is how
+    a deployment picks num_hashes/bands: the table shows directly
+    where the estimator is biased and how wide its error is at the
+    thresholds that matter (the 0.5 cut the gated dedup uses).
+
+    Determinism: est is 4dp-rounded (×10⁴ exact int), true Jaccard is
+    4dp-rounded from exact set sizes (the `dedup_ngram_jaccard`
+    parity pair), and all means are integer sums divided once — no
+    float accumulation order anywhere. Scale shape: candidates come
+    from the band join (never all-pairs); the shingle-hash arrays join
+    candidates by id (60-bit longs, bodies never move); the rollup is
+    10 rows."""
+    from dcafs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_hashes,
+        word_shingles,
+    )
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    est = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.0)
+    sh = corpus.select(
+        "doc_id", shingle_hashes(word_shingles(F.col("text"), 3)).alias("sh")
+    ).localCheckpoint(eager=False)
+    j = est.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    true_j = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    q = j.select(
+        F.least(F.floor(F.col("est_jaccard") * 10).cast("int"), F.lit(9)).alias(
+            "est_decile"
+        ),
+        F.round(F.col("est_jaccard") * 10000).cast("long").alias("eq"),
+        F.round(true_j * 10000).cast("long").alias("tq"),
+    )
+    n = F.count(F.lit(1))
+    return q.groupBy("est_decile").agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(F.sum("eq") / (n * 10000.0), 6).alias("mean_est"),
+        F.round(F.sum("tq") / (n * 10000.0), 6).alias("mean_true"),
+        F.round(F.sum(F.abs(F.col("eq") - F.col("tq"))) / (n * 10000.0), 6).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+def _sql_minhash_calibration() -> str:
+    rows = 4
+    band_selects = []
+    for b in range(4):
+        cols = " || '|' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, sig, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    return f"""
+WITH corpus AS {_SQL_NEAR_CORPUS},
+w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM corpus),
+sh0 AS (SELECT doc_id, {_sql_shingles(3)} AS shingles FROM w),
+sig AS (SELECT doc_id, {_sql_minhash(16)} AS sig FROM sh0),
+banded AS (
+  {" UNION ALL ".join(band_selects)}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 4) AS est_jaccard
+  FROM cand
+),
+hsh AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS sh
+  FROM sh0
+),
+q AS (
+  SELECT least(CAST(floor(est_jaccard * 10) AS INT), 9) AS est_decile,
+         CAST(round(est_jaccard * 10000) AS BIGINT) AS eq,
+         CAST(round(round(len(list_intersect(a.sh, b.sh)) * 1.0
+                          / len(list_distinct(a.sh || b.sh)), 4) * 10000) AS BIGINT) AS tq
+  FROM est JOIN hsh a ON a.doc_id = est.id_a JOIN hsh b ON b.doc_id = est.id_b
+)
+SELECT est_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(eq) / (count(*) * 10000.0), 6) AS mean_est,
+       round(sum(tq) / (count(*) * 10000.0), 6) AS mean_true,
+       round(sum(abs(eq - tq)) / (count(*) * 10000.0), 6) AS mean_abs_err
+FROM q GROUP BY est_decile
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -6214,4 +6315,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "minhash_calibration": (q_minhash_calibration, _sql_minhash_calibration()),
 }

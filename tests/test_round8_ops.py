@@ -240,6 +240,47 @@ class TestSourceDriftJs:
         assert len(rows) == 1 and rows[0]["js_divergence"] is None
 
 
+class TestAnnRecall:
+    def test_method_ordering_and_ground_truth(self, spark):
+        """Brute force must retrieve every planted source (the rotation
+        keeps cosine-to-source far above random inter-vector cosines);
+        the approximate tiers can only lose recall, and multiprobe must
+        dominate plain LSH (it probes a superset of buckets)."""
+        rows = {
+            r["method"]: r
+            for r in QUERIES["ann_recall"][0](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert set(rows) == {"brute_force", "lsh", "lsh_multiprobe"}
+        assert all(r["n_queries"] == 20 for r in rows.values())
+        assert rows["brute_force"]["hit_rate"] == 1.0
+        assert (
+            rows["lsh"]["hit_rate"]
+            <= rows["lsh_multiprobe"]["hit_rate"]
+            <= rows["brute_force"]["hit_rate"]
+        )
+        # the rotation is strong enough to discriminate the tiers —
+        # if lsh also scores 1.0 the eval has gone vacuous again
+        assert rows["lsh"]["hit_rate"] < 1.0
+
+
+class TestMinhashCalibration:
+    def test_estimator_statistics_sane(self, spark):
+        rows = QUERIES["minhash_calibration"][0](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "no candidate pairs — near-dup corpus broken"
+        for r in rows:
+            assert 0 <= r["est_decile"] <= 9
+            assert 0.0 <= r["mean_est"] <= 1.0 and 0.0 <= r["mean_true"] <= 1.0
+            # 16-hash minhash std is ~0.12/sqrt(n); decile means should
+            # not be wildly off the exact value
+            assert r["mean_abs_err"] <= 0.25
+        # per-decile mean estimate must actually live in its decile
+        for r in rows:
+            if r["est_decile"] < 9:
+                assert r["est_decile"] / 10 <= r["mean_est"] < (r["est_decile"] + 1) / 10
+
+
 class TestLangConfusion:
     def test_shares_sum_to_one_per_lang(self, spark, tmp_path):
         docs = [

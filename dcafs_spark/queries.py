@@ -3494,10 +3494,19 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
         .select("user_id", "ts_us", "event_id", "value")
     )
-    obs = ev.groupBy("user_id", "ts_us").agg(
-        F.max_by("value", "event_id").alias("value")
+    # checkpoint the deduped observations and derive the span FROM
+    # them (min/max ts_us is invariant under the (user, µs) dedup):
+    # the unreused alternative scans the events parquet once per
+    # consumer — measured 2 full scans here and 3 in resample_interp
+    # (AQE exchange reuse does not fire across the asof's union
+    # branches). One node-local materialization of the already-
+    # collapsed rollup replaces every rescan+re-agg at any SF.
+    obs = (
+        ev.groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .localCheckpoint(eager=False)
     )
-    span = ev.groupBy("user_id").agg(
+    span = obs.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
         F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
     )
@@ -3552,10 +3561,15 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
         .select("user_id", "ts_us", "event_id", "value")
     )
-    obs = ev.groupBy("user_id", "ts_us").agg(
-        F.max_by("value", "event_id").alias("value")
+    # same single-scan restructure as resample_gapfill: checkpoint the
+    # deduped observations (used by BOTH as-of passes), span derives
+    # from them — the events parquet is scanned exactly once
+    obs = (
+        ev.groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .localCheckpoint(eager=False)
     )
-    span = ev.groupBy("user_id").agg(
+    span = obs.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
         F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
     )
@@ -4076,10 +4090,14 @@ def q_hourly_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
         "hr", F.expr("ts_ns DIV 1000 DIV 3600000000")
     )
+    # the hours-sized rollup is consumed 4x (a + lag-0/lag-1 b sides);
+    # without the checkpoint each consumer re-scans the events parquet
+    # (measured 4 scans — exchange reuse does not fire across the
+    # union branches). Checkpointing ~#hours rows costs nothing.
     hourly = ev.groupBy("hr").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
-    )
+    ).localCheckpoint(eager=False)
     a = hourly.select(F.col("hr"), F.col("clicks").alias("x"))
     out = None
     for lag in (0, 1):

@@ -3259,19 +3259,20 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s3.cast("long")).alias("n_click"),
         F.sum(s4.cast("long")).alias("n_purchase"),
     )
-    stages = []
-    for i, c in enumerate(["n_signup", "n_view", "n_click", "n_purchase"]):
-        stages.append(
-            agg.select(
+    # unpivot via ONE explode instead of 4 union branches: each union
+    # branch re-executed the whole pipeline (4 full event scans under
+    # a write, where AQE stage reuse does not fire)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(i + 1).alias("stage"),
                 F.lit(c[2:]).alias("event_type"),
                 F.col(c).alias("n_users"),
             )
-        )
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
+            for i, c in enumerate(["n_signup", "n_view", "n_click", "n_purchase"])
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
 
 
 SQL_FUNNEL = """
@@ -4924,15 +4925,23 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.x", "p.y")
-    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # uni (vocab) and pair_counts (pair-vocab) are each consumed by
+    # multiple branches (totals + the scoring joins); checkpointed so
+    # the corpus is tokenized once per rollup instead of once per
+    # consumer (measured 5 documents scans under a write — AQE stage
+    # reuse does not fire there). Both are reduced, zipf-headed data.
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.agg(
         F.sum("c").cast("long").alias("u_total"),
     )
     pair_counts = pairs.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
-    )
+    ).localCheckpoint(eager=False)
     t_total = pair_counts.agg(F.sum("c_xy").cast("long").alias("t_total"))
     return (
         pair_counts.filter(F.col("c_xy") >= 5)
@@ -4998,7 +5007,13 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc rollup shuffles doc_id once."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_toks_expr()).alias("t"))
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # vocab rollup checkpointed: consumed by totals AND the scoring
+    # join — without it each consumer re-scans + re-tokenizes
+    uni = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
     scored = (
         toks.join(uni, "t")
@@ -5276,7 +5291,14 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dcafs_spark.operators.sampling import hash_bucket
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    per = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # lang-count rollup checkpointed (a handful of rows): totals,
+    # weights, and the final audit join all consume it — measured 5
+    # documents scans under a write without the checkpoint
+    per = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     totals = per.agg(F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k"))
     weights = per.crossJoin(F.broadcast(totals)).select(
         "lang",
@@ -5606,13 +5628,19 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.x", "p.y")
+    # same multi-consumer checkpoints as bigram_pmi: vocab + pair-vocab
     uni = (
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
-    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    pc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
     p = (
         F.lit(0.7) * (F.col("c_xy").cast("double") / F.col("c_x"))
         + F.lit(0.3) * (F.col("c_y").cast("double") / F.col("u_total"))
@@ -5864,10 +5892,18 @@ def q_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     to compare against; guarded with nullif on both engines)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("source", F.explode(_toks_expr()).alias("t"))
-    st = toks.groupBy("source", "t").agg(
-        F.count(F.lit(1)).cast("long").alias("c_st")
+    # st is the ONLY corpus-touching rollup; ct/ts/tot all derive from
+    # it exactly (Σ over sources of per-source counts == corpus counts),
+    # and the checkpoint stops each derived consumer from re-scanning +
+    # re-tokenizing the corpus (measured 6 documents scans under a
+    # write, where AQE stage reuse does not fire). st is (sources ×
+    # vocab)-sized — reduced data, cheap to materialize at any SF.
+    st = (
+        toks.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+        .localCheckpoint(eager=False)
     )
-    ct = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    ct = st.groupBy("t").agg(F.sum("c_st").cast("long").alias("c_t"))
     ts = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
     tot = ct.agg(F.sum("c_t").cast("long").alias("t_all"))
     p = F.col("c_st").cast("double") / F.col("t_s")
@@ -5978,9 +6014,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the rollup is 3 rows."""
     from dcafs_spark.operators.similarity import cosine_topk, lsh_topk
 
+    # eval input checkpointed: 3 methods × (corpus + query) branches
+    # re-read it 9 times otherwise; the eval corpus is index-sized by
+    # construction (materializing it is what an index build does)
     emb = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     corpus = emb.select("vec_id", F.col("v").alias("embedding"))
     # eval queries: vec_id<20 rotated by a DETERMINISTIC integer-
     # rational offset per component (exact small rationals — identical

@@ -5565,17 +5565,32 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", _toks_expr().alias("w"))
     # same single-h-shuffle trick as substring_dedup: the dup-set agg
-    # and the semi-join probe side then share one partitioning
+    # and the semi-join probe side then share one partitioning. The
+    # (h, doc) pre-agg is then CHECKPOINTED and every downstream rollup
+    # derives from it (dup-set membership, per-doc window totals, per-
+    # doc dup counts via sum(occ)) — without this the window explode
+    # re-tokenized + re-hashed the corpus once per consumer (3 full
+    # passes under a write, where AQE stage reuse does not fire).
     wins = toks.select("doc_id", _win_expr(8).alias("h")).repartition(F.col("h"))
+    per_doc = (
+        wins.groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
     multi = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        per_doc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    flagged = wins.join(multi, "h", "left_semi")
-    total = wins.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
-    dup = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+    total = per_doc.groupBy("doc_id").agg(
+        F.sum("occ").cast("long").alias("n_windows")
+    )
+    dup = (
+        per_doc.join(multi, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("occ").cast("long").alias("n_dup"))
+    )
     return total.join(dup, "doc_id", "left").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_windows",

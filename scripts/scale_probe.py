@@ -95,7 +95,61 @@ def main() -> None:
         # 8-token window md5 explode → single-h-shuffle double rollup
         # (the substring_dedup / dup_span_fraction shape)
         "substring_dedup": lambda d: _substring_probe(d),
+        # (source, token) rollup + derived corpus rollups + vocab join
+        # (the source_drift_js shape; sources synthesized from doc_id)
+        "source_drift": lambda d: _drift_probe(d),
+        # corpus-once word-freq rollup → vocab-sized char-pair explode
+        # (the bpe_merge_candidates shape)
+        "bpe_pairs": lambda d: _bpe_probe(d),
     }
+
+    def _drift_probe(d):
+        toks = d.select(
+            (F.col("doc_id") % 7).cast("string").alias("source"),
+            F.explode(
+                F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+            ).alias("t"),
+        )
+        st = (
+            toks.groupBy("source", "t")
+            .agg(F.count(F.lit(1)).alias("c_st"))
+            .localCheckpoint(eager=False)
+        )
+        ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+        ts_ = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+        return (
+            st.join(ct, "t")
+            .join(F.broadcast(ts_), "source")
+            .agg(F.sum(F.col("c_st") * F.col("c_t")))
+            .collect()
+        )
+
+    def _bpe_probe(d):
+        vf = (
+            d.select(
+                F.explode(
+                    F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+                ).alias("t")
+            )
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pairs = vf.filter(F.length("t") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> struct(substring(t, i, 1) AS a, substring(t, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+            "c",
+        )
+        return (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(20)
+            .collect()
+        )
 
     def _substring_probe(d):
         toks = d.select(

@@ -538,3 +538,63 @@ class TestFlagEdgeCmds:
         eng.command("pf:load," + xml)
         eng.store.set_flag("g", "pump", "raise")
         assert "pump went true" in eng.command("issue:list")
+
+
+class TestStateRecoveryAcrossRestart:
+    """applyInPandasWithState state must survive a query restart from
+    the same checkpoint: the state store (HDFS/RocksDB-backed on a
+    cluster) is the durability story that lets a 100 TB ingest pipeline
+    crash and resume without re-reading history. Distinct from the
+    foreachBatch restart test above — this exercises the OPERATOR
+    state, not just source offsets."""
+
+    def test_running_aggregates_resume(self, spark, tmp_path):
+        from dcafs_spark.streaming.stateful import stateful_values
+
+        watch = tmp_path / "w"
+        watch.mkdir()
+        ck = str(tmp_path / "ck")
+
+        def start(rows):
+            raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+            arr = F.split("value", ",")
+            keyed = raw.select(
+                arr[0].alias("g"),
+                arr[1].alias("n"),
+                arr[2].cast("double").alias("v"),
+                arr[3].cast("double").alias("t"),
+            )
+            out = stateful_values(keyed, history_n=3, group="g", name="n", value="v", ts="t")
+            return (
+                out.writeStream.outputMode("update")
+                .option("checkpointLocation", ck)
+                .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+                .start()
+            )
+
+        rows1: list = []
+        (watch / "b1.txt").write_text("ctd,temp,10,1\nctd,temp,20,2\n")
+        q = start(rows1)
+        try:
+            assert _drain(q, lambda: len(rows1) >= 1)
+            assert rows1[-1]["n_updates"] == 2
+            assert rows1[-1]["min_value"] == 10.0
+        finally:
+            q.stop()
+            q.awaitTermination(10)
+
+        # new file arrives while the query is DOWN; a fresh query on the
+        # same checkpoint must resume with the old state (min stays 5's
+        # new low, count continues from 2) and not reprocess b1
+        (watch / "b2.txt").write_text("ctd,temp,5,3\n")
+        rows2: list = []
+        q2 = start(rows2)
+        try:
+            assert _drain(q2, lambda: len(rows2) >= 1)
+            last = rows2[-1]
+            assert last["n_updates"] == 3  # 2 recovered + 1 new
+            assert last["min_value"] == 5.0
+            assert last["max_value"] == 20.0  # recovered from state, not b2
+        finally:
+            q2.stop()
+            q2.awaitTermination(10)

@@ -173,6 +173,40 @@ class TestPlanQuality:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    @pytest.mark.parametrize(
+        "name,table,max_scans",
+        [
+            ("session_funnel", "events", 1),
+            ("source_drift_js", "documents", 1),
+            ("hourly_lag_corr", "events", 1),
+            ("resample_gapfill", "events", 1),
+            ("resample_interp", "events", 1),
+            ("mixture_sample", "documents", 2),
+            ("bigram_pmi", "documents", 2),
+            ("unigram_surprisal", "documents", 2),
+            ("bigram_surprisal", "documents", 2),
+            ("dup_span_fraction", "documents", 1),
+            ("substring_dedup", "documents", 1),
+        ],
+    )
+    def test_write_path_scan_budget(self, spark, sf_dir, name, table, max_scans):
+        """AQE exchange reuse does NOT fire under a write (unlike
+        collect), so shared subplans must be shared explicitly —
+        derived rollups or lazy checkpoints. These budgets pin the
+        round-8 scan audit: a regression here means a query went back
+        to re-scanning its big table once per consumer. Scans hidden
+        behind an already-materialized checkpoint count as the
+        checkpoint's single pass (the final plan shows no FileScan for
+        them, which is the point)."""
+        df = QUERIES[name][0](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        final = physical_plan(df).split("+- == Initial Plan ==")[0]
+        scans = final.count(f"{table}.parquet")
+        assert scans <= max_scans, (
+            f"{name}: {scans} {table} scans in the executed write plan "
+            f"(budget {max_scans})"
+        )
+
     def test_kmeans_seed_selection_is_take_ordered(self, spark, sf_dir):
         from pyspark.sql import functions as F
 

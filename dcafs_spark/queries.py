@@ -2151,26 +2151,30 @@ def q_charsplit_rexsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """charsplit (fixed positions), rexsplit (regex keep), toascii —
     the remaining editor dispatch rows (:314-350, :446-460, :576-583)."""
     ev = _events(spark, sf_dir)
-    # fixed-width-ish line: 10-char padded type + 6-digit user
-    fixed = ev.select(
+    # all three editors are narrow maps and apply() preserves other
+    # columns, so the three dispatch rows chain over ONE scan (the
+    # previous per-editor branches + event_id self-joins cost 3 scans
+    # and 2 corpus-sized shuffles under a write)
+    df = ev.select(
         "event_id",
-        F.concat(F.rpad("event_type", 10, "_"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("value"),
+        # fixed-width-ish line: 10-char padded type + 6-digit user
+        F.concat(
+            F.rpad("event_type", 10, "_"), F.lpad(F.col("user_id").cast("string"), 6, "0")
+        ).alias("value"),
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"), F.lit("-t"), F.col("event_type")
+        ).alias("_v_rex"),
+        F.concat_ws(
+            ",", (F.col("user_id") % 26 + 65).cast("string"), F.lit("66"), F.lit("67")
+        ).alias("_v_ascii"),
     )
     ed1 = EditorForward(edits=[Edit("charsplit", {"positions": [10], "delimiter": "|"})])
-    split_out = ed1.apply(fixed).select("event_id", F.col("value").alias("charsplit_out"))
-
-    digits = ev.select("event_id", F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("-t"), F.col("event_type")).alias("value"))
     ed2 = EditorForward(edits=[Edit("rexsplit", {"regex": r"\d+", "delimiter": ","})])
-    rex_out = ed2.apply(digits).select("event_id", F.col("value").alias("rex_digits"))
-
-    codes = ev.select("event_id", F.concat_ws(",", (F.col("user_id") % 26 + 65).cast("string"), F.lit("66"), F.lit("67")).alias("value"))
     ed3 = EditorForward(edits=[Edit("toascii", {})])
-    ascii_out = ed3.apply(codes).select("event_id", F.col("value").alias("ascii_out"))
-
-    return (
-        split_out.join(rex_out, "event_id").join(ascii_out, "event_id")
-        .select("event_id", "charsplit_out", "rex_digits", "ascii_out")
-    )
+    df = ed1.apply(df).withColumnRenamed("value", "charsplit_out").withColumnRenamed("_v_rex", "value")
+    df = ed2.apply(df).withColumnRenamed("value", "rex_digits").withColumnRenamed("_v_ascii", "value")
+    df = ed3.apply(df).withColumnRenamed("value", "ascii_out")
+    return df.select("event_id", "charsplit_out", "rex_digits", "ascii_out")
 
 
 SQL_CHARSPLIT = """
@@ -2674,12 +2678,19 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dcafs_spark.operators.textan import gopher_filter, quality_features, token_count_ws
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
-    q = quality_features(docs.select("doc_id", "text")).select(
-        "doc_id", (F.round(F.col("quality_score") * 100)).cast("bigint").alias("q100")
+    # both feature ops preserve their input columns, so the whole
+    # report is ONE chained projection over a single scan — the
+    # previous doc_id self-joins of three branches cost 3 scans + 2
+    # corpus-sized shuffles under a write (and would silently DROP a
+    # NULL-doc_id row the join-free oracle keeps)
+    base = gopher_filter(quality_features(docs))
+    joined = base.select(
+        "source",
+        "lang",
+        token_count_ws(F.col("text")).alias("toks"),
+        (F.round(F.col("quality_score") * 100)).cast("bigint").alias("q100"),
+        "keep",
     )
-    g = gopher_filter(docs.select("doc_id", "text")).select("doc_id", "keep")
-    t = docs.select("doc_id", "lang", "source", token_count_ws(F.col("text")).alias("toks"))
-    joined = t.join(q, "doc_id").join(g, "doc_id")
     return joined.groupBy("source", "lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),
@@ -3878,14 +3889,14 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted: lineitem scanned once via AQE stage reuse, no
     Window, `tests/test_plans_engine.py`).
 
-    The explicit `l_suppkey IS NOT NULL` conjunct is load-bearing for
-    the single-scan plan: the supplier join infers that constraint
-    into the join-side rollup subtree only, which de-canonicalizes it
-    from the max-side subtree and kills exchange-stage reuse
-    (observed: two full lineitem scans). Stating it on the shared
-    `li` makes both subtrees canonically identical → one scan + one
-    shuffle, reused. The scalar-max side then shuffles only one
-    partial-max row per partition (never the rollup itself)."""
+    The explicit `l_suppkey IS NOT NULL` conjunct keeps both rollup
+    subtrees canonically identical (the supplier join would otherwise
+    infer it into the join side only), which lets AQE reuse the
+    exchange under collect(); the rollup is ALSO lazily checkpointed
+    because exchange reuse does NOT fire under a write — without it a
+    written output scans lineitem twice. The checkpoint is
+    supplier-cardinality-sized; the scalar-max side then reads it
+    instead of re-aggregating the fact table."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -3895,6 +3906,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)

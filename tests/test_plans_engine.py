@@ -134,16 +134,15 @@ class TestPlanQuality:
     def test_top_supplier_single_scan_no_window(self, spark, sf_dir):
         """Q15's global max must be a broadcast scalar join, not a
         `max() over ()` window (which funnels the whole rollup through
-        one task), and the rollup must be computed ONCE: after
-        execution the adaptive plan shows the lineitem shuffle stage
-        reused, not a second scan."""
+        one task), and the rollup must be computed ONCE — under a
+        WRITE, where AQE exchange reuse does not fire, so the
+        checkpointed rollup is what guarantees the single lineitem
+        scan."""
         df = QUERIES["top_supplier"][0](spark, sf_dir)
-        df.collect()
-        plan = physical_plan(df)
-        final = plan.split("+- == Initial Plan ==")[0]
+        df.write.format("noop").mode("overwrite").save()
+        final = physical_plan(df).split("+- == Initial Plan ==")[0]
         assert "Window" not in final
-        assert "Reused" in final, "rollup exchange not reused — lineitem scanned twice"
-        assert final.count("lineitem.parquet") == 1
+        assert final.count("lineitem.parquet") <= 1
 
     def test_substring_dedup_single_hash_shuffle(self, spark, sf_dir):
         """The window set (largest intermediate) must cross the wire
@@ -187,6 +186,8 @@ class TestPlanQuality:
             ("bigram_surprisal", "documents", 2),
             ("dup_span_fraction", "documents", 1),
             ("substring_dedup", "documents", 1),
+            ("corpus_stats", "documents", 1),
+            ("charsplit_rexsplit", "events", 1),
         ],
     )
     def test_write_path_scan_budget(self, spark, sf_dir, name, table, max_scans):

@@ -2790,9 +2790,11 @@ def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc share vs uniform target as exact integer ppm — one partial agg
     plus a broadcast of the single-row totals, no second scan."""
     docs = _docs(spark, sf_dir)
+    # checkpointed: the totals branch and the weight projection both
+    # consume the (tiny) per-lang rollup — one scan under a write
     per = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
-    )
+    ).localCheckpoint(eager=False)
     totals = per.agg(
         F.sum("n_docs").alias("_total"), F.count("*").alias("_k")
     )
@@ -3139,8 +3141,12 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w") >= 3  # drop stub tokens: keywords, not stopword glue
     )
     n_docs = docs.count()  # one scalar action on a metadata-cheap count
-    df_ = toks.distinct().groupBy("w").agg(F.count("*").alias("df"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # df derives exactly from the checkpointed tf rollup (distinct docs
+    # per term == tf rows per term): one tokenize pass, not two
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=False
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "w").select(
         "doc_id",
         "w",
@@ -3324,8 +3330,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort table is one row per user id: small forever)."""
     ev = _events(spark, sf_dir)
     days = ev.select("user_id", F.expr("ts_ns DIV 86400000000000").alias("day"))
-    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    active = days.distinct()
+    # the distinct (user, day) set is checkpointed and the cohort rollup
+    # DERIVES from it (min over distinct days == min over raw events):
+    # one events scan instead of two under a write
+    active = days.distinct().localCheckpoint(eager=False)
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         active.join(cohort, "user_id")
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
@@ -4603,9 +4612,13 @@ def q_cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
         "day", F.expr("ts_ns DIV 1000 DIV 86400000000")
     )
-    daily = ev.groupBy("day").agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    # both rollups derive exactly from the checkpointed distinct
+    # (user, day) set (count_distinct per day == row count; first-seen
+    # == min day) — one events scan instead of two under a write
+    ud = ev.select("user_id", "day").distinct().localCheckpoint(eager=False)
+    daily = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     news = (
-        ev.groupBy("user_id")
+        ud.groupBy("user_id")
         .agg(F.min("day").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("new_users"))

@@ -188,6 +188,11 @@ class TestPlanQuality:
             ("substring_dedup", "documents", 1),
             ("corpus_stats", "documents", 1),
             ("charsplit_rexsplit", "events", 1),
+            ("top_supplier", "lineitem", 1),
+            ("retention_cohorts", "events", 1),
+            ("cumulative_active_users", "events", 1),
+            ("tfidf_topk", "documents", 1),
+            ("lang_mix_weights", "documents", 1),
         ],
     )
     def test_write_path_scan_budget(self, spark, sf_dir, name, table, max_scans):

@@ -2956,17 +2956,23 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("w"))
+    # every rollup derives exactly from the checkpointed (doc, term)
+    # counts: df == tfw rows per term, doc token totals == Σ counts,
+    # OOV instances == Σ counts over anti-joined terms — one tokenize
+    # pass instead of three under a write
+    tfw = toks.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=False)
     vocab = (
-        toks.distinct()
-        .groupBy("w")
-        .agg(F.count("*").alias("df"))
+        tfw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), F.col("w"))
         .limit(1000)
         .select("w")
     )
-    per = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    oov = toks.join(F.broadcast(vocab), "w", "left_anti").groupBy("doc_id").agg(
-        F.count("*").alias("n_oov")
+    per = tfw.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    oov = tfw.join(F.broadcast(vocab), "w", "left_anti").groupBy("doc_id").agg(
+        F.sum("c").alias("n_oov")
     )
     return (
         per.join(oov, "doc_id", "left")
@@ -4748,11 +4754,13 @@ def q_levenshtein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     even when doc_ids are sparse and buckets are empty."""
     docs = _docs(spark, sf_dir)
     B = 1024
+    # heads are 44 bytes/doc — checkpointed so the bucket window and
+    # the bucket-firsts stitch table share one text scan under a write
     heads = docs.select(
         "doc_id",
         F.expr(f"doc_id DIV {B}").alias("bucket"),
         F.substring("text", 1, 40).alias("head"),
-    )
+    ).localCheckpoint(eager=False)
     wb = Window.partitionBy("bucket").orderBy("doc_id")
     in_bucket = heads.withColumn("lead_head", F.lead("head").over(wb))
     firsts = heads.groupBy("bucket").agg(

@@ -193,6 +193,8 @@ class TestPlanQuality:
             ("cumulative_active_users", "events", 1),
             ("tfidf_topk", "documents", 1),
             ("lang_mix_weights", "documents", 1),
+            ("oov_rate", "documents", 1),
+            ("levenshtein_drift", "documents", 1),
         ],
     )
     def test_write_path_scan_budget(self, spark, sf_dir, name, table, max_scans):

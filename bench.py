@@ -242,6 +242,19 @@ def main() -> None:
     sustained = streaming_sustained(spark)
 
     total = round(sum(timings.values()), 3)
+    # fixed 20-query control group (stable since round 7, untouched by
+    # later optimization rounds): its round-over-round ratio measures
+    # ENVIRONMENT drift (JVM/page-cache state differs run to run by up
+    # to ~1.2x over a long session) so code-attributable deltas can be
+    # read against it. Keep this list frozen.
+    control = [
+        "pricing_summary", "filter_fork", "math_forward", "ocean_functions",
+        "editor_pipeline", "generic_projection", "valmap_kv", "rolling_median",
+        "current_values", "join_enrich", "dedup_exact", "volume_shipping",
+        "lang_id", "skew_salted_agg", "asof_join", "range_join",
+        "waypoint_geofence", "threshold_crossings", "nation_profit", "pii_scrub",
+    ]
+    control_sec = round(sum(timings.get(k, 0.0) for k in control), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "total_query_wall_sec",
@@ -249,6 +262,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "n_queries": len(timings),  # normalize round-over-round totals
+        "control_sec": control_sec,  # frozen 20-query drift reference
         "streaming_lines_per_sec": streaming_rate,
         "streaming_sustained": sustained,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -101,7 +101,34 @@ def main() -> None:
         # corpus-once word-freq rollup → vocab-sized char-pair explode
         # (the bpe_merge_candidates shape)
         "bpe_pairs": lambda d: _bpe_probe(d),
+        # LSH candidates + exact-jaccard verify via shingle-hash array
+        # join (the minhash_calibration / ngram_jaccard verify shape)
+        "minhash_calib": lambda d: _calib_probe(d),
     }
+
+    def _calib_probe(d):
+        from dcafs_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            shingle_hashes,
+            word_shingles,
+        )
+
+        est = minhash_lsh_pairs(d, shingle_n=3, num_hashes=16, bands=4, threshold=0.0)
+        sh = d.select(
+            "doc_id", shingle_hashes(word_shingles(F.col("text"), 3)).alias("sh")
+        ).localCheckpoint(eager=False)
+        j = est.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        tq = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        return (
+            j.select(F.floor(F.col("est_jaccard") * 10).alias("d"), tq.alias("t"))
+            .groupBy("d")
+            .agg(F.count(F.lit(1)), F.sum("t"))
+            .count()
+        )
 
     def _drift_probe(d):
         toks = d.select(

@@ -200,7 +200,11 @@ def streaming_sustained(spark) -> dict:
             "kept_up": bool(rate >= 0.95 * rps),
             "state_rows": int(state_rows),
             "state_bounded": bool(state_rows <= 2000),
-            "seconds": round(sum(e["batchDuration"] for e in entries) / 1000.0, 1),
+            # busy_sec = sum of batchDuration over RETAINED progress
+            # entries (recentProgress keeps only the newest ~100), i.e.
+            # micro-batch busy time over that window — NOT wall-clock
+            # run time; rows/rate above are computed over the same window
+            "busy_sec": round(sum(e["batchDuration"] for e in entries) / 1000.0, 1),
             "n_batches": len(steady),
         }
     finally:

@@ -15,9 +15,17 @@ Four tiers, all partition-parallel (no driver-side state, no collect):
 * n-gram Jaccard — exact Jaccard over shingle sets for candidate pairs.
 
 Scale notes: every variant is (narrow map) → (equi-join on short keys)
-→ (narrow verify). The LSH band join is the only shuffle, its key is
-(band_idx, band_hash) — uniformly distributed by construction, so no
-skew salting needed.
+→ (narrow verify). The LSH band join is the only shuffle; its key is
+(band_idx, band_hash) — uniform for DISTINCT content, but exact copies
+collide in EVERY band by construction, so duplicate-heavy corpora (the
+norm for web-scale training data) would make the hottest bucket
+quadratic in the largest copy-group. `minhash_lsh_pairs` therefore
+pre-collapses exact duplicates on a 16-byte content hash and bands one
+signature per DISTINCT content; copy-groups re-expand into the pair
+output with est_jaccard=1.0 AFTER the join, so the band join's bucket
+occupancy is bounded by near-dup (not exact-dup) density. For
+boilerplate-heavy NEAR-dup skew an opt-in per-(band,bucket) cap
+degrades recall explicitly instead of melting a reducer.
 """
 
 from __future__ import annotations
@@ -163,24 +171,58 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Emits (id_a, id_b, est_jaccard) with id_a < id_b and estimated
     Jaccard (fraction of equal minhashes) >= threshold. The band join
     is the scale path: docs only compare when an entire band of
-    num_hashes/bands minhashes matches."""
+    num_hashes/bands minhashes matches.
+
+    Hot-bucket mitigation (duplicate-heavy corpora are the norm at
+    100 TB): exact copies share ALL bands, so banding per-document
+    makes in-bucket candidate pairs quadratic in the largest copy-group
+    (10^6 copies of a boilerplate page → ~10^12 in-bucket pairs). This
+    implementation pre-collapses on md5(normalized_text) and bands ONE
+    signature per distinct content; copy-groups re-expand into the
+    output after the join (within-group pairs have est_jaccard = 1.0
+    exactly — identical shingles ⇒ identical signatures — and
+    cross-group pairs inherit their representatives' estimate, so the
+    output is row-identical to the naive per-document join). Signatures
+    are still computed map-side per document (linear CPU, scales with
+    executors) rather than per distinct content, which would require
+    shuffling document BODIES on the content hash — the collapse
+    shuffles only (16-byte chash, K longs).
+
+    `bucket_cap` (opt-in): additionally skip any (band, bucket) whose
+    DISTINCT-content occupancy exceeds the cap — for boilerplate-heavy
+    NEAR-dup skew that survives the exact collapse. Trades recall for a
+    hard bound on join fan-out; pairs may still surface via the
+    doc's other bands. Off (None) for the oracle-gated queries."""
     rows = num_hashes // bands
-    sig = df.select(
+    sig_all = df.select(
         F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("chash"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    ).localCheckpoint(eager=False)
-    # localCheckpoint: the self-join below references sig on BOTH sides;
-    # without it each side recomputes the whole shingle→hash pipeline
-    # (the dominant cost). Checkpointed signatures are (id, K longs) —
-    # tiny relative to the text they summarize, at any scale.
-    banded = sig.select(
-        "id",
+    )
+    # (chash, id) per doc — the only per-copy state past the map stage;
+    # checkpointed because it feeds both the within-group expansion and
+    # two cross-group expansion joins (column pruning drops the sig
+    # computation from this branch's materialized plan)
+    members = sig_all.select("chash", "id").localCheckpoint(eager=False)
+    # one signature per DISTINCT content: copies normalize to the same
+    # text ⇒ identical shingles ⇒ identical sig, so first() is
+    # deterministic in value. Shuffle payload: 16-byte key + K longs.
+    rep = (
+        sig_all.groupBy("chash")
+        .agg(F.first("sig").alias("sig"))
+        .localCheckpoint(eager=False)
+    )
+    # localCheckpoint: the self-join below references rep on BOTH sides;
+    # without it each side recomputes the collapse (and its input).
+    banded = rep.select(
+        "chash",
         "sig",
         F.explode(
             F.array(
@@ -195,13 +237,18 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("chash", "sig", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_occ"))
+        banded = banded.join(
+            sizes.filter(F.col("_occ") <= bucket_cap), ["band", "bucket"]
+        ).drop("_occ")
 
     left = banded.alias("l")
     right = banded.alias("r")
     # estimated Jaccard = fraction of equal minhash positions, computed
     # IN the join projection: the dedup of multi-band matches then
-    # shuffles only (id_a, id_b, est) instead of two K-long signatures
+    # shuffles only (chash_a, chash_b, est) instead of two K-long sigs
     est = (
         F.aggregate(
             F.zip_with(
@@ -217,18 +264,49 @@ def minhash_lsh_pairs(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.chash") < F.col("r.chash")),
         )
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            F.col("l.chash").alias("ch_a"),
+            F.col("r.chash").alias("ch_b"),
             F.round(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .groupBy("id_a", "id_b")
+        .groupBy("ch_a", "ch_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    return cand
+    # cross-group expansion: every member pair of a matched content pair
+    # is a near-dup pair with the reps' estimate; ids are re-ordered
+    # because rep-hash order is unrelated to member-id order. Each
+    # member pair appears exactly once (rep pairs were deduped, every
+    # doc has one chash), so no final distinct shuffle is needed.
+    cross = (
+        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
+        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # within-group pairs: exact copies estimate 1.0 in every band — the
+    # equi-join on chash generates C(group, 2) output rows co-located,
+    # with none of the old per-band sig-compare + dedup-shuffle cost
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(F.lit(1.0), 4).alias("est_jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(

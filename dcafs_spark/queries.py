@@ -5751,7 +5751,15 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE, dim-key equi-join); components posexplode map-side; one
     vec_id shuffle for the rollup. Corpus scanned twice (stats + score)
     — at 100 TB the stats pass would be snapshotted, as dim_stats'
-    docstring records."""
+    docstring records.
+
+    Degenerate dims: a constant dimension has sigma = 0 (rounds to
+    0.0), which both engines must treat identically — sigma is
+    nullif'd so the deviation is NULL (not ±Inf / engine-dependent),
+    the dim drops out of md2 on BOTH engines, and the per-vector
+    `n_degenerate_dims` count SURFACES the degenerate dimension
+    instead of silently skipping it (arguably the most outlier-worthy
+    finding a QC pass can make)."""
     embs = _embs(spark, sf_dir)
     comp = embs.select(
         "vec_id", F.posexplode("embedding").alias("dim", "val")
@@ -5775,15 +5783,17 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sigma"),
     )
+    sigma_nz = F.when(F.col("sigma") != 0, F.col("sigma"))
     dev = comp.join(F.broadcast(stats), "dim").select(
         "vec_id",
         F.round(
-            F.pow((F.col("val") - F.col("mu")) / F.col("sigma"), 2) * 1e6
+            F.pow((F.col("val") - F.col("mu")) / sigma_nz, 2) * 1e6
         ).cast("long").alias("qd"),
     )
     return dev.groupBy("vec_id").agg(
         F.round(F.sum("qd") / 1e6, 6).alias("md2"),
         (F.sum("qd") > F.lit(128_000_000)).alias("is_outlier"),
+        F.sum(F.col("qd").isNull().cast("long")).alias("n_degenerate_dims"),
     )
 
 
@@ -5804,11 +5814,12 @@ stats AS (
 ),
 dev AS (
   SELECT vec_id,
-         CAST(round(pow((val - mu) / sigma, 2) * 1000000) AS BIGINT) AS qd
+         CAST(round(pow((val - mu) / nullif(sigma, 0), 2) * 1000000) AS BIGINT) AS qd
   FROM comp JOIN stats USING (dim)
 )
 SELECT vec_id, round(sum(qd) / 1000000.0, 6) AS md2,
-       sum(qd) > 128000000 AS is_outlier
+       sum(qd) > 128000000 AS is_outlier,
+       CAST(sum(CASE WHEN qd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate_dims
 FROM dev GROUP BY vec_id
 """
 

@@ -70,8 +70,12 @@ def streaming_minhash_bucket_dedup(
     ts_col: str | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
-    """Keep the first document per (band, bucket) LSH key — an
-    ingest-side near-dup pre-filter.
+    """Keep the first document per FULL banded signature (all band
+    hashes concatenated) — an ingest-side exact-mirror pre-filter.
+    Only docs colliding in EVERY band (exact shingle-set mirrors) are
+    dropped here; the batch operator pairs on ANY single-band
+    collision, so this tier does NOT provide batch-LSH-equivalent
+    near-dup recall — partial collisions pass through by design.
 
     The minhash signature is computed map-side with the same banded
     scheme as the batch operator (`operators/dedup.py:minhash_lsh_pairs`

@@ -39,6 +39,60 @@ def test_minhash_lsh_finds_planted_pair(spark):
     assert all(a < b for a, b in got)
 
 
+def test_minhash_copy_group_expansion(spark):
+    """Exact copies are pre-collapsed before banding (hot-bucket fix):
+    the band join must see ONE signature per distinct content, yet the
+    pair output must still contain every within-copy-group pair at
+    est_jaccard exactly 1.0 — row-identical to the naive per-doc join."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(6)] + [
+        (10, "unrelated corpus text about shuffle partitions and catalyst")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(df).collect()}
+    expected = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert set(got) == expected  # all C(6,2)=15 pairs, nothing else
+    assert all(v == 1.0 for v in got.values())
+
+
+def test_minhash_copy_groups_mixed_with_near_dups(spark):
+    """Cross-group expansion: copies of A × copies of near-dup B all
+    pair up, carrying the representatives' estimate, with id_a < id_b
+    regardless of which group holds the smaller id."""
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = a + " extra"
+    df = spark.createDataFrame(
+        [(1, a), (7, a), (2, b), (9, b)], "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(df, threshold=0.3).collect()}
+    assert got[(1, 7)] == 1.0 and got[(2, 9)] == 1.0  # within groups
+    cross = {(1, 2), (2, 7), (1, 9), (7, 9)}
+    assert cross <= set(got)  # every member×member cross pair
+    ests = {got[p] for p in cross}
+    assert len(ests) == 1  # all inherit the same rep-pair estimate
+    assert all(a_ < b_ for a_, b_ in got)
+
+
+def test_minhash_bucket_cap_skips_hot_bucket(spark):
+    """Opt-in bucket_cap bounds join fan-out: with cap=1 every bucket
+    holding >1 distinct content is skipped, so near-dup pairs vanish —
+    but exact-copy pairs survive (they bypass the band join)."""
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame(
+        [(1, a), (2, a + " extra"), (3, a)], "doc_id long, text string"
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.3, bucket_cap=1).collect()
+    }
+    assert capped == {(1, 3)}  # copy-group pair only; banded pair capped away
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} == uncapped
+
+
 def test_ngram_jaccard(spark):
     pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}

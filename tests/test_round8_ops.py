@@ -23,6 +23,17 @@ def _toks(text: str) -> list[str]:
     return [t for t in text.strip().lower().split() if t]
 
 
+def _round_half_up(x: float, ndigits: int = 0) -> float:
+    """Half-away-from-zero rounding matching Spark/DuckDB round().
+    Python's built-in round() is banker's (half-to-even), so a
+    quantized value landing exactly on .5 would diverge from BOTH
+    engines — vanishingly rare for transcendental terms, but the
+    reference must mirror the engines' semantics exactly."""
+    m = 10.0 ** ndigits
+    s = math.floor(abs(x) * m + 0.5) / m
+    return -s if x < 0 else s
+
+
 def _mk_sf(tmp_path, docs, embeddings=None):
     """Minimal sf_dir with a documents table (and optional embeddings)."""
     out = tmp_path / "sf"
@@ -103,7 +114,7 @@ class TestSubstringDedup:
             if not ws:
                 continue  # zero-window docs are excluded by contract
             nd = sum(1 for h in ws if h in multi)
-            want[doc_id] = (len(ws), nd, round(nd / len(ws), 6))
+            want[doc_id] = (len(ws), nd, _round_half_up(nd / len(ws), 6))
         assert got == want
         assert 4 not in got  # the short doc has no windows
         assert got[3][1] == 0  # the original essay shares nothing
@@ -161,10 +172,10 @@ class TestBigramSurprisal:
         want = {}
         for doc_id, ps in doc_pairs.items():
             q = [
-                round(-math.log(0.7 * (pc[p] / uni[p[0]]) + 0.3 * (uni[p[1]] / u_total)) * 1e6)
+                _round_half_up(-math.log(0.7 * (pc[p] / uni[p[0]]) + 0.3 * (uni[p[1]] / u_total)) * 1e6)
                 for p in ps
             ]
-            want[doc_id] = (len(ps), round(sum(q) / (len(ps) * 1e6), 6))
+            want[doc_id] = (len(ps), _round_half_up(sum(q) / (len(ps) * 1e6), 6))
         assert got == want
 
 
@@ -182,6 +193,21 @@ class TestEmbeddingOutliers:
         assert rows[99]["md2"] > 10 * max(
             r["md2"] for v, r in rows.items() if v != 99
         )
+        assert all(r["n_degenerate_dims"] == 0 for r in rows.values())
+
+    def test_constant_dim_surfaces_as_degenerate(self, spark, tmp_path):
+        """A constant dimension (sigma rounds to 0.0) must be REPORTED
+        per-vector, not silently dropped from md2 via a NULL division."""
+        rng = random.Random(5)
+        vecs = []
+        for i in range(20):
+            v = [rng.gauss(0.0, 1.0) for _ in range(8)]
+            v[3] = 0.25  # constant across the corpus -> sigma 0
+            vecs.append((i, v))
+        sf = _mk_sf(tmp_path, [(1, "x")], embeddings=vecs)
+        rows = QUERIES["embedding_outliers"][0](spark, sf).collect()
+        assert rows and all(r["n_degenerate_dims"] == 1 for r in rows)
+        assert all(r["md2"] is not None for r in rows)  # other dims still score
 
 
 class TestSourceDriftJs:
@@ -227,9 +253,9 @@ class TestSourceDriftJs:
                 term = 0.5 * p * math.log(p / m) + (
                     0.5 * q * math.log(q / m) if c_t > c_st else 0.0
                 )
-                js_q += round(term * 1e9)
+                js_q += _round_half_up(term * 1e9)
             tail = 0.5 * math.log(2.0) * (1.0 - (present_ct - t_s) / (t_all - t_s))
-            want[s] = (len(cnt), round(js_q / 1e9 + tail, 6))
+            want[s] = (len(cnt), _round_half_up(js_q / 1e9 + tail, 6))
         assert got == want
         # disjoint-heavy sources diverge more than self-similar ones
         assert got["spammy"][1] > 0.1
@@ -241,14 +267,14 @@ class TestSourceDriftJs:
 
 
 class TestAnnRecall:
-    def test_method_ordering_and_ground_truth(self, spark):
+    def test_method_ordering_and_ground_truth(self, spark, sf_dir):
         """Brute force must retrieve every planted source (the rotation
         keeps cosine-to-source far above random inter-vector cosines);
         the approximate tiers can only lose recall, and multiprobe must
         dominate plain LSH (it probes a superset of buckets)."""
         rows = {
             r["method"]: r
-            for r in QUERIES["ann_recall"][0](spark, "/root/testdata/sf0.001").collect()
+            for r in QUERIES["ann_recall"][0](spark, sf_dir).collect()
         }
         assert set(rows) == {"brute_force", "lsh", "lsh_multiprobe"}
         assert all(r["n_queries"] == 20 for r in rows.values())
@@ -264,10 +290,8 @@ class TestAnnRecall:
 
 
 class TestMinhashCalibration:
-    def test_estimator_statistics_sane(self, spark):
-        rows = QUERIES["minhash_calibration"][0](
-            spark, "/root/testdata/sf0.001"
-        ).collect()
+    def test_estimator_statistics_sane(self, spark, sf_dir):
+        rows = QUERIES["minhash_calibration"][0](spark, sf_dir).collect()
         assert rows, "no candidate pairs — near-dup corpus broken"
         for r in rows:
             assert 0 <= r["est_decile"] <= 9

@@ -86,7 +86,7 @@ def streaming_lines_per_sec(spark) -> float:
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
-def streaming_sustained(spark) -> dict:
+def streaming_sustained(spark, rps: int | None = None, seconds: float | None = None) -> dict:
     """Sustained-rate run of the reference's real workload shape
     (`src/worker/LabelWorker.java:464`: receive → label → forwards →
     rtvals store): rate source → line synth → the SAME compiled
@@ -107,8 +107,10 @@ def streaming_sustained(spark) -> dict:
     from dcafs_spark.plans.dsl import compile_path
     from dcafs_spark.streaming.stateful import stateful_values
 
-    seconds = float(os.environ.get("SPARK_GRAFT_STREAM_SECONDS", "60"))
-    rps = int(os.environ.get("SPARK_GRAFT_STREAM_RPS", "250000"))
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_SECONDS", "60"))
+    if rps is None:
+        rps = int(os.environ.get("SPARK_GRAFT_STREAM_RPS", "250000"))
     ckpt = tempfile.mkdtemp(prefix="bench_state_")
     try:
         src = (
@@ -194,6 +196,15 @@ def streaming_sustained(spark) -> dict:
                 state_rows = ops[0].get("numRowsTotal", 0)
                 break
         rate = rows / wall if wall > 0 else 0.0
+        # micro-batch time breakdown (mean ms per steady batch) — names
+        # the bottleneck when a rate stops keeping up: addBatch is the
+        # state-store + Python-state-fn execution, getBatch/latestOffset
+        # are source-side, walCommit/commitOffsets are checkpoint I/O
+        durs: dict[str, float] = {}
+        for e in steady:
+            for k, v in (e.get("durationMs") or {}).items():
+                durs[k] = durs.get(k, 0.0) + float(v)
+        durs = {k: round(v / len(steady), 1) for k, v in durs.items()}
         return {
             "sustained_rows_per_sec": round(rate, 1),
             "offered_rows_per_sec": rps,
@@ -206,9 +217,150 @@ def streaming_sustained(spark) -> dict:
             # run time; rows/rate above are computed over the same window
             "busy_sec": round(sum(e["batchDuration"] for e in entries) / 1000.0, 1),
             "n_batches": len(steady),
+            "durations_ms": durs,
         }
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_dedup_sustained(spark) -> dict:
+    """Sustained run of the banded-signature ingest dedup tier
+    (`streaming/dedup.py:streaming_minhash_bucket_dedup`): rate source
+    → synthesized ~12-word docs drawn from a bounded phrase space (so
+    mirror floods actually occur and the state store does real
+    first-wins work) → watermarked dropDuplicatesWithinWatermark on the
+    full banded signature → noop sink. The per-row cost here is the
+    map-side minhash fold (16 hashes over shingles), the heaviest
+    per-document expression in the streaming surface — this measures
+    the dedup tier's own keep-up rate, separate from the
+    filter→math→generic sustained run."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.streaming.dedup import streaming_minhash_bucket_dedup
+
+    rps = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_RPS", "50000"))
+    seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
+    if rps <= 0:
+        return {}
+    ckpt = tempfile.mkdtemp(prefix="bench_dedup_state_")
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", 8)
+            .load()
+        )
+        # ~2000 distinct phrases of 12 words → heavy duplication within
+        # the watermark horizon, the flood the tier exists to absorb
+        docs = src.select(
+            "timestamp",
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, 11),"
+                " i -> concat('tok', ((value % 2000) * 13 + i * i) % 997)))"
+            ).alias("text"),
+        )
+        dd = streaming_minhash_bucket_dedup(
+            docs, text_col="text", ts_col="timestamp", watermark="10 seconds"
+        )
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .queryName("bench_dedup_tier")
+            .start()
+        )
+        try:
+            time.sleep(seconds)
+            progress = [p for p in (q.recentProgress or []) if p]
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        entries = []
+        for p in progress:
+            d = p if isinstance(p, dict) else p.asDict() if hasattr(p, "asDict") else None
+            if d is None:
+                d = json.loads(str(p))
+            entries.append(d)
+        steady = [
+            e
+            for e in entries[2:]
+            if e.get("batchDuration", 0) > 0 and e.get("numInputRows", 0) > 0
+        ]
+        if not steady:
+            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        rows = sum(e["numInputRows"] for e in steady)
+        busy = sum(e["batchDuration"] for e in steady) / 1000.0
+        state_rows = 0
+        for e in reversed(entries):
+            ops = e.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal", 0)
+                break
+        rate = rows / busy if busy > 0 else 0.0
+        return {
+            "sustained_rows_per_sec": round(rate, 1),
+            "offered_rows_per_sec": rps,
+            "kept_up": bool(rate >= 0.95 * rps),
+            "state_rows": int(state_rows),
+            "n_batches": len(steady),
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_capacity(spark) -> dict:
+    """Capacity knee: sweep offered rates above the sustained-run
+    baseline and report the max rate the stateful pipeline keeps up
+    with (≥95% of offered) plus the named bottleneck at the first
+    failing rate — from the micro-batch durationMs breakdown, where
+    `addBatch` is state-store + Python-state-fn execution and the
+    offset/commit entries are checkpoint I/O. Rates and per-rate run
+    length come from SPARK_GRAFT_STREAM_SWEEP / _SWEEP_SECONDS; an
+    empty sweep list disables the section."""
+    sweep_env = os.environ.get("SPARK_GRAFT_STREAM_SWEEP", "500000,1000000")
+    if not sweep_env.strip():
+        return {}
+    rates = [int(r) for r in sweep_env.split(",") if r.strip()]
+    per_rate_sec = float(os.environ.get("SPARK_GRAFT_STREAM_SWEEP_SECONDS", "30"))
+    out: dict = {"rates": {}}
+    max_kept = 0
+    knee = None
+    for rps in rates:
+        r = streaming_sustained(spark, rps=rps, seconds=per_rate_sec)
+        out["rates"][str(rps)] = {
+            k: r.get(k)
+            for k in (
+                "sustained_rows_per_sec",
+                "kept_up",
+                "state_rows",
+                "n_batches",
+                "durations_ms",
+            )
+        }
+        if r.get("kept_up"):
+            max_kept = max(max_kept, rps)
+        elif knee is None:
+            knee = rps
+            # triggerExecution is the whole-batch total — name the
+            # dominant COMPONENT instead
+            durs = {
+                k: v
+                for k, v in (r.get("durations_ms") or {}).items()
+                if k != "triggerExecution"
+            }
+            if durs:
+                top = max(durs, key=durs.get)
+                out["knee_bottleneck"] = (
+                    f"{top} ({durs[top]:.0f} ms/batch avg)"
+                    + (" — state-store + Python state fn" if top == "addBatch" else "")
+                )
+    out["max_kept_up_rps"] = max_kept
+    if knee is not None:
+        out["first_failing_rps"] = knee
+    return out
 
 
 def main() -> None:
@@ -227,6 +379,15 @@ def main() -> None:
         fn(spark, warm_dir if os.path.isdir(warm_dir) else SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
+    # one untimed run of the FIRST registered query at the TIMED SF:
+    # round 8 showed the first timed measurement absorbing residual
+    # JVM/page-cache warmup that the sf0.001 pass doesn't cover
+    # (pricing_summary read 1.51x its round-7 time with an optimal
+    # plan); this primes the sf0.1 parquet + codegen at full size so
+    # query #1 is measured steady-state like the rest
+    first_fn = next(iter(QUERIES.values()))[0]
+    for _ in range(2):
+        first_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
@@ -244,6 +405,8 @@ def main() -> None:
 
     streaming_rate = round(streaming_lines_per_sec(spark), 1)
     sustained = streaming_sustained(spark)
+    capacity = streaming_capacity(spark)
+    dedup_tier = streaming_dedup_sustained(spark)
 
     total = round(sum(timings.values()), 3)
     # fixed 20-query control group (stable since round 7, untouched by
@@ -259,6 +422,25 @@ def main() -> None:
         "waypoint_geofence", "threshold_crossings", "nation_profit", "pii_scrub",
     ]
     control_sec = round(sum(timings.get(k, 0.0) for k in control), 3)
+    # automatic drift attribution: compare this run's frozen-control
+    # total against the most recent prior round's (parsed from the
+    # committed BENCH_r*.json stdout tails — round 8 was the first to
+    # emit control_sec). Ratio >1 = environment slower this round.
+    prev_control, prev_round = None, None
+    import glob
+
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            wrap = json.load(open(f))
+            lines_ = [ln for ln in wrap.get("tail", "").splitlines() if ln.strip().startswith("{")]
+            prev_payload = json.loads(lines_[-1])
+            c = prev_payload.get("control_sec")
+            # same-SF runs only — a sf0.01 iteration run must not
+            # compare its control against the sf0.1 round record
+            if c and str(prev_payload.get("sf")) == SF_DIR.rstrip("/").rsplit("sf", 1)[-1]:
+                prev_control, prev_round = c, wrap.get("n")
+        except Exception:
+            continue
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "total_query_wall_sec",
@@ -269,8 +451,13 @@ def main() -> None:
         "control_sec": control_sec,  # frozen 20-query drift reference
         "streaming_lines_per_sec": streaming_rate,
         "streaming_sustained": sustained,
+        "streaming_capacity": capacity,
+        "streaming_dedup_tier": dedup_tier,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if prev_control:
+        payload["control_vs_prev"] = round(control_sec / prev_control, 3)
+        payload["prev_control"] = {"round": prev_round, "control_sec": prev_control}
     # Full per-query detail always lands in the repo for the judge.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -286,7 +473,12 @@ def main() -> None:
     # entries as fit. Full detail is committed in BENCH_DETAIL.json.
     print(json.dumps(payload))
     shown = dict(timings)
-    tail = dict(payload)
+    tail = json.loads(json.dumps(payload))  # deep copy before trimming
+    # durationMs breakdowns are detail-file material — drop from the
+    # size-bounded tail line so query timings get the space
+    tail.get("streaming_sustained", {}).pop("durations_ms", None)
+    for r in (tail.get("streaming_capacity", {}).get("rates") or {}).values():
+        r.pop("durations_ms", None)
     while len(json.dumps(tail)) > 1800 and shown:
         shown.pop(next(reversed(shown)))
         tail["queries"] = shown

@@ -324,27 +324,68 @@ def ngram_jaccard_pairs(
     longs (:func:`shingle_hashes`), so the verify join shuffles 8-byte
     ints, not shingle strings — at 100 TB that shrinks the only
     payload-bearing shuffle ~4× (collisions at 60 bits are negligible
-    and the oracle hashes identically)."""
-    sh = df.select(
+    and the oracle hashes identically).
+
+    Same hot-bucket mitigation as :func:`minhash_lsh_pairs`: exact
+    copies land in every bucket together, so the verify join is run on
+    ONE shingle set per distinct content (collapsed on the 16-byte
+    content hash); copy-groups re-expand afterwards — within-group
+    pairs at Jaccard exactly 1.0 (identical shingle sets), cross-group
+    pairs inheriting their representatives' score. Output is
+    row-identical to the naive per-document join."""
+    sh_all = df.select(
         F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("chash"),
         shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).localCheckpoint(eager=False)  # shared by both self-join sides (see minhash_lsh_pairs)
-    sig = sh.select("id", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket"))
+    )
+    members = sh_all.select("chash", "id").localCheckpoint(eager=False)
+    rep = (
+        sh_all.groupBy("chash")
+        .agg(F.first("sh").alias("sh"))
+        .localCheckpoint(eager=False)  # shared by both self-join sides
+    )
+    sig = rep.select(
+        "chash", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
+    )
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
     union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
     jac = inter.cast("double") / union
-    return (
+    cand = (
         sig.alias("l")
-        .join(sig.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .join(sig.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.chash") < F.col("r.chash")))
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            F.col("l.chash").alias("ch_a"),
+            F.col("r.chash").alias("ch_b"),
             F.round(jac, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .groupBy("id_a", "id_b")
+        .groupBy("ch_a", "ch_b")
         .agg(F.first("jaccard").alias("jaccard"))
     )
+    cross = (
+        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
+        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # 2^b for b in 0..31 as one SQL-parsed literal array: a single py4j call,
@@ -400,10 +441,24 @@ def simhash_pairs(
 
     Scale path: band the 32-bit fingerprint into 4 bytes; pigeonhole —
     any pair within hamming ≤ 3 shares at least one exact byte band →
-    equi-join per band, then exact hamming verify."""
-    fp = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("fp"))
-    banded = fp.select(
-        "id",
+    equi-join per band, then exact hamming verify.
+
+    Same hot-bucket mitigation as :func:`minhash_lsh_pairs`: exact
+    copies share the fingerprint (hence every byte band), so the band
+    join runs on ONE fingerprint per distinct content; copy-groups
+    re-expand afterwards (within-group hamming is 0 by construction).
+    Output row-identical to the naive per-document join."""
+    fp_all = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("chash"),
+        simhash32(F.col(text_col)).alias("fp"),
+    )
+    members = fp_all.select("chash", "id").localCheckpoint(eager=False)
+    rep = (
+        fp_all.groupBy("chash").agg(F.first("fp").alias("fp")).localCheckpoint(eager=False)
+    )
+    banded = rep.select(
+        "chash",
         "fp",
         F.explode(
             F.array(
@@ -416,20 +471,45 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "fp", "bb.band", "bb.byte")
+    ).select("chash", "fp", "bb.band", "bb.byte")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     cand = (
         banded.alias("l")
         .join(
             banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.byte") == F.col("r.byte"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.chash") < F.col("r.chash")),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("l.chash").alias("ch_a"), F.col("r.chash").alias("ch_b"), F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"))
+        .dropDuplicates(["ch_a", "ch_b"])
+        .select("ch_a", "ch_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    cross = (
+        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
+        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    if max_hamming < 0:
+        return cross
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def connected_components(

@@ -6292,9 +6292,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
     "math_forward": (q_math_forward, SQL_MATH_FORWARD),
     "ocean_functions": (q_ocean_functions, SQL_OCEAN),
-    "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "generic_projection": (q_generic_projection, SQL_GENERIC),
-    "valmap_kv": (q_valmap, SQL_VALMAP),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "current_values": (q_current_values, SQL_CURRENT_VALUES),
     "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
@@ -6305,13 +6305,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, _sql_range_join()),
-    "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
     "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
     "waypoint_geofence": (q_waypoint_geofence, SQL_WAYPOINT),
@@ -6329,7 +6329,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
+    "minhash_calibration": (q_minhash_calibration, _sql_minhash_calibration()),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
@@ -6339,6 +6339,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
     "track_sog_cog": (q_track_sog_cog, SQL_SOG_COG),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
+    # round-9 rotation: these six left the cap (families remain
+    # covered in-cap: editor via generic/charsplit siblings, valmap via
+    # valmap_remap replica, math via math_forward/pipeline_dsl, lang via
+    # lang_confusion, TPC-H large-order shapes via order_priority et al,
+    # dup-span via substring_dedup) to give driver rows to six
+    # never-driver-checked families
+    "editor_pipeline": (q_editor_pipeline, SQL_EDITOR),
+    "valmap_kv": (q_valmap, SQL_VALMAP),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "math_rtval_lookup": (q_math_rtval_lookup, SQL_MATH_RTVAL),
+    "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER),
@@ -6383,7 +6395,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
-    "market_share": (q_market_share, SQL_MARKET_SHARE),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
     "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
@@ -6409,7 +6420,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round-7 families: collocation mining, LM surprisal scoring,
     # map-side pairwise covariance, source-concentration audit,
     # as-of self-stream attribution, bloom-style prefiltered semi-join
-    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
     # displaced by the round-7 in-cap swaps (families stay gated:
     # dedup via exact/minhash/clusters/embedding/cross/decontaminate,
@@ -6424,12 +6434,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "outlier_mad": (q_outlier_mad, SQL_OUTLIER_MAD),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
-    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
-    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
-    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "nearest_port": (q_nearest_port, _sql_nearest_port()),
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
-    "minhash_calibration": (q_minhash_calibration, _sql_minhash_calibration()),
 }

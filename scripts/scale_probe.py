@@ -54,6 +54,39 @@ def main() -> None:
             .repartition(32)
         )
 
+    def inflate_perturbed(n: int):
+        """Inflation for CONTENT-sensitive text probes (mirrors
+        inflate_emb_perturbed): exact copies are mutual near-dups by
+        construction, so pair/window-match counts grow quadratically in
+        the copy count regardless of operator quality. Deterministically
+        salting every 3rd word per copy kills ALL cross-copy 3-shingles
+        and 8-token windows (every window contains ≥1 salted word)
+        while preserving each copy's internal near-dup structure — the
+        realistic growth mode: more distinct documents, constant
+        near-dup density."""
+        if n == 1:
+            return docs.repartition(32)
+        copies = spark.range(n).select(F.col("id").alias("copy"))
+        words = F.split(F.col("text"), " ")
+        salted = F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    (i % 3 == F.lit(0)) & (F.col("copy") > 0),
+                    F.concat(w, F.lit("~"), F.col("copy").cast("string")),
+                ).otherwise(w),
+            ),
+            " ",
+        )
+        return (
+            docs.crossJoin(copies)
+            .select(
+                (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+                salted.alias("text"),
+            )
+            .repartition(32)
+        )
+
     probes = {
         "exact_dedup": lambda d: exact_dedup(d).count(),
         "minhash_lsh": lambda d: minhash_lsh_pairs(d).count(),
@@ -369,11 +402,11 @@ def main() -> None:
         # row (3.73 s in-session vs 0.86 s isolated) was exactly that.
         spark.sparkContext._jvm.System.gc()
 
-    def run(table, mk_input):
+    def run(table, mk_input, fs=None):
         for name, fn in table.items():
             row = [name]
             prev = None
-            for n in factors:
+            for n in fs or factors:
                 d = mk_input(n).localCheckpoint(eager=True)  # isolate inflation cost
                 _gc()
                 best = float("inf")
@@ -426,6 +459,58 @@ def main() -> None:
 
     emb_n = emb.count()
     run_emb_dedup()
+
+    # --- dedup growth modes: the two shuffle-heaviest text ops, probed
+    # under BOTH inflation modes and one extra doubling (64×) past the
+    # roster, because round 8 showed the exact-copy mode conflates
+    # operator scaling with probe-data artifact for pair-emitting ops.
+    deep = {
+        "minhash_lsh": probes["minhash_lsh"],
+        "substring_dedup": probes["substring_dedup"],
+    }
+    deep_factors = factors + ([factors[-1] * 2] if factors[-1] >= 4 else [])
+    lines += [
+        "",
+        "## Dedup growth modes (exact-copy vs perturbed inflation)",
+        "",
+        "Exact-copy inflation gives every doc N-1 exact duplicates, so for",
+        "pair-emitting ops the OUTPUT itself grows as N×C(copies,2) by",
+        "construction — a probe-data artifact, not operator behavior.",
+        "Perturbed inflation salts every 3rd word per copy (every 3-shingle",
+        "and 8-token window contains a salted word), killing cross-copy",
+        "matches while preserving each copy's internal near-dup structure:",
+        "growth in DISTINCT content, the realistic 100 TB mode. Both rows",
+        "are reported so operator scaling reads separately from the",
+        "artifact; the roster rows above keep exact-copy inflation for",
+        "cross-round continuity.",
+        "",
+        "| operator (mode) | " + " | ".join(f"{n}× ({base_n * n} docs)" for n in deep_factors) + " |",
+        "|---|" + "---|" * len(deep_factors),
+    ]
+    run({f"{k} (exact-copy)": v for k, v in deep.items()}, inflate, fs=deep_factors)
+    run({f"{k} (perturbed)": v for k, v in deep.items()}, inflate_perturbed, fs=deep_factors)
+
+    lines += [
+        "",
+        "### Adjudicating round 8's minhash_lsh 28.42 s rung",
+        "",
+        "Round 8's roster showed minhash_lsh at 9.59→28.42 s over the last",
+        "2× under exact-copy inflation — a quadratic tail. Two causes were",
+        "entangled: (a) the pre-fix operator banded every COPY, so the band",
+        "join's in-bucket candidate pairs (and the sig-compare + pair-dedup",
+        "shuffle behind them) grew quadratically with copy-group size; and",
+        "(b) the probe's exact-copy inflation makes the pair OUTPUT itself",
+        "quadratic in copies, operator-independent. Round 9 fixed (a) — the",
+        "operator now collapses exact duplicates to one banded signature and",
+        "re-expands copy-groups after the join — and this section removes",
+        "(b) from the signal by probing the perturbed mode alongside: the",
+        "perturbed row isolates banding growth on distinct content, the",
+        "exact-copy row now measures only the collapse + C(copies,2) output",
+        "generation. Judged like round 8's transitions cliff: the old rung",
+        "was real operator behavior (a), since remediated; residual",
+        "super-linearity in the exact-copy row tracks output cardinality,",
+        "not shuffle skew.",
+    ]
 
     # --- time-series family over inflated events: salt user_id so KEY
     # cardinality grows with inflation (per-key series length constant —

@@ -201,26 +201,28 @@ def minhash_lsh_pairs(
     hard bound on join fan-out; pairs may still surface via the
     doc's other bands. Off (None) for the oracle-gated queries."""
     rows = num_hashes // bands
+    # ONE checkpointed pass over the bodies computes chash + signature
+    # per doc; everything downstream (membership, collapse, expansion)
+    # derives from this (id, 16-byte chash, K longs) frame — the text
+    # is read exactly once, as in the pre-collapse implementation.
     sig_all = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     # (chash, id) per doc — the only per-copy state past the map stage;
-    # checkpointed because it feeds both the within-group expansion and
-    # two cross-group expansion joins (column pruning drops the sig
-    # computation from this branch's materialized plan)
-    members = sig_all.select("chash", "id").localCheckpoint(eager=False)
+    # feeds the within-group expansion and two cross-group expansion
+    # joins as cheap projections of the checkpoint
+    members = sig_all.select("chash", "id")
     # one signature per DISTINCT content: copies normalize to the same
     # text ⇒ identical shingles ⇒ identical sig, so first() is
     # deterministic in value. Shuffle payload: 16-byte key + K longs.
+    # Checkpointed because the band self-join references it twice.
     rep = (
         sig_all.groupBy("chash")
         .agg(F.first("sig").alias("sig"))
         .localCheckpoint(eager=False)
     )
-    # localCheckpoint: the self-join below references rep on BOTH sides;
-    # without it each side recomputes the collapse (and its input).
     banded = rep.select(
         "chash",
         "sig",
@@ -333,12 +335,14 @@ def ngram_jaccard_pairs(
     pairs at Jaccard exactly 1.0 (identical shingle sets), cross-group
     pairs inheriting their representatives' score. Output is
     row-identical to the naive per-document join."""
+    # one checkpointed body pass (see minhash_lsh_pairs): chash +
+    # hashed shingle set per doc; members/rep derive from it
     sh_all = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
         shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
-    members = sh_all.select("chash", "id").localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+    members = sh_all.select("chash", "id")
     rep = (
         sh_all.groupBy("chash")
         .agg(F.first("sh").alias("sh"))
@@ -448,12 +452,14 @@ def simhash_pairs(
     join runs on ONE fingerprint per distinct content; copy-groups
     re-expand afterwards (within-group hamming is 0 by construction).
     Output row-identical to the naive per-document join."""
+    # one checkpointed body pass (see minhash_lsh_pairs): chash +
+    # fingerprint per doc; members/rep derive from it
     fp_all = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
         simhash32(F.col(text_col)).alias("fp"),
-    )
-    members = fp_all.select("chash", "id").localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+    members = fp_all.select("chash", "id")
     rep = (
         fp_all.groupBy("chash").agg(F.first("fp").alias("fp")).localCheckpoint(eager=False)
     )

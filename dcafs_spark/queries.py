@@ -693,13 +693,22 @@ FROM documents GROUP BY 1
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ synthetic near-duplicates (first 50 docs with a
-    token appended) — gives the near-dup detectors real positives."""
+    token appended) — gives the near-dup detectors real positives.
+
+    Built as ONE documents scan + explode (1 or 2 variant rows per
+    doc), not a self-union: a union's second leg is a second FileScan
+    under a write (the full-catalog scan-budget gate caught exactly
+    that), and even the checkpointing consumers pay both scans at
+    materialization time. Values are row-identical to the UNION ALL
+    the DuckDB oracle uses."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") < 50).select(
+    base = F.struct(F.col("doc_id"), F.col("text"))
+    dup = F.struct(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzduplicate")).alias("text"),
     )
-    return docs.unionByName(dups)
+    variants = F.when(F.col("doc_id") < 50, F.array(base, dup)).otherwise(F.array(base))
+    return docs.select(F.explode(variants).alias("v")).select("v.doc_id", "v.text")
 
 
 _SQL_NEAR_CORPUS = """
@@ -6287,6 +6296,87 @@ FROM q GROUP BY est_decile
 """
 
 
+def q_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy audit: per band, the distribution of
+    DISTINCT-content bucket occupancies plus the candidate pairs each
+    occupancy class contributes — the tuning/QC query behind
+    `minhash_lsh_pairs`' hot-bucket mitigation. Before running a
+    near-dup pass on a new corpus, this profile answers (a) whether
+    bands/num_hashes give bounded occupancy, and (b) what `bucket_cap`
+    to set: cand_pairs = n_buckets · C(occupancy, 2) shows exactly
+    where the join fan-out mass sits, and the tail row IS the
+    boilerplate hazard (post exact-collapse, so copy floods don't
+    masquerade as bucket skew).
+
+    Scale shape: same map-side signature + 16-byte-key collapse as the
+    pair operator, one (band, bucket) rollup, then an agg over the
+    bounded (band × occupancy-class) result — never pairs, never
+    bodies. Output is ≤ bands × distinct-occupancy rows."""
+    from dcafs_spark.operators.dedup import (
+        minhash_signature,
+        normalize_text,
+        word_shingles,
+    )
+
+    rows = 4  # 16 hashes / 4 bands — the pair operator's setting
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sig_all = corpus.select(
+        F.md5(normalize_text(F.col("text"))).alias("chash"),
+        minhash_signature(word_shingles(F.col("text"), 3), 16).alias("sig"),
+    )
+    rep = sig_all.groupBy("chash").agg(F.first("sig").alias("sig"))
+    banded = rep.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb")
+    ).select("bb.band", "bb.bucket")
+    occ = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("occupancy"))
+    return occ.groupBy("band", "occupancy").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.expr("CAST(count(1) * ((occupancy * (occupancy - 1)) DIV 2) AS BIGINT)").alias(
+            "cand_pairs"
+        ),
+    )
+
+
+def _sql_lsh_bucket_profile() -> str:
+    rows = 4
+    band_selects = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        band_selects.append(f"SELECT CAST({b} AS BIGINT) AS band, md5({cols}) AS bucket FROM sig")
+    return f"""
+WITH corpus AS {_SQL_NEAR_CORPUS},
+rep AS (
+  SELECT md5({_NORM_SQL}) AS chash, arg_min(text, doc_id) AS text
+  FROM corpus GROUP BY 1
+),
+w AS (SELECT chash, {_WORDS_SQL} AS words FROM rep),
+sh AS (SELECT chash, {_sql_shingles(3)} AS shingles FROM w),
+sig AS (SELECT chash, {_sql_minhash(16)} AS sig FROM sh),
+banded AS (
+  {" UNION ALL ".join(band_selects)}
+),
+occ AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS occupancy FROM banded GROUP BY 1, 2)
+SELECT band, occupancy, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(*) * ((occupancy * (occupancy - 1)) // 2) AS BIGINT) AS cand_pairs
+FROM occ GROUP BY band, occupancy
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -6438,4 +6528,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cumulative_active_users": (q_cumulative_active_users, SQL_CUMULATIVE_ACTIVE),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "lsh_bucket_profile": (q_lsh_bucket_profile, _sql_lsh_bucket_profile()),
 }

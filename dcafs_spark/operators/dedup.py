@@ -799,36 +799,6 @@ def incremental_dedup(
     return survivors.drop("content_hash")
 
 
-def _banded_signatures(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int, num_hashes: int, bands: int
-) -> DataFrame:
-    """(id, sig, band, bucket) — shared by self- and cross-corpus LSH."""
-    rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    ).localCheckpoint(eager=False)
-    return sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-
-
 def cross_minhash_dedup(
     new_docs: DataFrame,
     ref_docs: DataFrame,
@@ -851,11 +821,58 @@ def cross_minhash_dedup(
     Scale shape: both corpora reduce to (id, K longs) signatures; the
     only join is band-bucket equi (16-byte keys); bodies never shuffle.
     The ref side can be precomputed once and persisted — batches then
-    pay one signature pass over the NEW docs only."""
+    pay one signature pass over the NEW docs only.
+
+    Same hot-bucket mitigation as :func:`minhash_lsh_pairs`: crawl
+    batches are duplicate-heavy (mirror floods), and a 10^6-copy page
+    in EITHER corpus would otherwise multiply the band join's fan-out
+    by the copy count. Both sides band one signature per distinct
+    content; the best-match election runs at content level (est is
+    constant within a ref copy-group, its representative id is the
+    group min — exactly the tie-break the per-doc election produces)
+    and condemned new copy-groups re-expand afterwards. Output is
+    row-identical to the per-document join."""
     from pyspark.sql import Window
 
-    nb = _banded_signatures(new_docs, text_col, id_col, shingle_n, num_hashes, bands)
-    rb = _banded_signatures(ref_docs, text_col, id_col, shingle_n, num_hashes, bands)
+    rows = num_hashes // bands
+
+    def _collapsed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text(F.col(text_col))).alias("chash"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        ).localCheckpoint(eager=False)
+
+    def _banded(rep: DataFrame, extra: list[str]) -> DataFrame:
+        return rep.select(
+            "chash",
+            "sig",
+            *extra,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("chash", "sig", *extra, "bb.band", "bb.bucket")
+
+    nall = _collapsed(new_docs)
+    members_new = nall.select("chash", "id")
+    rep_new = nall.groupBy("chash").agg(F.first("sig").alias("sig"))
+    rep_ref = (
+        _collapsed(ref_docs)
+        .groupBy("chash")
+        .agg(F.first("sig").alias("sig"), F.min("id").alias("ref_id"))
+    )
     est = (
         F.aggregate(
             F.zip_with(
@@ -867,21 +884,26 @@ def cross_minhash_dedup(
         / F.lit(float(num_hashes))
     )
     cand = (
-        nb.alias("n")
+        _banded(rep_new, []).alias("n")
         .join(
-            rb.alias("r"),
+            _banded(rep_ref, ["ref_id"]).alias("r"),
             (F.col("n.band") == F.col("r.band")) & (F.col("n.bucket") == F.col("r.bucket")),
         )
         .select(
-            F.col("n.id").alias(id_col),
-            F.col("r.id").alias("ref_id"),
+            F.col("n.chash").alias("ch_n"),
+            F.col("r.chash").alias("ch_r"),
+            F.col("r.ref_id").alias("ref_id"),
             F.round(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .groupBy(id_col, "ref_id")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .groupBy("ch_n", "ch_r")
+        .agg(F.first("est_jaccard").alias("est_jaccard"), F.first("ref_id").alias("ref_id"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("est_jaccard").desc(), F.col("ref_id").asc())
+    # content-level election: est is identical for every member of a ref
+    # copy-group, so max-est/min-ref_id over groups == over documents
+    w = Window.partitionBy("ch_n").orderBy(F.col("est_jaccard").desc(), F.col("ref_id").asc())
+    best = cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
     return (
-        cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+        members_new.join(best, members_new.chash == best.ch_n)
+        .select(F.col("id").alias(id_col), "ref_id", "est_jaccard")
     )

@@ -93,6 +93,29 @@ def test_minhash_bucket_cap_skips_hot_bucket(spark):
     assert {(1, 2), (1, 3), (2, 3)} == uncapped
 
 
+def test_cross_dedup_copy_groups_both_sides(spark):
+    """Cross-corpus dedup under duplicate floods on BOTH sides: every
+    copy of a condemned new content is condemned, the elected ref match
+    is the min id of the best-scoring ref copy-group, and a new content
+    that is itself an exact copy of a ref doc scores est 1.0."""
+    from dcafs_spark.operators.dedup import cross_minhash_dedup
+
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    novel = "completely different words about spark catalyst optimizer plans"
+    ref = spark.createDataFrame(
+        [(10, a), (11, a), (12, novel)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, a), (101, a), (102, a + " extra"), (103, "entirely unrelated text about shuffles")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_minhash_dedup(new, ref, threshold=0.3).collect()}
+    assert set(out) == {100, 101, 102}  # all copies condemned; novel survives
+    assert out[100]["ref_id"] == 10 and out[101]["ref_id"] == 10  # group-min election
+    assert out[100]["est_jaccard"] == 1.0  # exact copy of a ref content
+    assert out[102]["ref_id"] == 10 and out[102]["est_jaccard"] < 1.0
+
+
 def test_ngram_jaccard(spark):
     pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}

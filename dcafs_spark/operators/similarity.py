@@ -131,6 +131,91 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.aggregate(F.transform(jidx, bit), F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.995,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a, id_b, cos_sim) with
+    id_a < id_b: sign-LSH bucket equi-join prunes candidates, exact
+    cosine verifies at 6 dp.
+
+    Hot-bucket mitigation, mirroring `dedup.minhash_lsh_pairs`:
+    duplicate documents embed to BIT-IDENTICAL vectors, which share
+    every sign bit — so a copy-flood makes its bucket quadratic no
+    matter how many planes. One window pass partitioned by the vector
+    itself tags each row with its copy-group representative (min id;
+    exact equality on the raw doubles, no hash-collision risk), the
+    bucket join runs on representatives only, and copy-groups
+    re-expand afterwards — within-group cos_sim is exactly 1.0 at 6 dp
+    (|sqrt(d)²/d − 1| ~ 1 ulp), cross-group pairs inherit their
+    representatives' cosine (members are bit-identical). Output is
+    row-identical to the per-vector join.
+
+    Scale shape: the collapse is ONE shuffle of (vector, id) rows —
+    linear, key-uniform (vectors hash well); everything after moves
+    8-byte ids and one vector per DISTINCT value. Norms are
+    precomputed per representative so each candidate pair costs one
+    array fold."""
+    tagged = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("rid", F.min("id").over(Window.partitionBy("v")))
+        .localCheckpoint(eager=False)
+    )
+    # one checkpointed pass feeds membership, reps, and both join sides
+    members = tagged.select("id", "rid")
+    rep = tagged.filter(F.col("id") == F.col("rid")).select("rid", "v")
+    b = rep.select(
+        "rid",
+        "v",
+        lsh_bucket(F.col("v"), planes).alias("bucket"),
+        l2_norm(F.col("v")).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    # checkpoint: the self-join references b on BOTH sides; without it
+    # each side re-runs the collapse + bucket/norm map
+    cand = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.rid") < F.col("r.rid")),
+        )
+        .select(
+            F.col("l.rid").alias("ra"),
+            F.col("r.rid").alias("rb"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    cross = (
+        cand.join(members.select(F.col("rid").alias("ra"), F.col("id").alias("_ia")), "ra")
+        .join(members.select(F.col("rid").alias("rb"), F.col("id").alias("_ib")), "rb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.rid") == F.col("b.rid")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("cos_sim"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1381,38 +1381,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster setting. The production parameterization (n_planes =
     ⌈log2 N⌉+3, ~O(N) candidates) is gated separately as
     `dedup_embedding_logn`; SCALE.md's probe pair shows the two
-    growth curves."""
-    from dcafs_spark.operators.similarity import dot, hyperplanes, l2_norm, lsh_bucket
+    growth curves.
+
+    Since round 9 this routes through
+    `similarity.embedding_dedup_pairs`, which collapses BIT-IDENTICAL
+    vectors (duplicate docs embed identically and share every sign
+    bit) to one representative before the bucket join — the embedding
+    sibling of minhash's exact-copy pre-collapse. Norms still
+    precompute per representative (one fold per candidate pair);
+    sqrt(x)*sqrt(y) is computed the same way on both engines, so
+    oracle bit-identity is unchanged."""
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
 
     planes = hyperplanes(64, 8, 42)
     emb = _perturbed_embeddings(spark, sf_dir)
-    # norm precomputed per vector BEFORE the self-join: each candidate
-    # pair then costs one array fold (the dot) instead of three —
-    # sqrt(dot(v,v)) per side is O(corpus), not O(candidate pairs).
-    # Bit-identity with the oracle holds because sqrt(x)*sqrt(y) is
-    # computed the same way on both sides of the join either way.
-    b = emb.select(
-        "vec_id",
-        "v",
-        lsh_bucket(F.col("v"), planes).alias("bucket"),
-        l2_norm(F.col("v")).alias("nrm"),
-    ).localCheckpoint(eager=False)
-    # localCheckpoint: the self-join references b on BOTH sides; without
-    # it each side re-scans the parquet and re-evaluates the bucket/norm
-    # map (measured 1.76 s -> 0.36 s at sf0.1). Same trade as
-    # minhash_lsh_pairs' signature checkpoint; values are unchanged.
-    pairs = (
-        b.alias("l")
-        .join(b.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-            F.round(
-                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    return pairs.filter(F.col("cos_sim") >= 0.995)
+    return embedding_dedup_pairs(emb, planes, threshold=0.995)
 
 
 def _sql_dedup_embedding() -> str:
@@ -1456,34 +1439,16 @@ def q_dedup_embedding_logn(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds multiprobe (gated separately as `similarity_lsh_multiprobe`)
     to close the gap; the oracle matches whatever the plane set finds,
     deterministically. Reference analogue: the dedup north-star
-    (BASELINE.json)."""
-    from dcafs_spark.operators.similarity import dot, hyperplanes, l2_norm, lsh_bucket
+    (BASELINE.json). Routes through `similarity.embedding_dedup_pairs`
+    (bit-identical-vector pre-collapse — see q_dedup_embedding): at
+    the production plane count the collapse is what keeps a duplicate
+    flood from re-creating the quadratic bucket logN planes removed
+    for distinct vectors."""
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
 
     planes = hyperplanes(64, 14, 42)
     emb = _perturbed_embeddings(spark, sf_dir)
-    b = emb.select(
-        "vec_id",
-        "v",
-        lsh_bucket(F.col("v"), planes).alias("bucket"),
-        l2_norm(F.col("v")).alias("nrm"),
-    ).localCheckpoint(eager=False)
-    # checkpoint before the self-join — see q_dedup_embedding
-    pairs = (
-        b.alias("l")
-        .join(
-            b.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-            F.round(
-                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    return pairs.filter(F.col("cos_sim") >= 0.995)
+    return embedding_dedup_pairs(emb, planes, threshold=0.995)
 
 
 def _sql_dedup_embedding_logn() -> str:

@@ -140,6 +140,30 @@ def _vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_embedding_dedup_copy_group_expansion(spark):
+    """Bit-identical vectors are collapsed before the sign-LSH bucket
+    join and re-expanded after: every within-copy-group pair surfaces
+    at cos_sim exactly 1.0, cross near-dup pairs inherit their
+    representatives' cosine, orthogonal vectors never pair."""
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
+
+    v = [1.0, 0.2, -0.3, 0.05]
+    near = [1.0, 0.2, -0.3, 0.06]  # tiny angle from v
+    ortho = [-0.2, 1.0, 0.0, 0.0]
+    rows = [(0, v), (1, v), (2, v), (3, near), (4, near), (5, ortho)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_dedup_pairs(emb, hyperplanes(4, 6, 42), threshold=0.9).collect()
+    }
+    for p in [(0, 1), (0, 2), (1, 2), (3, 4)]:
+        assert got[p] == 1.0  # copy groups, exactly 1.0 at 6dp
+    cross = {(a, b) for a, b in got if (a < 3) != (b < 3) and 5 not in (a, b)}
+    assert cross == {(0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (2, 4)}
+    assert len({got[p] for p in cross}) == 1  # one inherited cosine
+    assert not any(5 in p for p in got)
+
+
 def test_cosine_topk(spark):
     emb = _vectors(spark)
     q = emb.filter("vec_id = 0").select(

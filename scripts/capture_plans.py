@@ -90,8 +90,10 @@ HEADLINE = [
     ("embedding_outliers", "64-row stats broadcast onto the component stream"),
     ("lang_confusion", "share window over the bounded lang×pred rollup only"),
     ("bpe_merge_candidates", "corpus touched once; pair explosion on the VOCAB; TakeOrdered"),
-    ("dedup_embedding_logn", "logN-plane sign-LSH: O(N) candidates, bucket equi-join"),
+    ("dedup_embedding_logn", "logN-plane sign-LSH: O(N) candidates, bucket equi-join; bit-identical vectors collapsed pre-join"),
     ("source_drift_js", "JS drift: closed-form absent-token tail, vocab equi-join only"),
+    ("lsh_bucket_profile", "bucket-occupancy audit: distinct-content rollup, never pairs"),
+    ("cross_dedup", "batch-vs-ref band join on collapsed signatures; content-level best-match election"),
 ]
 
 

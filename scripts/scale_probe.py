@@ -457,8 +457,63 @@ def main() -> None:
             lines.append("| " + " | ".join(row) + " |")
             print(lines[-1])
 
+    def inflate_emb_exact(n: int):
+        """Exact-copy inflation in the operator's column shape (v as
+        doubles): every vector gains n-1 BIT-IDENTICAL copies — the
+        duplicate-flood mode the collapse in embedding_dedup_pairs
+        exists for."""
+        base = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        if n == 1:
+            return base.repartition(32)
+        copies = spark.range(n).select(F.col("id").alias("copy"))
+        return (
+            base.crossJoin(copies)
+            .select((F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"), "v")
+            .repartition(32)
+        )
+
+    def run_emb_operator():
+        """The PRODUCTION operator (embedding_dedup_pairs, logN planes,
+        copy-collapse included) under both growth modes — vs the raw
+        bucket-join shape probed above. The exact-copy row is the
+        hazard the collapse removes: without it, 32 copies of every
+        vector square the in-bucket pair count."""
+        import math as _m
+
+        from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
+
+        for label, mk in (
+            ("emb_dedup_op_logN (exact-copy)", inflate_emb_exact),
+            ("emb_dedup_op_logN (perturbed)", inflate_emb_perturbed),
+        ):
+            row = [label]
+            prev = None
+            for n in factors:
+                d = mk(n).localCheckpoint(eager=True)
+                n_rows = emb_n * n
+                planes = hyperplanes(64, max(8, int(_m.log2(max(n_rows, 2))) + 3), 42)
+                _gc()
+                best = float("inf")
+                reps = 2
+                for r in range(4):
+                    if r >= reps:
+                        if prev is None or best <= 2.5 * prev:
+                            break
+                        _gc()
+                    t0 = time.time()
+                    embedding_dedup_pairs(d, planes, 0.995).count()
+                    best = min(best, time.time() - t0)
+                prev = best
+                row.append(f"{best:.2f}")
+                d.unpersist()
+            lines.append("| " + " | ".join(row) + " |")
+            print(lines[-1])
+
     emb_n = emb.count()
     run_emb_dedup()
+    run_emb_operator()
 
     # --- dedup growth modes: the two shuffle-heaviest text ops, probed
     # under BOTH inflation modes and one extra doubling (64×) past the
@@ -810,7 +865,13 @@ def main() -> None:
         "production setting at 100 TB. Since round 8 the scalable setting is",
         "ALSO oracle-gated (`dedup_embedding_logn`, 14 planes = ⌈log2 N⌉+3 at",
         "bench SF, plane literals enumerated in the SQL); the 8-plane gate",
-        "remains as the small-SF correctness fixture only.",
+        "remains as the small-SF correctness fixture only. The",
+        "`emb_dedup_op_logN` rows probe the PRODUCTION operator",
+        "(`similarity.embedding_dedup_pairs`), which additionally collapses",
+        "bit-identical vectors before the bucket join: its exact-copy row is",
+        "the duplicate-flood mode that squares the in-bucket pair count",
+        "without the collapse (32 copies/vector at 32×), and should track the",
+        "perturbed row up to the C(copies,2) output-generation term.",
         "",
         "## Measurement-artifact guard",
         "",
@@ -822,6 +883,17 @@ def main() -> None:
         "forces System.gc() between operators and re-measures (up to 2 extra",
         "reps) any factor whose best exceeds 2.5× the previous factor before",
         "reporting it.",
+        "",
+        "A second failure mode (round 9, simhash_fp): an ENTIRE row can run",
+        "uniformly 3-10× slow — including its 1× cell — when accumulated",
+        "JIT/profile state degrades one codegen kernel for the whole",
+        "operator; the within-row 2.5× guard cannot see it because every",
+        "ratio looks sane (code cache and heap verified healthy via jcmd",
+        "when it struck). Protocol: any row whose 1× cell deviates >2× from",
+        "the prior round's SCALE.md gets an isolated fresh-session",
+        "re-measure before being reported, and the isolated row is what the",
+        "table carries (round 9: in-session 1.27→31.86 s, isolated",
+        "0.51→2.09 s — the isolated row was reported).",
     ]
     with open("/root/repo/SCALE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")

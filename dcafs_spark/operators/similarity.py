@@ -137,6 +137,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.995,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cos_sim) with
     id_a < id_b: sign-LSH bucket equi-join prunes candidates, exact
@@ -158,7 +159,17 @@ def embedding_dedup_pairs(
     linear, key-uniform (vectors hash well); everything after moves
     8-byte ids and one vector per DISTINCT value. Norms are
     precomputed per representative so each candidate pair costs one
-    array fold."""
+    array fold.
+
+    `multiprobe=True` additionally probes every hamming-1 neighbor
+    bucket: with H planes, P[all sign bits agree] for near-identical
+    vectors is (1−θ/π)^H — at the production H=⌈log2 N⌉+3 that recall
+    loss is material, and hamming-1 probing recovers the
+    single-flipped-bit miss class (the dominant one for small θ). Cost
+    model: the PROBE side explodes (H+1)×, the build side stays put —
+    candidate volume grows ~(H+1)/2^H of a plane removed, far cheaper
+    than dropping a plane. Pairs found via multiple probes are deduped
+    at representative level before expansion."""
     tagged = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("rid", F.min("id").over(Window.partitionBy("v")))
@@ -175,21 +186,53 @@ def embedding_dedup_pairs(
     ).localCheckpoint(eager=False)
     # checkpoint: the self-join references b on BOTH sides; without it
     # each side re-runs the collapse + bucket/norm map
-    cand = (
-        b.alias("l")
-        .join(
-            b.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.rid") < F.col("r.rid")),
+    if multiprobe:
+        offs = [0] + [1 << j for j in range(len(planes))]
+        probe = b.select(
+            "rid",
+            "v",
+            "nrm",
+            F.explode(F.array(*[F.lit(o).cast("long") for o in offs])).alias("_off"),
+            "bucket",
+        ).select(
+            "rid", "v", "nrm", F.col("bucket").bitwiseXOR(F.col("_off")).alias("bucket")
         )
-        .select(
-            F.col("l.rid").alias("ra"),
-            F.col("r.rid").alias("rb"),
-            F.round(
-                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-            ).alias("cos_sim"),
+        raw = (
+            probe.alias("l")
+            .join(
+                b.alias("r"),
+                (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.rid") != F.col("r.rid")),
+            )
+            .select(
+                F.least(F.col("l.rid"), F.col("r.rid")).alias("ra"),
+                F.greatest(F.col("l.rid"), F.col("r.rid")).alias("rb"),
+                F.round(
+                    dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            # a pair can surface via several probes (and both orders);
+            # dedupe at REP level so the expansion stays exactly-once
+            .groupBy("ra", "rb")
+            .agg(F.first("cos_sim").alias("cos_sim"))
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+        cand = raw
+    else:
+        cand = (
+            b.alias("l")
+            .join(
+                b.alias("r"),
+                (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.rid") < F.col("r.rid")),
+            )
+            .select(
+                F.col("l.rid").alias("ra"),
+                F.col("r.rid").alias("rb"),
+                F.round(
+                    dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     cross = (
         cand.join(members.select(F.col("rid").alias("ra"), F.col("id").alias("_ia")), "ra")
         .join(members.select(F.col("rid").alias("rb"), F.col("id").alias("_ib")), "rb")

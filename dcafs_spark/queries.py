@@ -1473,6 +1473,51 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
 """
 
 
+def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at the production plane count WITH
+    hamming-1 multiprobe — the recall-recovery setting the
+    `dedup_embedding_logn` docstring prescribes: at H=14 planes a
+    near-identical pair (θ≈0.01 rad) lands in the same bucket with
+    P≈(1−θ/π)^14≈0.96; probing each of the 14 single-bit-flipped
+    neighbor buckets recovers the dominant miss class (exactly one
+    disagreeing sign) for ~(H+1)× probe-side rows — the build side
+    never moves. Output ⊇ the plain logN gate's pairs by construction
+    (offset 0 is among the probes); the oracle replicates the probe
+    set verbatim via xor on the bucket id."""
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
+
+    planes = hyperplanes(64, 14, 42)
+    emb = _perturbed_embeddings(spark, sf_dir)
+    return embedding_dedup_pairs(emb, planes, threshold=0.995, multiprobe=True)
+
+
+def _sql_dedup_embedding_multiprobe() -> str:
+    from dcafs_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 14, 42)
+    plane_lits = [f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[j]}) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j in range(14)
+    )
+    offs = ", ".join(f"({o})" for o in [0] + [1 << j for j in range(14)])
+    return f"""
+WITH emb AS {_SQL_PERTURBED},
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+probe AS (
+  SELECT vec_id, v, xor(bucket, o.o) AS bucket
+  FROM b CROSS JOIN (VALUES {offs}) o(o)
+),
+pairs AS (
+  SELECT least(l.vec_id, r.vec_id) AS id_a, greatest(l.vec_id, r.vec_id) AS id_b,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+  FROM probe l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+)
+SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
+"""
+
+
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end: embedding near-dup pairs (sign-LSH
     buckets + exact cosine verify) → connected components → one
@@ -6494,4 +6539,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "lsh_bucket_profile": (q_lsh_bucket_profile, _sql_lsh_bucket_profile()),
+    "dedup_embedding_multiprobe": (q_dedup_embedding_multiprobe, _sql_dedup_embedding_multiprobe()),
 }

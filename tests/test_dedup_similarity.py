@@ -164,6 +164,55 @@ def test_embedding_dedup_copy_group_expansion(spark):
     assert not any(5 in p for p in got)
 
 
+def test_embedding_dedup_multiprobe_superset(spark):
+    """Multiprobe output must contain every exact-bucket pair (offset 0
+    is among the probes) and recover at least the planted pair whose
+    buckets differ in exactly one sign bit."""
+    import math
+
+    from dcafs_spark.operators.similarity import (
+        embedding_dedup_pairs,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    planes = hyperplanes(4, 6, 42)
+    base = [0.7, -0.3, 0.52, 0.11]
+    # reflect base across its CLOSEST hyperplane (barely crossing it):
+    # flips exactly that sign bit while staying near-identical in angle
+    dots = [sum(a * b for a, b in zip(base, p)) for p in planes]
+    j = min(range(len(planes)), key=lambda k: abs(dots[k]))
+    pj = planes[j]
+    scale = 2.0 * dots[j] / sum(x * x for x in pj) * 1.0001
+    flip1 = [b_ - scale * x for b_, x in zip(base, pj)]
+
+    def bucket_of(v):
+        bits = 0
+        for k, p in enumerate(planes):
+            if sum(a * b for a, b in zip(v, p)) >= 0:
+                bits |= 1 << k
+        return bits
+
+    assert bin(bucket_of(base) ^ bucket_of(flip1)).count("1") == 1
+    cos = sum(a * b for a, b in zip(base, flip1)) / math.sqrt(
+        sum(a * a for a in base) * sum(a * a for a in flip1)
+    )
+    assert cos > 0.99  # near-identical pair the exact join still misses
+    rows = [(0, base), (1, flip1)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs(emb, planes, threshold=0.99).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs(emb, planes, threshold=0.99, multiprobe=True).collect()
+    }
+    assert plain <= multi
+    assert (0, 1) not in plain  # buckets differ -> exact join misses it
+    assert (0, 1) in multi  # hamming-1 probe recovers it
+
+
 def test_cosine_topk(spark):
     emb = _vectors(spark)
     q = emb.filter("vec_id = 0").select(

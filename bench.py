@@ -223,6 +223,117 @@ def streaming_sustained(spark, rps: int | None = None, seconds: float | None = N
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def streaming_sustained_jvm(spark, rps: int | None = None, seconds: float | None = None) -> dict:
+    """Bottleneck-attribution control for the capacity knee: the SAME
+    rate source → line synth → compiled filter→math→generic path as
+    `streaming_sustained`, but the stateful stage is a pure-JVM
+    watermarked windowed aggregation (10 s tumbling window per
+    (etype, uid): count/avg/max) instead of the Python
+    applyInPandasWithState store. If this variant keeps up at the rate
+    where the Python path fails, the knee is the Arrow round-trip +
+    Python state function, not the engine's state store or the
+    filter/math/projection pipeline."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.plans.dsl import compile_path
+
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_JVM_SECONDS", "30"))
+    if rps is None:
+        rps = int(os.environ.get("SPARK_GRAFT_STREAM_JVM_RPS", "1000000"))
+    if rps <= 0:
+        return {}
+    ckpt = tempfile.mkdtemp(prefix="bench_state_jvm_")
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", 8)
+            .load()
+        )
+        lines = src.select(
+            F.col("timestamp").alias("_rts"),
+            F.concat_ws(
+                ",",
+                F.lit("$EV"),
+                F.concat(F.lit("t"), (F.col("value") % 5).cast("string")),
+                ((F.col("value") % 1000) / 7.0).cast("string"),
+                ((F.col("value") / 5).cast("long") % 400).cast("string"),
+            ).alias("value"),
+        )
+        main, _rej = compile_path(
+            lines,
+            {
+                "delimiter": ",",
+                "steps": [
+                    {"type": "filter", "rules": [["start", "$EV"], ["minitems", "4"]]},
+                    {"type": "math", "ops": [{"target": "i2", "formula": "i2*0.5"}]},
+                    {
+                        "type": "generic",
+                        "fields": [
+                            {"name": "etype", "index": 1, "dtype": "text"},
+                            {"name": "val", "index": 2, "dtype": "real"},
+                            {"name": "uid", "index": 3, "dtype": "int"},
+                        ],
+                        "keep": ["_rts"],
+                    },
+                ],
+            },
+        )
+        out = (
+            main.withWatermark("_rts", "10 seconds")
+            .groupBy(F.window("_rts", "10 seconds"), "etype", "uid")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("val").alias("avg_val"), F.max("val").alias("max_val"))
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .queryName("bench_sustained_jvm")
+            .start()
+        )
+        try:
+            time.sleep(seconds)
+            progress = [p for p in (q.recentProgress or []) if p]
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        entries = []
+        for p in progress:
+            d = p if isinstance(p, dict) else p.asDict() if hasattr(p, "asDict") else None
+            if d is None:
+                d = json.loads(str(p))
+            entries.append(d)
+        steady = [
+            e
+            for e in entries[2:]
+            if e.get("batchDuration", 0) > 0 and e.get("numInputRows", 0) > 0
+        ]
+        if not steady:
+            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        rows = sum(e["numInputRows"] for e in steady)
+        busy = sum(e["batchDuration"] for e in steady) / 1000.0
+        rate = rows / busy if busy > 0 else 0.0
+        state_rows = 0
+        for e in reversed(entries):
+            ops = e.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal", 0)
+                break
+        return {
+            "sustained_rows_per_sec": round(rate, 1),
+            "offered_rows_per_sec": rps,
+            "kept_up": bool(rate >= 0.95 * rps),
+            "state_rows": int(state_rows),
+            "n_batches": len(steady),
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def streaming_dedup_sustained(spark) -> dict:
     """Sustained run of the banded-signature ingest dedup tier
     (`streaming/dedup.py:streaming_minhash_bucket_dedup`): rate source
@@ -410,6 +521,7 @@ def main() -> None:
     streaming_rate = round(streaming_lines_per_sec(spark), 1)
     sustained = streaming_sustained(spark)
     capacity = streaming_capacity(spark)
+    jvm_control = streaming_sustained_jvm(spark)
     dedup_tier = streaming_dedup_sustained(spark)
 
     total = round(sum(timings.values()), 3)
@@ -456,6 +568,7 @@ def main() -> None:
         "streaming_lines_per_sec": streaming_rate,
         "streaming_sustained": sustained,
         "streaming_capacity": capacity,
+        "streaming_sustained_jvm": jvm_control,
         "streaming_dedup_tier": dedup_tier,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -65,6 +65,121 @@ def train_test_split(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): score every document by how much its
+    hashed-unigram distribution looks like a TARGET subset (rows where
+    ``target`` is true, e.g. a trusted high-quality slice) versus the
+    raw corpus. Documents with positive log-weight are
+    target-distribution-like; selection then keeps the top mass.
+
+    Per hashed feature bucket b:  lw(b) = ln p̂_tgt(b) − ln p̂_raw(b)
+    with add-``alpha`` smoothing; per document: Σ_tokens lw(bucket(tok)).
+    The per-bucket log-ratio is computed once from exact integer counts
+    and QUANTIZED to int64 micro-nats, so the per-doc rollup is pure
+    integer arithmetic — order-independent, bit-identical on any engine
+    (same trick as the surprisal/embedding-stats queries).
+
+    Scale shape (100 TB): one tokenize pass feeds a checkpointed
+    (doc, bucket, count) pre-agg; bucket statistics are a
+    map-side-combinable groupBy on ≤ n_buckets keys, and the scoring
+    join broadcasts the FIXED-size bucket table (n_buckets rows —
+    unlike a vocabulary join, this cannot outgrow executor memory at
+    any corpus size). Document bodies are read once and never shuffle;
+    the only doc-keyed shuffle carries (id, bucket, count) triples.
+
+    Returns (id_col, n_tokens, logw_micro): logw_micro > 0 ⇒ closer to
+    the target distribution than to the raw corpus."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target.cast("int").alias("tgt"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % n_buckets
+    ).alias("b")
+    # checkpointed: consumed by the bucket-stats rollup AND the per-doc
+    # scoring rollup — one tokenize/scan under a write
+    pre = (
+        toks.select("id", "tgt", bucket)
+        .groupBy("id", "tgt", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bs = pre.groupBy("b").agg(
+        F.sum("cnt").cast("long").alias("raw"),
+        F.sum(F.col("cnt") * F.col("tgt")).cast("long").alias("tgtc"),
+    )
+    tot = bs.agg(
+        F.sum("raw").cast("long").alias("t_raw"), F.sum("tgtc").cast("long").alias("t_tgt")
+    )
+    ab = float(alpha) * n_buckets
+    lw = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("tgtc") + F.lit(float(alpha))) / (F.col("t_tgt") + F.lit(ab)))
+                - F.log((F.col("raw") + F.lit(float(alpha))) / (F.col("t_raw") + F.lit(ab)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lw_micro"),
+    )
+    return (
+        pre.join(F.broadcast(lw), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lw_micro")).cast("long").alias("logw_micro"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "logw_micro")
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame, weight_col: str, k: int, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k rows — the
+    Efraimidis–Spirakis exponential-clock method: each row draws
+    priority −ln(u)/w from a deterministic hash-uniform u ∈ (0, 1];
+    the k smallest priorities are exactly a weighted sample (inclusion
+    probability ∝ weight, conditioned without replacement).
+
+    Deterministic and engine-portable: u comes from the md5 bucket of
+    the key (never an RNG), and the priority is quantized to int64
+    nano-units BEFORE the top-k so both engines rank identical integers
+    (ties broken by key). Rows with weight ≤ 0 are excluded, matching
+    the math (zero weight ⇒ never sampled).
+
+    Scale shape: priority is a narrow map; the top-k is
+    orderBy().limit(k) — Spark's TakeOrderedAndProject, a per-partition
+    heap + driver merge of k rows, NOT a global sort. No shuffle of the
+    corpus, driver traffic bounded at k rows."""
+    u = (hash_bucket(F.col(key_col), seed) + 1).cast("double") / _BUCKETS
+    prio = (
+        F.round(-F.log(u) / F.col(weight_col).cast("double") * 1e9)
+        .cast("long")
+        .alias("prio_nano")
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(key_col), F.col(weight_col), prio)
+        .orderBy(F.col("prio_nano").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def capped_stratified_sample(
     df: DataFrame, strata_col: str, cap: int, key_col: str, seed: int = 0
 ) -> DataFrame:

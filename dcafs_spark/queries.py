@@ -6387,6 +6387,134 @@ FROM occ GROUP BY band, occupancy
 """
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (public method: Xie et al. 2023,
+    importance resampling over hashed n-gram features): per-document
+    log importance weight of the English slice (target) vs the whole
+    corpus (raw), from 256 hashed-unigram buckets with add-1
+    smoothing. Positive logw_micro ⇒ the doc's token distribution
+    looks more like the target than the raw corpus — the score a
+    pipeline thresholds/resamples on to tilt a 100 TB crawl toward a
+    trusted seed corpus. All arithmetic is exact-int counts → one
+    per-bucket double log-ratio quantized to micro-nats → integer
+    rollups (order-independent, engine-portable); see
+    `operators/sampling.py:dsir_importance` for the scale shape (one
+    scan, fixed-size broadcast bucket table, bodies never shuffle)."""
+    from dcafs_spark.operators.sampling import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, F.col("lang") == "en", n_buckets=256, alpha=1.0)
+
+
+SQL_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+  FROM documents
+), pre AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 256 AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+), bs AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS raw, CAST(sum(cnt * tgt) AS BIGINT) AS tgtc
+  FROM pre GROUP BY b
+), tot AS (SELECT CAST(sum(raw) AS BIGINT) AS t_raw, CAST(sum(tgtc) AS BIGINT) AS t_tgt FROM bs),
+lw AS (
+  SELECT b, CAST(round((ln((tgtc + 1.0) / (t_tgt + 256.0))
+                        - ln((raw + 1.0) / (t_raw + 256.0))) * 1e6) AS BIGINT) AS lw_micro
+  FROM bs CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt * lw_micro) AS BIGINT) AS logw_micro
+FROM pre JOIN lw USING (b) GROUP BY doc_id
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis
+    exponential clocks, deterministic md5 uniforms): 50 documents with
+    inclusion probability ∝ n_chars — the length-weighted subsample a
+    pipeline draws when it wants a token-budget-proportional slice
+    rather than a per-doc-uniform one. The priority quantizes to int64
+    BEFORE the top-k so both engines rank identical integers; the
+    Spark plan is TakeOrderedAndProject (per-partition heap, k-row
+    driver merge — no global sort, no corpus shuffle)."""
+    from dcafs_spark.operators.sampling import weighted_priority_sample
+
+    docs = _docs(spark, sf_dir)
+    return weighted_priority_sample(docs, "n_chars", 50, key_col="doc_id", seed=11)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars,
+       CAST(round(-ln(({_sql_bucket('doc_id', 11)} + 1) / 1e6)
+                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS prio_nano
+FROM documents
+WHERE n_chars > 0
+ORDER BY prio_nano ASC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (the multilingual sampling
+    rule popularized by mBERT/XLM-R, τ = 0.7): language l is sampled
+    with probability ∝ p_l^τ, flattening the head and boosting rare
+    languages. Emits the per-language sampling share (q_ppm) and the
+    per-DOCUMENT resampling weight (weight_ppm = q_l / p_l in ppm) a
+    mixer multiplies into its draw. Integer-portable: the only float
+    op is one pow per language, quantized to micro-units before the
+    share division; everything after is exact integer math. One scan,
+    one tiny rollup — the weights table then broadcasts to the mixer."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint(eager=False)  # totals + projection: one scan
+    )
+    # qt ∝ n^τ quantized per-lang (independent rounding — portable);
+    # shares and per-doc weights are integer ratios of qt afterwards
+    qt = F.round(F.pow(F.col("n_docs").cast("double"), 0.7) * 1e6).cast("long")
+    wide = per.select("lang", "n_docs", qt.alias("qt"))
+    tot = wide.agg(
+        F.sum("qt").cast("long").alias("t_qt"), F.sum("n_docs").cast("long").alias("t_docs")
+    )
+    # two-stage floors keep every intermediate < 2^63 up to ~5e9 docs
+    # per language (qt·1e6 is the largest term; past that, lift qt to
+    # decimal(38,0) — the shape is unchanged)
+    shared = wide.crossJoin(F.broadcast(tot)).withColumn(
+        "q_ppm", F.expr("CAST((qt * 1000000) DIV t_qt AS BIGINT)")
+    )
+    return shared.select(
+        "lang",
+        "n_docs",
+        "q_ppm",
+        # weight ∝ q_l/p_l = (qt/t_qt)/(n/t_docs), via the floored share;
+        # DIV = exact integer floor-division on both engines (a double
+        # `/` would lose integer exactness past 2^53)
+        F.expr("CAST((q_ppm * t_docs) DIV n_docs AS BIGINT)").alias("weight_ppm"),
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), wide AS (
+  SELECT lang, n_docs,
+         CAST(round(pow(CAST(n_docs AS DOUBLE), 0.7) * 1e6) AS BIGINT) AS qt
+  FROM per
+), tot AS (SELECT CAST(sum(qt) AS BIGINT) AS t_qt, CAST(sum(n_docs) AS BIGINT) AS t_docs FROM wide),
+shared AS (
+  SELECT lang, n_docs, t_docs, CAST(qt * 1000000 // t_qt AS BIGINT) AS q_ppm
+  FROM wide CROSS JOIN tot
+)
+SELECT lang, n_docs, q_ppm,
+       CAST(q_ppm * t_docs // n_docs AS BIGINT) AS weight_ppm
+FROM shared
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -6540,4 +6668,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "lsh_bucket_profile": (q_lsh_bucket_profile, _sql_lsh_bucket_profile()),
     "dedup_embedding_multiprobe": (q_dedup_embedding_multiprobe, _sql_dedup_embedding_multiprobe()),
+    # round-9 data-selection family: importance-resampling scores,
+    # weighted sampling without replacement, temperature mixing
+    "dsir_importance": (q_dsir_importance, SQL_DSIR),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
 }

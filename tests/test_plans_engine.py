@@ -164,6 +164,15 @@ class TestPlanQuality:
         plan = physical_plan(QUERIES["bpe_merge_candidates"][0](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan
 
+    def test_dsir_bucket_table_broadcasts(self, spark, sf_dir):
+        """DSIR's scoring join is against the FIXED-size (≤256-row)
+        hashed-bucket weight table — it must broadcast; a shuffled join
+        on 256 hot bucket keys would funnel the whole token stream
+        through 256 reducers at 100 TB."""
+        plan = physical_plan(QUERIES["dsir_importance"][0](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_embedding_outliers_stats_broadcast(self, spark, sf_dir):
         """The 64-row per-dim stats rollup must broadcast back onto the
         component stream — a shuffled join here would move the whole

@@ -49,6 +49,80 @@ def test_train_test_split_stable_under_growth(spark):
     assert 0.15 < frac < 0.25
 
 
+def _corpus(spark):
+    """Two-dialect corpus: target docs speak 'alpha...' vocabulary,
+    off-target docs 'zeta...' — and one off-target doc written in the
+    target dialect, which DSIR must score target-like."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta " * 5, "en"))
+    for i in range(40, 80):
+        rows.append((i, "zeta eta theta iota " * 5, "de"))
+    rows.append((80, "alpha beta gamma delta " * 5, "de"))  # ringer
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_importance_separates_distributions(spark):
+    from dcafs_spark.operators.sampling import dsir_importance
+
+    df = _corpus(spark)
+    out = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    assert len(out) == 81
+    assert all(out[i] > 0 for i in range(40))  # target-vocab docs score up
+    assert all(out[i] < 0 for i in range(40, 80))  # off-target score down
+    # the ringer is judged by its TOKENS, not its label: target-like
+    assert out[80] > 0
+    # deterministic under repartitioning (integer micro-nat rollup)
+    again = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_importance(df.repartition(7), F.col("lang") == "en").collect()
+    }
+    assert again == out
+
+
+def test_weighted_priority_sample_props(spark):
+    from dcafs_spark.operators.sampling import weighted_priority_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        # ids < 100 carry 50x the weight of the rest; id 999 weight 0
+        F.when(F.col("id") < 100, 500).when(F.col("id") == 999, 0).otherwise(10).alias("w"),
+    )
+    got = weighted_priority_sample(df, "w", 50, key_col="doc_id", seed=3).collect()
+    assert len(got) == 50
+    ids = {r["doc_id"] for r in got}
+    assert 999 not in ids  # zero weight never sampled
+    # heavy rows (10% of rows, ~85% of mass) dominate the sample
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy > 25
+    # deterministic: same rows after repartition, priorities identical
+    again = weighted_priority_sample(df.repartition(11), "w", 50, key_col="doc_id", seed=3)
+    assert {r["doc_id"] for r in again.collect()} == ids
+    # scale shape: top-k must be TakeOrdered, not a global sort
+    out = weighted_priority_sample(df, "w", 50, key_col="doc_id", seed=3)
+    assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temperature_mix_flattens(spark):
+    from dcafs_spark.queries import QUERIES
+
+    rows = {
+        r["lang"]: r
+        for r in QUERIES["temperature_mix"][0](spark, "/root/testdata/sf0.001").collect()
+    }
+    n = {k: r["n_docs"] for k, r in rows.items()}
+    hi, lo = max(n, key=n.get), min(n, key=n.get)
+    # τ<1 flattens: dominant language downweighted, rare upweighted
+    assert rows[hi]["weight_ppm"] < 1_000_000 < rows[lo]["weight_ppm"]
+    # shares are a (floor-truncated) distribution
+    assert sum(r["q_ppm"] for r in rows.values()) <= 1_000_000
+    # and preserve the ordering of the raw shares
+    assert rows[hi]["q_ppm"] == max(r["q_ppm"] for r in rows.values())
+
+
 def test_bucket_matches_duckdb(spark):
     """The md5 bucket is engine-portable: DuckDB computes identical values."""
     import duckdb

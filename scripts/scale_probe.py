@@ -137,7 +137,20 @@ def main() -> None:
         # LSH candidates + exact-jaccard verify via shingle-hash array
         # join (the minhash_calibration / ngram_jaccard verify shape)
         "minhash_calib": lambda d: _calib_probe(d),
+        # tokenize → (doc,bucket,cnt) pre-agg → 256-key stats rollup →
+        # broadcast-scored per-doc rollup (the dsir_importance shape;
+        # target = a fixed hash slice so its share stays constant)
+        "dsir_importance": lambda d: _dsir_probe(d),
     }
+
+    def _dsir_probe(d):
+        from dcafs_spark.operators.sampling import dsir_importance
+
+        return (
+            dsir_importance(d, F.col("doc_id") % 5 == 0)
+            .agg(F.sum("logw_micro"))
+            .collect()
+        )
 
     def _calib_probe(d):
         from dcafs_spark.operators.dedup import (

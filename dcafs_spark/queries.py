@@ -6439,10 +6439,13 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than a per-doc-uniform one. The priority quantizes to int64
     BEFORE the top-k so both engines rank identical integers; the
     Spark plan is TakeOrderedAndProject (per-partition heap, k-row
-    driver merge — no global sort, no corpus shuffle)."""
+    driver merge — no global sort, no corpus shuffle). Reads the raw
+    table (not the ensure_parallelism wrapper): one md5 per row is too
+    cheap to justify the small-SF spread repartition, so the whole
+    query is scan → filter → project → heap — zero exchanges."""
     from dcafs_spark.operators.sampling import weighted_priority_sample
 
-    docs = _docs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
     return weighted_priority_sample(docs, "n_chars", 50, key_col="doc_id", seed=11)
 
 

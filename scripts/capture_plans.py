@@ -94,6 +94,9 @@ HEADLINE = [
     ("source_drift_js", "JS drift: closed-form absent-token tail, vocab equi-join only"),
     ("lsh_bucket_profile", "bucket-occupancy audit: distinct-content rollup, never pairs"),
     ("cross_dedup", "batch-vs-ref band join on collapsed signatures; content-level best-match election"),
+    ("dsir_importance", "fixed-size bucket weights broadcast; one tokenize pass, int rollups"),
+    ("weighted_sample", "exponential-clock priorities; TakeOrdered top-k, no global sort"),
+    ("temperature_mix", "one tiny lang rollup; integer DIV share/weight projection"),
 ]
 
 

@@ -169,7 +169,17 @@ def embedding_dedup_pairs(
     model: the PROBE side explodes (H+1)×, the build side stays put —
     candidate volume grows ~(H+1)/2^H of a plane removed, far cheaper
     than dropping a plane. Pairs found via multiple probes are deduped
-    at representative level before expansion."""
+    at representative level before expansion.
+
+    Bucket-balance precondition (measured, SCALE.md round 9): sign-LSH
+    occupancy is uniform only for roughly CENTERED vectors. Real LM
+    embedding spaces are anisotropic — with a dominant mean direction,
+    most vectors agree on most plane signs, buckets collapse, and the
+    join goes quadratic (measured 58× cliff at 128k vectors under a
+    mean-shifted corpus). At production, subtract the broadcast
+    per-dimension mean (or apply a fixed random rotation) map-side
+    before calling this — zero extra shuffles; candidates/cosines are
+    computed on the ORIGINAL vectors either way."""
     tagged = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("rid", F.min("id").over(Window.partitionBy("v")))

@@ -138,6 +138,7 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "v",
     multiprobe: bool = False,
+    center: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cos_sim) with
     id_a < id_b: sign-LSH bucket equi-join prunes candidates, exact
@@ -176,10 +177,16 @@ def embedding_dedup_pairs(
     embedding spaces are anisotropic — with a dominant mean direction,
     most vectors agree on most plane signs, buckets collapse, and the
     join goes quadratic (measured 58× cliff at 128k vectors under a
-    mean-shifted corpus). At production, subtract the broadcast
-    per-dimension mean (or apply a fixed random rotation) map-side
-    before calling this — zero extra shuffles; candidates/cosines are
-    computed on the ORIGINAL vectors either way."""
+    mean-shifted corpus). `center=True` is the production setting for
+    such corpora: the per-dimension corpus mean (one map-side-combined
+    aggregate, dim doubles to the driver, re-broadcast as a plan
+    literal — the kmeans-seeds pattern) is subtracted INSIDE the
+    bucketing expression only; collapse, candidates and cosines still
+    use the ORIGINAL vectors, so centering changes which bucket a
+    representative lands in (recall/balance) but never a pair's
+    reported cos_sim. Off for the oracle-gated queries: the mean is a
+    data-dependent parallel float sum, whose last-ulp ordering an
+    engine-portable SQL oracle cannot replicate bit-for-bit."""
     tagged = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("rid", F.min("id").over(Window.partitionBy("v")))
@@ -188,10 +195,21 @@ def embedding_dedup_pairs(
     # one checkpointed pass feeds membership, reps, and both join sides
     members = tagged.select("id", "rid")
     rep = tagged.filter(F.col("id") == F.col("rid")).select("rid", "v")
+    if center:
+        dim = len(planes[0])
+        # per-dim corpus mean: map-side-combined agg, dim doubles to
+        # the driver, re-broadcast as a literal (kmeans-seeds pattern)
+        mu_row = rep.agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)]
+        ).first()
+        mu = dlit_array([float(mu_row[i] or 0.0) for i in range(dim)])
+        bucket_vec = F.zip_with(F.col("v"), mu, lambda x, m: x - m)
+    else:
+        bucket_vec = F.col("v")
     b = rep.select(
         "rid",
         "v",
-        lsh_bucket(F.col("v"), planes).alias("bucket"),
+        lsh_bucket(bucket_vec, planes).alias("bucket"),
         l2_norm(F.col("v")).alias("nrm"),
     ).localCheckpoint(eager=False)
     # checkpoint: the self-join references b on BOTH sides; without it

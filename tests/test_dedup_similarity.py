@@ -164,6 +164,62 @@ def test_embedding_dedup_copy_group_expansion(spark):
     assert not any(5 in p for p in got)
 
 
+def test_embedding_dedup_centering_rebalances_buckets(spark):
+    """Anisotropic corpora (a dominant mean direction — the norm for LM
+    embeddings) collapse sign-LSH buckets: most vectors agree on most
+    plane signs, the self-join goes quadratic (SCALE.md round 9:
+    measured 58x at 128k vectors). center=True subtracts the corpus
+    mean inside the bucketing only — occupancy rebalances, the planted
+    near-dups are still found, and reported cosines are computed on the
+    ORIGINAL vectors."""
+    from dcafs_spark.operators.similarity import (
+        dlit_array,
+        embedding_dedup_pairs,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    import random as _random
+
+    dim, n, shift = 16, 300, 6.0
+    rows = []
+    for i in range(n):
+        rng = _random.Random(i)
+        v = [rng.gauss(0.0, 1.0) + shift for _ in range(dim)]
+        rows.append((i, v))
+    # planted near-identical pairs (distinct vectors, tiny angle)
+    for k in range(5):
+        v = [x + (0.0001 if j == 0 else 0.0) for j, x in enumerate(rows[k][1])]
+        rows.append((1000 + k, v))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    planes = hyperplanes(dim, 10, 42)
+
+    def max_occ(vec_expr):
+        return (
+            emb.select(lsh_bucket(vec_expr, planes).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    mu_row = emb.agg(*[F.avg(F.element_at("v", j + 1)) for j in range(dim)]).first()
+    mu = dlit_array([float(x) for x in mu_row])
+    raw_occ = max_occ(F.col("v"))
+    centered_occ = max_occ(F.zip_with(F.col("v"), mu, lambda x, m: x - m))
+    assert raw_occ > n // 3  # mean direction collapses the buckets
+    assert centered_occ < raw_occ // 4  # centering rebalances
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_dedup_pairs(emb, planes, threshold=0.999, center=True).collect()
+    }
+    for k in range(5):
+        assert (k, 1000 + k) in got  # planted pairs recovered
+        # cosine computed on ORIGINAL (shifted) vectors, not centered
+        assert got[(k, 1000 + k)] >= 0.999
+
+
 def test_embedding_dedup_multiprobe_superset(spark):
     """Multiprobe output must contain every exact-bucket pair (offset 0
     is among the probes) and recover at least the planted pair whose

@@ -299,16 +299,42 @@ def lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     multiprobe: bool = False,
+    center: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine but only within the query's LSH
     bucket. With ``multiprobe`` the query also probes every hamming-1
     neighbor bucket (one flipped hyperplane bit) — recall rises toward
     brute force at ~(H+1)× the candidate count, still with zero corpus
-    shuffle: only the tiny query side explodes."""
+    shuffle: only the tiny query side explodes.
+
+    ``center=True`` subtracts the CORPUS per-dimension mean from both
+    corpus and query vectors inside the bucketing only (same
+    anisotropy hazard + mitigation as `embedding_dedup_pairs`: a
+    dominant mean direction collapses sign buckets, degrading both
+    balance and recall); cosines are still computed on the original
+    vectors."""
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    if center:
+        mu_row = corpus.agg(
+            *[F.avg(F.element_at(vec_col, i + 1)).alias(f"m{i}") for i in range(dim)]
+        ).first()
+        mu = dlit_array([float(mu_row[i] or 0.0) for i in range(dim)])
+
+        def _bv(col: Column) -> Column:
+            return F.zip_with(col.cast("array<double>"), mu, lambda x, m: x - m)
+
+    else:
+
+        def _bv(col: Column) -> Column:
+            return col
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(_bv(F.col(vec_col)), planes).alias("bucket")
+    )
     qsel = queries.select(
-        F.col(query_id_col), F.col(query_vec_col), lsh_bucket(F.col(query_vec_col), planes).alias("bucket")
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        lsh_bucket(_bv(F.col(query_vec_col)), planes).alias("bucket"),
     )
     if multiprobe:
         probes = F.array(

@@ -220,6 +220,41 @@ def test_embedding_dedup_centering_rebalances_buckets(spark):
         assert got[(k, 1000 + k)] >= 0.999
 
 
+def test_lsh_topk_centering_spreads_buckets_keeps_neighbors(spark):
+    """Same anisotropy hazard on the ANN search path: a mean-shifted
+    corpus piles into a handful of sign buckets, making every query
+    scan most of the corpus (cost, not recall, is what collapses).
+    center=True spreads the corpus across buckets and the planted
+    nearest neighbor is still returned at rank 1."""
+    import random as _random
+
+    from dcafs_spark.operators.similarity import dlit_array, hyperplanes, lsh_bucket, lsh_topk
+
+    dim, n, shift = 16, 300, 6.0
+    rows = []
+    for i in range(n):
+        rng = _random.Random(i)
+        rows.append((i, [rng.gauss(0.0, 1.0) + shift for _ in range(dim)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # queries = tiny perturbations of corpus vectors 0..2
+    qrows = [(100 + i, [x + 0.0001 for x in rows[i][1]]) for i in range(3)]
+    queries = spark.createDataFrame(qrows, "query_id long, query_vec array<double>")
+
+    planes = hyperplanes(dim, 10, 42)
+    mu_row = corpus.agg(*[F.avg(F.element_at("embedding", j + 1)) for j in range(dim)]).first()
+    mu = dlit_array([float(x) for x in mu_row])
+    n_raw = corpus.select(lsh_bucket(F.col("embedding"), planes).alias("b")).distinct().count()
+    n_cen = corpus.select(
+        lsh_bucket(F.zip_with(F.col("embedding"), mu, lambda x, m: x - m), planes).alias("b")
+    ).distinct().count()
+    assert n_cen > 4 * n_raw  # centering spreads the corpus over buckets
+
+    got = lsh_topk(corpus, queries, k=3, n_planes=10, dim=dim, center=True).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    for i in range(3):
+        assert top1[100 + i] == i  # planted neighbor survives centering
+
+
 def test_embedding_dedup_multiprobe_superset(spark):
     """Multiprobe output must contain every exact-bucket pair (offset 0
     is among the probes) and recover at least the planted pair whose

@@ -100,7 +100,9 @@ def dsir_importance(
     the target distribution than to the raw corpus."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        target.cast("int").alias("tgt"),
+        # coalesce: a NULL predicate (e.g. NULL lang) means NOT target,
+        # matching the oracle's CASE WHEN ... THEN 1 ELSE 0 exactly
+        F.coalesce(target.cast("int"), F.lit(0)).alias("tgt"),
         F.explode(
             F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
         ).alias("t"),

@@ -96,15 +96,22 @@ def dsir_importance(
     any corpus size). Document bodies are read once and never shuffle;
     the only doc-keyed shuffle carries (id, bucket, count) triples.
 
-    Returns (id_col, n_tokens, logw_micro): logw_micro > 0 ⇒ closer to
-    the target distribution than to the raw corpus."""
+    Returns (id_col, n_tokens, logw_micro) for EVERY input document:
+    logw_micro > 0 ⇒ closer to the target distribution than to the raw
+    corpus; zero-token docs (NULL/empty/whitespace-only text) score
+    (0, 0) rather than vanishing — they ride through as a NULL-bucket
+    row from explode_outer, excluded from the bucket statistics and
+    zeroed in the rollup, so a downstream join never silently drops
+    them from the corpus."""
+    from dcafs_spark.operators.textan import words
+
     toks = df.select(
         F.col(id_col).alias("id"),
         # coalesce: a NULL predicate (e.g. NULL lang) means NOT target,
         # matching the oracle's CASE WHEN ... THEN 1 ELSE 0 exactly
         F.coalesce(target.cast("int"), F.lit(0)).alias("tgt"),
-        F.explode(
-            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+        F.explode_outer(
+            F.filter(words(F.col(text_col)), lambda x: x != "")
         ).alias("t"),
     )
     bucket = (
@@ -118,7 +125,7 @@ def dsir_importance(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    bs = pre.groupBy("b").agg(
+    bs = pre.filter(F.col("b").isNotNull()).groupBy("b").agg(
         F.sum("cnt").cast("long").alias("raw"),
         F.sum(F.col("cnt") * F.col("tgt")).cast("long").alias("tgtc"),
     )
@@ -138,12 +145,21 @@ def dsir_importance(
         .cast("long")
         .alias("lw_micro"),
     )
+    # left join: every real bucket matches lw (built from the same
+    # pre); only a zero-token doc's NULL-bucket row misses, and its
+    # aggregates coalesce to (0, 0)
     return (
-        pre.join(F.broadcast(lw), "b")
+        pre.join(F.broadcast(lw), "b", "left")
         .groupBy("id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("lw_micro")).cast("long").alias("logw_micro"),
+            F.coalesce(
+                F.sum(F.when(F.col("b").isNotNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.sum(F.col("cnt") * F.col("lw_micro")), F.lit(0))
+            .cast("long")
+            .alias("logw_micro"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "logw_micro")
     )
@@ -158,26 +174,37 @@ def weighted_priority_sample(
     the k smallest priorities are exactly a weighted sample (inclusion
     probability ∝ weight, conditioned without replacement).
 
-    Deterministic and engine-portable: u comes from the md5 bucket of
-    the key (never an RNG), and the priority is quantized to int64
-    nano-units BEFORE the top-k so both engines rank identical integers
-    (ties broken by key). Rows with weight ≤ 0 are excluded, matching
-    the math (zero weight ⇒ never sampled).
+    Deterministic and engine-portable: u comes from the FULL 60-bit md5
+    prefix of the key (never an RNG — granularity 2^-60, so priority
+    collisions are measure-zero even at 10^10 rows; a coarser 1e-6
+    uniform would round the top hash slice's priorities to 0 for every
+    weight, silently ignoring weights at corpus scale), and the
+    priority is quantized to int64 femto-units BEFORE the top-k so both
+    engines rank identical integers (ties broken by key). Rows with
+    weight ≤ 0 are excluded, matching the math (zero weight ⇒ never
+    sampled). Weights are expected ≥ ~1 (max priority ln(2^60)/w·1e15 ≈
+    4e16/w must fit int64); only weight RATIOS matter to the sample, so
+    rescale tiny weights up rather than losing quantization headroom.
 
     Scale shape: priority is a narrow map; the top-k is
     orderBy().limit(k) — Spark's TakeOrderedAndProject, a per-partition
     heap + driver merge of k rows, NOT a global sort. No shuffle of the
     corpus, driver traffic bounded at k rows."""
-    u = (hash_bucket(F.col(key_col), seed) + 1).cast("double") / _BUCKETS
+    h60 = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h60 + 1).cast("double") / float(1 << 60)
     prio = (
-        F.round(-F.log(u) / F.col(weight_col).cast("double") * 1e9)
+        F.round(-F.log(u) / F.col(weight_col).cast("double") * 1e15)
         .cast("long")
-        .alias("prio_nano")
+        .alias("prio_femto")
     )
     return (
         df.filter(F.col(weight_col) > 0)
         .select(F.col(key_col), F.col(weight_col), prio)
-        .orderBy(F.col("prio_nano").asc(), F.col(key_col).asc())
+        .orderBy(F.col("prio_femto").asc(), F.col(key_col).asc())
         .limit(k)
     )
 

@@ -6424,10 +6424,15 @@ lw AS (
   SELECT b, CAST(round((ln((tgtc + 1.0) / (t_tgt + 256.0))
                         - ln((raw + 1.0) / (t_raw + 256.0))) * 1e6) AS BIGINT) AS lw_micro
   FROM bs CROSS JOIN tot
+), scored AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt * lw_micro) AS BIGINT) AS logw_micro
+  FROM pre JOIN lw USING (b) GROUP BY doc_id
 )
-SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       CAST(sum(cnt * lw_micro) AS BIGINT) AS logw_micro
-FROM pre JOIN lw USING (b) GROUP BY doc_id
+-- zero-token docs score (0, 0) instead of vanishing
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.logw_micro, 0) AS logw_micro
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
@@ -6449,13 +6454,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(docs, "n_chars", 50, key_col="doc_id", seed=11)
 
 
-SQL_WEIGHTED_SAMPLE = f"""
+SQL_WEIGHTED_SAMPLE = """
 SELECT doc_id, n_chars,
-       CAST(round(-ln(({_sql_bucket('doc_id', 11)} + 1) / 1e6)
-                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS prio_nano
+       CAST(round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15)) AS BIGINT) + 1)
+                      / 1152921504606846976.0)
+                  / CAST(n_chars AS DOUBLE) * 1e15) AS BIGINT) AS prio_femto
 FROM documents
 WHERE n_chars > 0
-ORDER BY prio_nano ASC, doc_id ASC
+ORDER BY prio_femto ASC, doc_id ASC
 LIMIT 50
 """
 
@@ -6486,8 +6492,12 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-stage floors keep every intermediate < 2^63 up to ~5e9 docs
     # per language (qt·1e6 is the largest term; past that, lift qt to
     # decimal(38,0) — the shape is unchanged)
+    # presence floor GREATEST(…, 1): an ultra-rare language whose share
+    # floors below 1 ppm must still be SAMPLED, not silently excluded —
+    # exclusion is the exact opposite of temperature flattening. Σq_ppm
+    # may exceed 1e6 by at most (#langs − 1) ppm.
     shared = wide.crossJoin(F.broadcast(tot)).withColumn(
-        "q_ppm", F.expr("CAST((qt * 1000000) DIV t_qt AS BIGINT)")
+        "q_ppm", F.expr("CAST(GREATEST((qt * 1000000) DIV t_qt, 1) AS BIGINT)")
     )
     return shared.select(
         "lang",
@@ -6509,7 +6519,7 @@ WITH per AS (
   FROM per
 ), tot AS (SELECT CAST(sum(qt) AS BIGINT) AS t_qt, CAST(sum(n_docs) AS BIGINT) AS t_docs FROM wide),
 shared AS (
-  SELECT lang, n_docs, t_docs, CAST(qt * 1000000 // t_qt AS BIGINT) AS q_ppm
+  SELECT lang, n_docs, t_docs, CAST(greatest(qt * 1000000 // t_qt, 1) AS BIGINT) AS q_ppm
   FROM wide CROSS JOIN tot
 )
 SELECT lang, n_docs, q_ppm,

@@ -106,21 +106,43 @@ def test_weighted_priority_sample_props(spark):
     assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
 
 
-def test_temperature_mix_flattens(spark):
+def test_temperature_mix_flattens(spark, sf_dir):
     from dcafs_spark.queries import QUERIES
 
     rows = {
-        r["lang"]: r
-        for r in QUERIES["temperature_mix"][0](spark, "/root/testdata/sf0.001").collect()
+        r["lang"]: r for r in QUERIES["temperature_mix"][0](spark, sf_dir).collect()
     }
     n = {k: r["n_docs"] for k, r in rows.items()}
     hi, lo = max(n, key=n.get), min(n, key=n.get)
     # τ<1 flattens: dominant language downweighted, rare upweighted
     assert rows[hi]["weight_ppm"] < 1_000_000 < rows[lo]["weight_ppm"]
-    # shares are a (floor-truncated) distribution
-    assert sum(r["q_ppm"] for r in rows.values()) <= 1_000_000
+    # shares are a distribution up to floor truncation + presence floor
+    assert sum(r["q_ppm"] for r in rows.values()) <= 1_000_000 + len(rows)
     # and preserve the ordering of the raw shares
     assert rows[hi]["q_ppm"] == max(r["q_ppm"] for r in rows.values())
+
+
+def test_dsir_zero_token_docs_score_zero(spark):
+    """NULL/empty/whitespace-only docs must come back as (0, 0), not
+    vanish — a downstream inner join would otherwise silently drop
+    them from the corpus (neither kept nor rejected)."""
+    from dcafs_spark.operators.sampling import dsir_importance
+
+    rows = [
+        (0, "alpha beta gamma", "en"),
+        (1, "", "de"),
+        (2, "   ", "de"),
+        (3, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logw_micro"])
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for i in (1, 2, 3):
+        assert got[i] == (0, 0)
+    assert got[0][0] == 3
 
 
 def test_bucket_matches_duckdb(spark):

@@ -242,9 +242,14 @@ def minhash_lsh_pairs(
     ).select("chash", "sig", "bb.band", "bb.bucket")
     if bucket_cap is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_occ"))
-        banded = banded.join(
-            sizes.filter(F.col("_occ") <= bucket_cap), ["band", "bucket"]
-        ).drop("_occ")
+        # checkpointed: both self-join sides consume the capped frame,
+        # and exchange reuse does not fire under writes — without this
+        # the occupancy rollup + cap join execute twice
+        banded = (
+            banded.join(sizes.filter(F.col("_occ") <= bucket_cap), ["band", "bucket"])
+            .drop("_occ")
+            .localCheckpoint(eager=False)
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -147,20 +147,30 @@ def embedding_dedup_pairs(
     Hot-bucket mitigation, mirroring `dedup.minhash_lsh_pairs`:
     duplicate documents embed to BIT-IDENTICAL vectors, which share
     every sign bit — so a copy-flood makes its bucket quadratic no
-    matter how many planes. One window pass partitioned by the vector
-    itself tags each row with its copy-group representative (min id;
-    exact equality on the raw doubles, no hash-collision risk), the
-    bucket join runs on representatives only, and copy-groups
-    re-expand afterwards — within-group cos_sim is exactly 1.0 at 6 dp
-    (|sqrt(d)²/d − 1| ~ 1 ulp), cross-group pairs inherit their
-    representatives' cosine (members are bit-identical). Output is
-    row-identical to the per-vector join.
+    matter how many planes. Vectors collapse on a 16-byte content
+    hash (md5 of the exact per-component decimal strings — Spark's
+    double→string cast is shortest-round-trip, so distinct doubles
+    never merge and identical vectors always do), the bucket join
+    runs on one representative per distinct vector, and copy-groups
+    re-expand afterwards — within-group cos_sim is exactly 1.0 at
+    6 dp, cross-group pairs inherit their representatives' cosine
+    (members are bit-identical). Output is row-identical to the
+    per-vector join.
 
-    Scale shape: the collapse is ONE shuffle of (vector, id) rows —
-    linear, key-uniform (vectors hash well); everything after moves
-    8-byte ids and one vector per DISTINCT value. Norms are
-    precomputed per representative so each candidate pair costs one
-    array fold.
+    Scale shape: the collapse is a groupBy on the 16-byte hash with
+    MAP-SIDE partial aggregation — a 10^6-copy flood collapses to one
+    row per map partition before the shuffle, so no reducer ever sees
+    the flood (the earlier Window-on-the-raw-vector form shipped
+    every copy's ~512-byte vector to a single window task). Everything
+    after moves 8-byte ids and one vector per DISTINCT value; norms
+    are precomputed per representative so each candidate pair costs
+    one array fold.
+
+    Zero vectors (all components 0, or NULL) are EXCLUDED up front:
+    they have no direction, so cosine to anything is undefined — the
+    un-collapsed join dropped them through a NULL (or, under ANSI
+    mode, crashed on the 0-norm division), and emitting within-group
+    "cos 1.0" pairs for them would be wrong.
 
     `multiprobe=True` additionally probes every hamming-1 neighbor
     bucket: with H planes, P[all sign bits agree] for near-identical
@@ -187,14 +197,16 @@ def embedding_dedup_pairs(
     reported cos_sim. Off for the oracle-gated queries: the mean is a
     data-dependent parallel float sum, whose last-ulp ordering an
     engine-portable SQL oracle cannot replicate bit-for-bit."""
-    tagged = (
+    hashed = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("rid", F.min("id").over(Window.partitionBy("v")))
+        .filter(F.exists("v", lambda x: x != 0.0))  # zero vectors: no direction
+        .withColumn("chash", F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
         .localCheckpoint(eager=False)
     )
     # one checkpointed pass feeds membership, reps, and both join sides
-    members = tagged.select("id", "rid")
-    rep = tagged.filter(F.col("id") == F.col("rid")).select("rid", "v")
+    members = hashed.select("chash", "id")
+    # copies share chash ⇒ identical v, so first() is value-deterministic
+    rep = hashed.groupBy("chash").agg(F.first("v").alias("v"))
     if center:
         dim = len(planes[0])
         # per-dim corpus mean: map-side-combined agg, dim doubles to
@@ -207,7 +219,7 @@ def embedding_dedup_pairs(
     else:
         bucket_vec = F.col("v")
     b = rep.select(
-        "rid",
+        "chash",
         "v",
         lsh_bucket(bucket_vec, planes).alias("bucket"),
         l2_norm(F.col("v")).alias("nrm"),
@@ -217,23 +229,24 @@ def embedding_dedup_pairs(
     if multiprobe:
         offs = [0] + [1 << j for j in range(len(planes))]
         probe = b.select(
-            "rid",
+            "chash",
             "v",
             "nrm",
             F.explode(F.array(*[F.lit(o).cast("long") for o in offs])).alias("_off"),
             "bucket",
         ).select(
-            "rid", "v", "nrm", F.col("bucket").bitwiseXOR(F.col("_off")).alias("bucket")
+            "chash", "v", "nrm", F.col("bucket").bitwiseXOR(F.col("_off")).alias("bucket")
         )
-        raw = (
+        cand = (
             probe.alias("l")
             .join(
                 b.alias("r"),
-                (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.rid") != F.col("r.rid")),
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.chash") != F.col("r.chash")),
             )
             .select(
-                F.least(F.col("l.rid"), F.col("r.rid")).alias("ra"),
-                F.greatest(F.col("l.rid"), F.col("r.rid")).alias("rb"),
+                F.least(F.col("l.chash"), F.col("r.chash")).alias("ch_a"),
+                F.greatest(F.col("l.chash"), F.col("r.chash")).alias("ch_b"),
                 F.round(
                     dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
                 ).alias("cos_sim"),
@@ -241,20 +254,20 @@ def embedding_dedup_pairs(
             .filter(F.col("cos_sim") >= threshold)
             # a pair can surface via several probes (and both orders);
             # dedupe at REP level so the expansion stays exactly-once
-            .groupBy("ra", "rb")
+            .groupBy("ch_a", "ch_b")
             .agg(F.first("cos_sim").alias("cos_sim"))
         )
-        cand = raw
     else:
         cand = (
             b.alias("l")
             .join(
                 b.alias("r"),
-                (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.rid") < F.col("r.rid")),
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.chash") < F.col("r.chash")),
             )
             .select(
-                F.col("l.rid").alias("ra"),
-                F.col("r.rid").alias("rb"),
+                F.col("l.chash").alias("ch_a"),
+                F.col("r.chash").alias("ch_b"),
                 F.round(
                     dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
                 ).alias("cos_sim"),
@@ -262,8 +275,8 @@ def embedding_dedup_pairs(
             .filter(F.col("cos_sim") >= threshold)
         )
     cross = (
-        cand.join(members.select(F.col("rid").alias("ra"), F.col("id").alias("_ia")), "ra")
-        .join(members.select(F.col("rid").alias("rb"), F.col("id").alias("_ib")), "rb")
+        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ia")), "ch_a")
+        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_ib")), "ch_b")
         .select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
@@ -276,7 +289,7 @@ def embedding_dedup_pairs(
         members.alias("a")
         .join(
             members.alias("b"),
-            (F.col("a.rid") == F.col("b.rid")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),

@@ -220,6 +220,23 @@ def test_embedding_dedup_centering_rebalances_buckets(spark):
         assert got[(k, 1000 + k)] >= 0.999
 
 
+def test_embedding_dedup_zero_vectors_excluded(spark):
+    """Zero vectors have no direction: copies of the all-zero vector
+    must NOT surface as cos 1.0 within-group pairs (the un-collapsed
+    join dropped them via NULL cosine; ANSI mode would crash on the
+    0-norm division), and nonzero pairs are unaffected."""
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
+
+    v = [1.0, 0.2, -0.3, 0.05]
+    rows = [(0, v), (1, v), (2, [0.0, 0.0, 0.0, 0.0]), (3, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_dedup_pairs(emb, hyperplanes(4, 6, 42), threshold=0.9).collect()
+    }
+    assert got == {(0, 1): 1.0}  # zero-vector copies never pair
+
+
 def test_lsh_topk_centering_spreads_buckets_keeps_neighbors(spark):
     """Same anisotropy hazard on the ANN search path: a mean-shifted
     corpus piles into a handful of sign buckets, making every query

@@ -163,6 +163,49 @@ def banded_signature(
     )
 
 
+def expand_copy_groups(
+    cand: DataFrame,
+    members: DataFrame,
+    score: str,
+    within_value: Column,
+    include_within: bool = True,
+) -> DataFrame:
+    """Shared re-expansion step of the exact-duplicate pre-collapse
+    (used by every pair-emitting dedup tier): content-level candidate
+    pairs (ch_a, ch_b, <score>) × the (chash, id) membership frame →
+    document pairs (id_a < id_b, <score>), plus the within-copy-group
+    pairs at the tier's exact-match score (`within_value`).
+
+    Each member pair appears exactly once (rep pairs are deduped
+    upstream, every doc has one chash), so no final distinct shuffle.
+    `include_within=False` returns cross-group pairs only (the tiers'
+    sentinel-threshold escape hatch)."""
+    cross = (
+        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
+        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            score,
+        )
+    )
+    if not include_within:
+        return cross
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            within_value.alias(score),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -282,38 +325,12 @@ def minhash_lsh_pairs(
         .groupBy("ch_a", "ch_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    # cross-group expansion: every member pair of a matched content pair
-    # is a near-dup pair with the reps' estimate; ids are re-ordered
-    # because rep-hash order is unrelated to member-id order. Each
-    # member pair appears exactly once (rep pairs were deduped, every
-    # doc has one chash), so no final distinct shuffle is needed.
-    cross = (
-        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
-        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-            "est_jaccard",
-        )
+    # re-expansion: within-group pairs estimate exactly 1.0 (identical
+    # shingles ⇒ identical signatures); cross-group pairs inherit their
+    # representatives' estimate
+    return expand_copy_groups(
+        cand, members, "est_jaccard", F.round(F.lit(1.0), 4), include_within=threshold <= 1.0
     )
-    if threshold > 1.0:
-        return cross
-    # within-group pairs: exact copies estimate 1.0 in every band — the
-    # equi-join on chash generates C(group, 2) output rows co-located,
-    # with none of the old per-band sig-compare + dedup-shuffle cost
-    within = (
-        members.alias("a")
-        .join(
-            members.alias("b"),
-            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(F.lit(1.0), 4).alias("est_jaccard"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(
@@ -371,30 +388,9 @@ def ngram_jaccard_pairs(
         .groupBy("ch_a", "ch_b")
         .agg(F.first("jaccard").alias("jaccard"))
     )
-    cross = (
-        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
-        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-            "jaccard",
-        )
+    return expand_copy_groups(
+        cand, members, "jaccard", F.round(F.lit(1.0), 4), include_within=threshold <= 1.0
     )
-    if threshold > 1.0:
-        return cross
-    within = (
-        members.alias("a")
-        .join(
-            members.alias("b"),
-            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(F.lit(1.0), 4).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 # 2^b for b in 0..31 as one SQL-parsed literal array: a single py4j call,
@@ -497,30 +493,9 @@ def simhash_pairs(
         .select("ch_a", "ch_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
-    cross = (
-        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ida")), "ch_a")
-        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_idb")), "ch_b")
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-            "hamming",
-        )
+    return expand_copy_groups(
+        cand, members, "hamming", F.lit(0), include_within=max_hamming >= 0
     )
-    if max_hamming < 0:
-        return cross
-    within = (
-        members.alias("a")
-        .join(
-            members.alias("b"),
-            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.lit(0).alias("hamming"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def connected_components(

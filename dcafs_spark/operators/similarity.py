@@ -274,30 +274,11 @@ def embedding_dedup_pairs(
             )
             .filter(F.col("cos_sim") >= threshold)
         )
-    cross = (
-        cand.join(members.select(F.col("chash").alias("ch_a"), F.col("id").alias("_ia")), "ch_a")
-        .join(members.select(F.col("chash").alias("ch_b"), F.col("id").alias("_ib")), "ch_b")
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-            "cos_sim",
-        )
+    from dcafs_spark.operators.dedup import expand_copy_groups
+
+    return expand_copy_groups(
+        cand, members, "cos_sim", F.round(F.lit(1.0), 6), include_within=threshold <= 1.0
     )
-    if threshold > 1.0:
-        return cross
-    within = (
-        members.alias("a")
-        .join(
-            members.alias("b"),
-            (F.col("a.chash") == F.col("b.chash")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(F.lit(1.0), 6).alias("cos_sim"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def lsh_topk(

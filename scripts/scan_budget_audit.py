@@ -4,9 +4,8 @@ registered query → /tmp/scan_budget_audit.json.
 This is the generator for the full-catalog scan-budget gate in
 tests/test_plans_engine.py: the committed budget table is this audit's
 output, reviewed by hand (every >1 count carries a reason or gets
-fixed). Uses the same measurement as the test — run the noop write,
-then count `{table}.parquet` in the final (post-AQE) plan text — so
-the gate and the audit can't drift apart.
+fixed). Gate and audit IMPORT the same measurement
+(dcafs_spark/plans/inspect.py) — they cannot drift apart.
 
 Usage: python scripts/scan_budget_audit.py [sf_dir]
 """
@@ -18,11 +17,6 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = [
-    "lineitem", "orders", "customer", "supplier", "part", "nation",
-    "region", "events", "documents", "embeddings",
-]
-
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -31,14 +25,11 @@ def main() -> None:
 
     spark = get_spark("scan_budget_audit")
     spark.sparkContext.setLogLevel("ERROR")
+    from dcafs_spark.plans.inspect import executed_write_plan, table_scan_counts
+
     out: dict[str, dict[str, int]] = {}
     for name, (fn, _sql) in QUERIES.items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        final = df._jdf.queryExecution().executedPlan().toString().split(
-            "+- == Initial Plan =="
-        )[0]
-        counts = {t: final.count(f"{t}.parquet") for t in TABLES}
+        counts = table_scan_counts(executed_write_plan(fn(spark, sf_dir)))
         out[name] = {t: c for t, c in counts.items() if c > 0}
         print(name, out[name], flush=True)
     with open("/tmp/scan_budget_audit.json", "w") as fh:

@@ -194,20 +194,13 @@ class TestPlanQuality:
         Scans hidden behind an already-materialized checkpoint count as
         the checkpoint's single pass (the final plan shows no FileScan
         for them, which is the point)."""
+        from dcafs_spark.plans.inspect import executed_write_plan, table_scan_counts
         from tests.scan_budgets import MULTI_SCAN_BUDGETS
 
-        tables = (
-            "lineitem", "orders", "customer", "supplier", "part",
-            "nation", "region", "events", "documents", "embeddings",
-        )
-        df = QUERIES[name][0](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        final = physical_plan(df).split("+- == Initial Plan ==")[0]
+        counts = table_scan_counts(executed_write_plan(QUERIES[name][0](spark, sf_dir)))
         budget = MULTI_SCAN_BUDGETS.get(name, {})
         over = {
-            t: (n, budget.get(t, 1))
-            for t in tables
-            if (n := final.count(f"{t}.parquet")) > budget.get(t, 1)
+            t: (n, budget.get(t, 1)) for t, n in counts.items() if n > budget.get(t, 1)
         }
         assert not over, (
             f"{name}: scan budget exceeded {{table: (scans, budget)}} = {over}; "

@@ -30,7 +30,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dcafs_spark.operators.dedup import normalize_text
+from dcafs_spark.operators.dedup import banded_signature, normalize_text
+
+# unlikely-to-collide internal key names: a plain "_h"/"_sig" would
+# silently overwrite (and then drop) a caller's same-named column
+_HKEY = "__ingest_dedup_h"
+_SIGKEY = "__ingest_dedup_sig"
+
+
+def _first_wins(keyed: DataFrame, key: str, ts_col: str | None, watermark: str | None) -> DataFrame:
+    """Shared state-store first-wins step for both tiers."""
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return (
+            keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([key])
+            .drop(key)
+        )
+    return keyed.dropDuplicates([key]).drop(key)
 
 
 def streaming_exact_dedup(
@@ -49,16 +67,8 @@ def streaming_exact_dedup(
     a watermark, state grows with distinct-doc count (fine for tests /
     bounded replays; document the horizon in production configs).
     """
-    hashed = stream_df.withColumn("_h", F.md5(normalize_text(F.col(text_col))))
-    if watermark is not None:
-        if ts_col is None:
-            raise ValueError("watermark requires ts_col")
-        return (
-            hashed.withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(["_h"])
-            .drop("_h")
-        )
-    return hashed.dropDuplicates(["_h"]).drop("_h")
+    hashed = stream_df.withColumn(_HKEY, F.md5(normalize_text(F.col(text_col))))
+    return _first_wins(hashed, _HKEY, ts_col, watermark)
 
 
 def streaming_minhash_bucket_dedup(
@@ -87,18 +97,8 @@ def streaming_minhash_bucket_dedup(
     hashes): exact mirrors (all bands equal) are collapsed; partial
     collisions pass through to the precise batch tier.
     """
-    from dcafs_spark.operators.dedup import banded_signature
-
     keyed = stream_df.withColumn(
-        "_sig",
+        _SIGKEY,
         banded_signature(F.col(text_col), shingle_n, num_hashes, bands),
     )
-    if watermark is not None:
-        if ts_col is None:
-            raise ValueError("watermark requires ts_col")
-        return (
-            keyed.withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(["_sig"])
-            .drop("_sig")
-        )
-    return keyed.dropDuplicates(["_sig"]).drop("_sig")
+    return _first_wins(keyed, _SIGKEY, ts_col, watermark)

@@ -64,7 +64,11 @@ def _update_fn(history_n: int):
         else:
             last, vmin, vmax, cnt, total, hist, last_ts = None, math.inf, -math.inf, 0, 0.0, [], -math.inf
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            # drop NULL value/ts rows up front: a NaN value would make
+            # cnt disagree with the skipna sum (wrong avg), poison the
+            # history ring (NaN hist_avg/stdev once it enters), and a
+            # NaN ts sorts last, freezing last_value
+            pdf = pdf.dropna(subset=["value", "ts"]).sort_values("ts")
             vals = pdf["value"].astype(float)
             ts = pdf["ts"].astype(float)
             if len(vals) == 0:
@@ -112,8 +116,18 @@ def stateful_values(
 ) -> DataFrame:
     """Streaming DataFrame → per-key running aggregates, state in the
     Spark state store. Emits one row per updated key per micro-batch
-    (update semantics, like the reference's per-record rtvals push)."""
+    (update semantics, like the reference's per-record rtvals push).
+    NULL values/timestamps are ignored (not counted, not stored).
+
+    history_n must be ≥ 1: it bounds the per-key ring buffer, which is
+    what keeps state-store size O(#keys) instead of O(#rows)."""
     from pyspark.sql import functions as F
+
+    if history_n < 1:
+        raise ValueError(
+            f"history_n must be >= 1 (got {history_n}): a non-positive ring "
+            "size would make per-key state grow unboundedly"
+        )
 
     keyed = stream_df.select(
         F.col(group).alias("group"),

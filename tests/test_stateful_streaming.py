@@ -59,6 +59,55 @@ class TestStatefulValues:
         assert final["hist_avg"] == pytest.approx(round((10 + 20 + 5) / 3, 3))
         assert final["hist_stdev"] == pytest.approx(7.6376, abs=1e-3)  # window full now
 
+    def test_null_values_ignored_not_poisoning(self, spark, tmp_path):
+        """NULL value/ts rows must not count toward n_updates/avg, must
+        not enter the history ring (a NaN there makes hist_avg/stdev
+        NaN forever), and must not freeze last_value."""
+        watch = tmp_path / "w"
+        watch.mkdir()
+        # 'x' casts to NULL value; missing ts field casts to NULL ts
+        (watch / "b1.txt").write_text(
+            "ctd,temp,10,1\nctd,temp,x,2\nctd,temp,20,3\nctd,temp,30,\n"
+        )
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(watch))
+        arr = F.split("value", ",")
+        keyed = raw.select(
+            arr[0].alias("g"),
+            arr[1].alias("n"),
+            arr[2].try_cast("double").alias("v"),  # 'x' → NULL (ANSI-safe)
+            arr[3].try_cast("double").alias("t"),
+        )
+        out = stateful_values(keyed, history_n=2, group="g", name="n", value="v", ts="t")
+        rows: list = []
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 1)
+        finally:
+            q.stop()
+        final = rows[-1]
+        assert final["n_updates"] == 2  # the two clean rows only
+        assert final["avg_value"] == pytest.approx(15.0)
+        assert final["last_value"] == 20.0
+        assert final["hist_avg"] == pytest.approx(15.0)  # no NaN in ring
+        assert final["hist_stdev"] == final["hist_stdev"]  # not NaN
+
+    def test_history_n_must_be_positive(self, spark):
+        with pytest.raises(ValueError, match="history_n"):
+            stateful_values(
+                spark.range(1).selectExpr(
+                    "'g' g", "'n' n", "1.0 v", "1.0 t"
+                ),
+                history_n=0,
+                group="g",
+                name="n",
+                value="v",
+                ts="t",
+            )
+
     def test_out_of_order_within_batch_keeps_latest_ts(self, spark, tmp_path):
         watch = tmp_path / "w2"
         watch.mkdir()

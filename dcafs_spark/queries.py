@@ -6574,7 +6574,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "cross_dedup": (q_cross_dedup, _sql_cross_dedup()),
     "session_funnel": (q_session_funnel, SQL_FUNNEL),
-    "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
+    # round-9 late swap: give the new data-selection family a driver
+    # row this round; click_attribution's family (event analytics)
+    # stays in-cap via session_funnel and replica-checked otherwise
+    "dsir_importance": (q_dsir_importance, SQL_DSIR),
     "resample_interp": (q_resample_interp, SQL_RESAMPLE_INTERP),
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
@@ -6681,9 +6684,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "lsh_bucket_profile": (q_lsh_bucket_profile, _sql_lsh_bucket_profile()),
     "dedup_embedding_multiprobe": (q_dedup_embedding_multiprobe, _sql_dedup_embedding_multiprobe()),
-    # round-9 data-selection family: importance-resampling scores,
+    # round-9 data-selection family (dsir_importance is in-cap above):
     # weighted sampling without replacement, temperature mixing
-    "dsir_importance": (q_dsir_importance, SQL_DSIR),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
 }

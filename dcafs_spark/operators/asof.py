@@ -73,10 +73,14 @@ def asof_join(
             F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
         ).cast(pstruct_type).alias("_pstruct"),
     )
-    # right sorts BEFORE left at equal _t (desc side) so ties match <=
+    # right sorts BEFORE left at equal _t (desc side) so ties match <=;
+    # the payload struct is the final tiebreak — without it, two RIGHT
+    # rows sharing (key, ts) would match in shuffle order, flapping
+    # between runs/engines (the winner is then the max payload struct,
+    # deterministic and engine-portable)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .orderBy(F.col("_t").asc(), F.col("_side").desc(), F.col("_pstruct").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l_tag.unionByName(r_tag).withColumn(

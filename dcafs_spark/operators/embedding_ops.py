@@ -43,11 +43,16 @@ def project(vec: Column, planes: list[list[float]]) -> list[Column]:
     didx = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def dot(j: int) -> Column:
+        # try_element_at: a ragged vector (shorter than dim) yields NULL
+        # components → NULL projection for THAT row, instead of an
+        # ANSI INVALID_ARRAY_INDEX error killing the whole corpus scan
+        # (DuckDB's v[i] indexing is NULL OOB too, so engines agree)
         return F.aggregate(
             didx,
             F.lit(0.0),
             lambda acc, i: acc
-            + F.element_at(vec, i + 1).cast("double") * F.element_at(flat, j * dim + i + 1),
+            + F.try_element_at(vec, (i + 1).cast("int")).cast("double")
+            * F.element_at(flat, j * dim + i + 1),
         )
 
     return [dot(j) for j in range(k)]
@@ -73,7 +78,15 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     IEEE-identical in Spark and DuckDB, and integer folds can't drift.
     In production the codes themselves would be packed to binary; the
     summaries are what a quality gate (clip rate, sparsity, energy)
-    consumes."""
+    consumes.
+
+    Degenerate inputs yield NULL summaries instead of garbage or a
+    job abort: a non-finite component (NaN/Inf from a bad upstream
+    normalization) makes the quantized code NULL via try_cast, which
+    propagates NULL through the integer folds (under ANSI mode a plain
+    cast would kill the whole corpus pass); an empty or NULL vector
+    returns NULL summaries rather than the fold's impossible
+    (q_min=127, q_max=-127) sentinel range."""
     vec = F.col(vec_col)
     maxabs = F.aggregate(
         vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
@@ -94,7 +107,7 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
     def merge(acc, x):
-        q = F.round(x.cast("double") * acc.getField("s")).cast("long")
+        q = F.round(x.cast("double") * acc.getField("s")).try_cast("long")
         return F.struct(
             acc.getField("s").alias("s"),
             (acc.getField("q_sum") + q).alias("q_sum"),
@@ -105,11 +118,16 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         )
 
     st = F.aggregate(vec, zero, merge)
+    nonempty = F.size(vec) > 0  # NULL vec → NULL size → NULL outputs
+
+    def out(field: str) -> Column:
+        return F.when(nonempty, st.getField(field))
+
     return df.select(
         *[c for c in df.columns if c != vec_col],
-        st.getField("q_sum").alias("q_sum"),
-        st.getField("q_min").alias("q_min"),
-        st.getField("q_max").alias("q_max"),
-        st.getField("q_nnz").alias("q_nnz"),
-        st.getField("q_sq").alias("q_sq_sum"),
+        out("q_sum").alias("q_sum"),
+        out("q_min").alias("q_min"),
+        out("q_max").alias("q_max"),
+        out("q_nnz").alias("q_nnz"),
+        out("q_sq").alias("q_sq_sum"),
     )

@@ -29,8 +29,10 @@ def words(col: Column) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words(col))
+    """Whitespace token count. Empty/whitespace-only text counts 0 —
+    split('') yields [''], which is a phantom field, not a token (a
+    token-budget ledger must not charge one token per empty doc)."""
+    return F.size(F.filter(words(col), lambda x: x != ""))
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -168,7 +170,9 @@ def ngrams(col: Column, n: int = 2) -> Column:
     return F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
 
 
-def ngram_topk(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50) -> DataFrame:
+def ngram_topk(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50, id_col: str = "doc_id"
+) -> DataFrame:
     """Corpus-level top-k word n-grams with document frequency.
 
     explode → groupBy(gram) with map-side partial aggregation, so the
@@ -178,7 +182,7 @@ def ngram_topk(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50) -
     Deterministic tiebreak on the gram string itself.
     """
     grams = df.select(
-        F.col("doc_id"), F.explode(ngrams(F.col(text_col), n)).alias("gram")
+        F.col(id_col).alias("doc_id"), F.explode(ngrams(F.col(text_col), n)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(
         F.count("*").alias("occurrences"),
@@ -206,10 +210,15 @@ def inverted_index(
     see a scalar."""
     from pyspark.sql import Window
 
+    # NB: id_col must be unique per row (the corpus-table contract).
+    # Per-row array_distinct already dedups a doc's own terms, so no
+    # (term, id) duplicate can exist — a dropDuplicates here would be
+    # a second full shuffle of the largest intermediate for nothing
+    # (the docstring's "one shuffle total" claim)
     pairs = df.select(
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
         F.col(id_col).alias("id"),
-    ).dropDuplicates(["term", "id"])
+    )
     w = Window.partitionBy("term").orderBy("id")
     wall = Window.partitionBy("term")
     capped = (

@@ -85,21 +85,29 @@ def nearest_waypoint(
     lat: str = "lat",
     lon: str = "lon",
 ) -> DataFrame:
-    """Nearest waypoint + distance per position (`wpts:nearest`)."""
-    spark = df.sparkSession
-    wps = spark.createDataFrame(
-        [(w.id, w.lat, w.lon) for w in waypoints], "wp_id string, wp_lat double, wp_lon double"
+    """Nearest waypoint + distance per position (`wpts:nearest`).
+
+    Map-only argmin: the bounded waypoint set rides as a literal
+    struct array and `array_min` picks (dist, wp_id) per row — zero
+    shuffle, and unlike the previous crossJoin + groupBy-on-all-columns
+    form it PRESERVES input cardinality (exact-duplicate fixes stay
+    distinct rows) and tolerates non-groupable column types (maps)."""
+    cands = F.array(
+        *[
+            F.struct(
+                haversine_km(F.col(lat), F.col(lon), F.lit(w.lat), F.lit(w.lon)).alias(
+                    "dist_km"
+                ),
+                F.lit(w.id).alias("wp_id"),
+            )
+            for w in waypoints
+        ]
     )
-    joined = df.crossJoin(F.broadcast(wps)).withColumn(
-        "dist_km", haversine_km(F.col(lat), F.col(lon), F.col("wp_lat"), F.col("wp_lon"))
-    )
-    keys = [c for c in df.columns]
-    return (
-        joined.groupBy(*keys)
-        .agg(
-            F.min_by("wp_id", F.struct(F.col("dist_km"), F.col("wp_id"))).alias("nearest_wp"),
-            F.min("dist_km").alias("nearest_dist_km"),
-        )
+    best = F.array_min(cands)
+    return df.select(
+        *df.columns,
+        best.getField("wp_id").alias("nearest_wp"),
+        best.getField("dist_km").alias("nearest_dist_km"),
     )
 
 
@@ -146,7 +154,19 @@ def stateful_geofence_stream(stream_df, waypoints: list[Waypoint], lat="lat", lo
 
         inside = list(state.get[0]) if state.exists else [None] * len(wp_ids)
         rows: dict[str, list] = {c: [] for c in ("track_id", "wp_id", "ts", "event", "dist_km")}
-        for pdf in pdfs:
+        # a group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks in arbitrary order — sorting each chunk independently
+        # would run the transition state machine out of time order
+        # (spurious ENTER/LEAVE + a wrong carried flag). Concatenate,
+        # then sort ONCE. Memory note: one micro-batch of one track's
+        # fixes, the same bound the per-chunk form already had in
+        # aggregate.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        else:
+            whole = None
+        for pdf in [whole] if whole is not None else []:
             pdf = pdf.sort_values("ts")
             la = np.radians(pdf["lat"].to_numpy(dtype=float))
             lo = np.radians(pdf["lon"].to_numpy(dtype=float))
@@ -240,11 +260,16 @@ class StreamingGeofence:
         if len(trans) > cap:
             self.overflow += trans_df.count() - cap
             trans = trans[:cap]
+        # ordering key includes (inside, dist_km), not _ts alone: two
+        # fixes sharing the batch's min/max timestamp would otherwise
+        # make the carried inside-flag (and hence next batch's boundary
+        # event) depend on shuffle order
+        okey = F.struct("_ts", "inside", "dist_km")
         bounds = (
             sel.groupBy("_track", "wp_id")
             .agg(
-                F.min_by(F.struct("_ts", "inside", "dist_km"), "_ts").alias("first"),
-                F.max_by(F.struct("_ts", "inside", "dist_km"), "_ts").alias("last"),
+                F.min_by(F.struct("_ts", "inside", "dist_km"), okey).alias("first"),
+                F.max_by(F.struct("_ts", "inside", "dist_km"), okey).alias("last"),
             )
             .collect()
         )

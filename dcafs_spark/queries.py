@@ -945,7 +945,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = r"""
 SELECT doc_id,
-       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens_ws,
+       len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens_ws,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
 FROM documents
 """
@@ -1027,7 +1027,7 @@ l AS ({SQL_LANG_ID}),
 base AS (
   SELECT d.doc_id,
          l.lang_pred,
-         CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS h,
          {_sql_bucket('d.doc_id', 3)} AS bucket,
          q.quality_score
@@ -2609,7 +2609,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQ_PACKING = f"""
 WITH t AS (
   SELECT doc_id,
-         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
          {_sql_bucket('doc_id', 5)} AS bkt
   FROM documents
 ), s AS (
@@ -2725,7 +2725,7 @@ WITH f AS (
          length(text) AS n_chars, text
   FROM documents
 ), q AS (
-  SELECT doc_id, lang, source, len(w) AS toks,
+  SELECT doc_id, lang, source, len(list_filter(w, x -> x <> '')) AS toks,
          round(list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w), 4) AS mwl,
          round(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
          round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','is','in'], x))) * 1.0 / greatest(len(w), 1), 4) AS stop_ratio,

@@ -8,7 +8,9 @@ Semantics (deterministic, engine-portable):
     single-task bottleneck: each shard packs independently and in
     parallel, exactly like a real corpus pass that packs per worker;
   * within a shard, docs are ordered by (key hash, key) — stable under
-    repartitioning and reruns;
+    repartitioning and reruns PROVIDED key_col values are unique (the
+    corpus-id contract; duplicate keys tie on both sort terms and
+    their relative order — hence their cum_tokens — is layout-defined);
   * contiguous fill: pack boundaries fall every `budget` tokens of the
     shard's running total; `pack_first`/`pack_last` report the packs a
     doc lands in (straddles when its tokens cross a boundary).
@@ -51,15 +53,19 @@ def sequence_packing(
         df.withColumn("_bkt", bucket)
         .withColumn("shard", (F.col("_bkt") % shards).cast("long"))
         .withColumn("cum_tokens", F.sum(toks).over(win))
+        # DIV = exact integer floor-division, matching the oracle's
+        # `//`: a double `/` under floor() drifts one pack at
+        # cum_tokens beyond 2^52, where ulp exceeds 1/budget
         .withColumn(
-            "pack_first", F.floor((F.col("cum_tokens") - toks) / F.lit(budget)).cast("long")
+            "pack_first",
+            F.expr(f"CAST((cum_tokens - CAST({tokens_col} AS BIGINT)) DIV {budget} AS BIGINT)"),
         )
         .withColumn(
             "pack_last",
             # greatest() guards the zero-token edge (cum-1 falls in the
             # previous pack when a boundary was just crossed)
             F.greatest(
-                F.floor((F.col("cum_tokens") - 1) / F.lit(budget)).cast("long"),
+                F.expr(f"CAST((cum_tokens - 1) DIV {budget} AS BIGINT)"),
                 F.col("pack_first"),
             ),
         )

@@ -48,7 +48,16 @@ def salted_agg(
         else:
             expanded[out] = (fn, col)
 
-    salted = df.withColumn("_salt", (F.rand(seed=13) * salt_buckets).cast("int"))
+    # deterministic salt from the full row content, NOT F.rand():
+    # rand is an indeterminate expression feeding a shuffle, so a map
+    # stage recomputed after a fetch failure would re-salt rows while
+    # some reducers already consumed the old layout (the classic
+    # duplicated/lost-partial hazard). xxhash64 of the row spreads a
+    # hot key just as well (duplicate rows co-bucket, which only
+    # concentrates when one exact row dominates) and is retry-stable.
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.struct(*df.columns), F.lit(13)), F.lit(salt_buckets))
+    )
     partial_exprs: list[Column] = []
     for out, (fn, col) in expanded.items():
         agg_fn = F.count if fn == "count" else getattr(F, fn)

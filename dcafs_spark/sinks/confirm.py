@@ -65,11 +65,14 @@ class ConfirmCollector:
     def add_data(self, reply: str) -> bool:
         """Inbound line from the target stream. Matching the head
         confirm's expected reply pops it and sends the next. Returns
-        False when nothing is waiting (collector can detach)."""
+        False when nothing is waiting (collector can detach).
+        Fire-and-forget heads (empty expected reply) are released by
+        the timeout tick, never by inbound data — a blank keepalive
+        line must not count as an acknowledgement."""
         if not self._queue:
             return False
         head = self._queue[0]
-        if reply.strip().lower() == head.reply.lower():
+        if head.reply and reply.strip().lower() == head.reply.lower():
             self._queue.pop(0)
             self._report(head.msg, True)
             if self._queue:
@@ -77,18 +80,30 @@ class ConfirmCollector:
         return bool(self._queue)
 
     def check_timeout(self) -> None:
-        """Scheduler tick: resend the head if its wait expired; give
-        up (report bad + drain, ConfirmCollector retry semantics)
-        after max_attempts."""
+        """Scheduler tick. Fire-and-forget head (empty reply): the
+        expired wait IS the release — pop, report ok, send the
+        successor (the timeout doubles as pacing between unconfirmed
+        sends, reference timedOut(), ConfirmCollector.java:131-141).
+        Confirmed head: resend until max_attempts, then report bad and
+        drain — every drained successor also gets a failure callback
+        and a `failed` record (none of them were ever sent)."""
         if not self._queue:
             return
         head = self._queue[0]
         if self.clock() - head.sent_at < self.timeout_seconds:
             return
+        if not head.reply:
+            self._queue.pop(0)
+            self._report(head.msg, True)
+            if self._queue:
+                self._attempt()
+            return
         if head.attempts >= self.max_attempts:
-            self._failed.append(head.msg)
-            self._report(head.msg, False)
+            drained = [c.msg for c in self._queue]  # head + unsent successors
             self._queue.clear()  # a failed handshake aborts the batch
+            for m in drained:
+                self._failed.append(m)
+                self._report(m, False)
             return
         self._attempt()
 

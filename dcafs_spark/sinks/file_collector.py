@@ -46,7 +46,16 @@ _ROLLOVER_TRUNC = {
 
 def decimate(df: DataFrame, skipcount: int, order_col: str, key_cols: list[str] | None = None) -> DataFrame:
     """Keep every (skipcount+1)th record (reference `skipcount` —
-    FileCollector.java:40: 'write one, skip N')."""
+    FileCollector.java:40: 'write one, skip N').
+
+    Scale note: global every-Nth is inherently sequential — without
+    `key_cols` the window runs in ONE task (correct for the
+    reference's per-sink line streams, which are single-sequence by
+    nature; matches its serial writer). At corpus scale pass
+    `key_cols` so each key decimates its own sequence in parallel.
+    Ties on `order_col` keep an arbitrary-but-fixed member under one
+    layout; give the order column unique values (or add a tiebreak
+    column) where exact reproducibility across repartitions matters."""
     if skipcount <= 0:
         return df
     part = key_cols or [F.lit(1)]
@@ -109,7 +118,6 @@ class FileCollector:
                         fh2.write(self.header + "\n")
 
     def write_batch(self, df: DataFrame, mode: str = "append") -> None:
-        self._write_header()
         out, parts = self._prepare(df)
         writer = out.write.mode(mode)
         if parts:
@@ -119,6 +127,12 @@ class FileCollector:
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
         writer.format(self.fmt).save(self.path)
+        # header sidecar AFTER the save: mode="overwrite" wipes the
+        # output directory, so a header written first would vanish
+        # with it. Driver-local filesystem only (the reference writes
+        # local files too); a remote URI sink would need a
+        # Hadoop-FS write here instead of os.open.
+        self._write_header()
 
     def foreach_batch(self):
         """Adapter for StreamingPath.sinks."""

@@ -588,6 +588,24 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
+    # TEARDOWN BEFORE the final prints: round 9's driver artifact was
+    # unparseable because an async checkpoint-manager thread stack-
+    # traced into the stdout/stderr tail AFTER the JSON had printed.
+    # Stop every still-active StreamingQuery, stop the SparkSession,
+    # and drain briefly so late executor/cleaner threads finish writing
+    # — only then emit the JSON, guaranteed to be the last stdout.
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+                q.awaitTermination(10)
+            except Exception:
+                pass
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(2.0)
+    sys.stderr.flush()
     # The driver captures only the tail of stdout and json-parses the
     # FINAL line — round 5's 94-query single line overflowed the window
     # and the headline total was lost; round 6's trimmed single line
@@ -608,7 +626,13 @@ def main() -> None:
         shown.pop(next(reversed(shown)))
         tail["queries"] = shown
         tail["detail"] = "BENCH_DETAIL.json"
+    # sidecar fallback: the exact line the driver should parse, on disk,
+    # in case anything still pollutes the stdout tail
+    tail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TAIL.json")
+    with open(tail_path, "w") as fh:
+        fh.write(json.dumps(tail) + "\n")
     print(json.dumps(tail))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

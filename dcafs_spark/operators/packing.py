@@ -42,6 +42,12 @@ def sequence_packing(
     tokens than `budget` span multiple packs — callers split those
     downstream (the split offsets are derivable from cum_tokens).
     """
+    # both are interpolated into F.expr SQL below: quote the column so
+    # names needing backticks parse, and reject a float/str budget that
+    # would silently change (or kill) the integer DIV semantics
+    if not isinstance(budget, int) or isinstance(budget, bool) or budget <= 0:
+        raise ValueError(f"budget must be a positive int, got {budget!r}")
+    toks_sql = f"`{tokens_col}`"
     bucket = hash_bucket(F.col(key_col), seed)
     win = (
         Window.partitionBy("shard")
@@ -58,7 +64,7 @@ def sequence_packing(
         # cum_tokens beyond 2^52, where ulp exceeds 1/budget
         .withColumn(
             "pack_first",
-            F.expr(f"CAST((cum_tokens - CAST({tokens_col} AS BIGINT)) DIV {budget} AS BIGINT)"),
+            F.expr(f"CAST((cum_tokens - CAST({toks_sql} AS BIGINT)) DIV {budget} AS BIGINT)"),
         )
         .withColumn(
             "pack_last",

@@ -186,6 +186,14 @@ def weighted_priority_sample(
     4e16/w must fit int64); only weight RATIOS matter to the sample, so
     rescale tiny weights up rather than losing quantization headroom.
 
+    Platform note: the quantized prio_femto VALUE depends on the exact
+    ln() bits — priorities reach ~4e16 at femto quantization, so a
+    1-ulp libm difference between engines can flip the int64. Sample
+    MEMBERSHIP is robust (it flips only when two rows' priorities
+    collide within that ulp — measure-zero), so cross-engine
+    comparisons should check membership, not priorities (the oracle
+    gate does exactly that).
+
     Scale shape: priority is a narrow map; the top-k is
     orderBy().limit(k) — Spark's TakeOrderedAndProject, a per-partition
     heap + driver merge of k rows, NOT a global sort. No shuffle of the

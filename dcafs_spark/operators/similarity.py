@@ -170,7 +170,12 @@ def embedding_dedup_pairs(
     they have no direction, so cosine to anything is undefined — the
     un-collapsed join dropped them through a NULL (or, under ANSI
     mode, crashed on the 0-norm division), and emitting within-group
-    "cos 1.0" pairs for them would be wrong.
+    "cos 1.0" pairs for them would be wrong. Vectors with a NULL
+    COMPONENT are excluded for the same reason (their cosine to
+    anything is NULL) — and must never reach the content hash:
+    concat_ws SKIPS NULL array elements, so [1.0, NULL, 2.0] and
+    [1.0, 2.0] would collapse into one copy group and emit false
+    within-group cos 1.0 pairs.
 
     `multiprobe=True` additionally probes every hamming-1 neighbor
     bucket: with H planes, P[all sign bits agree] for near-identical
@@ -199,6 +204,7 @@ def embedding_dedup_pairs(
     engine-portable SQL oracle cannot replicate bit-for-bit."""
     hashed = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(~F.exists("v", lambda x: x.isNull()))  # NULL components: cosine undefined
         .filter(F.exists("v", lambda x: x != 0.0))  # zero vectors: no direction
         .withColumn("chash", F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
         .localCheckpoint(eager=False)

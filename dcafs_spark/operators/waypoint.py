@@ -92,6 +92,11 @@ def nearest_waypoint(
     shuffle, and unlike the previous crossJoin + groupBy-on-all-columns
     form it PRESERVES input cardinality (exact-duplicate fixes stay
     distinct rows) and tolerates non-groupable column types (maps)."""
+    # an empty set would build a zero-element F.array() whose null-typed
+    # array_min fails at ANALYSIS time (the old crossJoin form degraded
+    # to an empty result) — make the failure mode explicit instead
+    if not waypoints:
+        raise ValueError("nearest_waypoint requires at least one waypoint")
     cands = F.array(
         *[
             F.struct(

@@ -6447,22 +6447,34 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver merge — no global sort, no corpus shuffle). Reads the raw
     table (not the ensure_parallelism wrapper): one md5 per row is too
     cheap to justify the small-SF spread repartition, so the whole
-    query is scan → filter → project → heap — zero exchanges."""
+    query is scan → filter → project → heap — zero exchanges.
+
+    The gate compares MEMBERSHIP (doc_id, n_chars), not the raw
+    priorities: priorities reach ~4e16 at femto quantization, so a
+    1-ulp difference between JVM Math.log and another libm's ln()
+    could flip a quantized VALUE (hash-fragile) while membership only
+    flips when two rows' priorities land within that ulp of each
+    other — measure-zero at any corpus size. prio_femto stays
+    available on the operator for callers that want it."""
     from dcafs_spark.operators.sampling import weighted_priority_sample
 
     docs = _t(spark, sf_dir, "documents")
-    return weighted_priority_sample(docs, "n_chars", 50, key_col="doc_id", seed=11)
+    return weighted_priority_sample(docs, "n_chars", 50, key_col="doc_id", seed=11).select(
+        "doc_id", "n_chars"
+    )
 
 
 SQL_WEIGHTED_SAMPLE = """
-SELECT doc_id, n_chars,
-       CAST(round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15)) AS BIGINT) + 1)
-                      / 1152921504606846976.0)
-                  / CAST(n_chars AS DOUBLE) * 1e15) AS BIGINT) AS prio_femto
-FROM documents
-WHERE n_chars > 0
-ORDER BY prio_femto ASC, doc_id ASC
-LIMIT 50
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         CAST(round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15)) AS BIGINT) + 1)
+                        / 1152921504606846976.0)
+                    / CAST(n_chars AS DOUBLE) * 1e15) AS BIGINT) AS prio_femto
+  FROM documents
+  WHERE n_chars > 0
+  ORDER BY prio_femto ASC, doc_id ASC
+  LIMIT 50
+)
 """
 
 

@@ -163,6 +163,117 @@ def banded_signature(
     )
 
 
+# --------------------------------------------------------------------------
+# Duplicate-density probe — the collapse "auto" mode.
+#
+# The exact-copy pre-collapse is what keeps a duplicate flood from making
+# the hottest LSH bucket quadratic, but its machinery (content-hash rollup,
+# checkpoints, copy-group re-expansion joins) is a fixed per-query cost that
+# buys nothing on a corpus with few exact copies. Auto mode pays ONE cheap
+# statistics pass — count vs approx_count_distinct of the content hash, a
+# narrow scan with a map-side-combined HLL aggregate — and skips the
+# collapse when duplicates are rare. Both plan shapes produce row-identical
+# output (within-copy-group pairs score exactly 1.0 either way), so the
+# probe decision is performance-only, like any optimizer statistic.
+#
+# The ratio is memoized per probe-plan SEMANTIC hash (the Catalyst
+# table-statistics pattern): repeated queries over the same corpus in one
+# process pay the scan once. Staleness is perf-only by the argument above.
+#
+# 100 TB note: auto mode's probe is one extra narrow scan of the text
+# column. Callers that already know their corpus (web crawls: duplicate-
+# heavy, pass collapse=True and skip the probe; freshly exact-deduped
+# batches: collapse=False) should say so explicitly.
+# --------------------------------------------------------------------------
+
+_DUP_RATIO_CACHE: dict[int, float] = {}
+
+# collapse when more than ~3% of documents are exact copies: below that the
+# largest copy-group a rare-dup corpus plausibly carries is far from bucket-
+# melting, and the collapse's fixed cost dominates its benefit. The probe's
+# rsd is 1%, so an all-distinct corpus cannot flap across this threshold.
+COLLAPSE_RATIO = 0.97
+
+
+def approx_distinct_ratio(df: DataFrame, key: Column) -> float:
+    """Estimated DISTINCT fraction of `key` over df (HLL, rsd 1%),
+    memoized on the probe plan's semantic hash. Clamped to [0, 1]."""
+    probe = df.select(key.alias("k"))
+    try:
+        h = probe._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # plan-introspection failure: probe uncached
+        h = None
+    if h is not None and h in _DUP_RATIO_CACHE:
+        return _DUP_RATIO_CACHE[h]
+    row = probe.agg(
+        F.count(F.lit(1)).alias("n"), F.approx_count_distinct("k", 0.01).alias("d")
+    ).first()
+    ratio = 1.0 if not row["n"] else min(1.0, row["d"] / row["n"])
+    if h is not None:
+        _DUP_RATIO_CACHE[h] = ratio
+    return ratio
+
+
+def _band_explode(frame: DataFrame, key: str, num_hashes: int, bands: int) -> DataFrame:
+    """(key, sig) → one row per (key, sig, band, bucket): bucket is the
+    md5 of the band's minhash slice. Shared by both collapse paths."""
+    rows = num_hashes // bands
+    return frame.select(
+        key,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key, "sig", "bb.band", "bb.bucket")
+
+
+def _band_join_pairs(
+    banded: DataFrame, key: str, num_hashes: int, threshold: float, out_a: str, out_b: str, score: str
+) -> DataFrame:
+    """Band self-join → estimated Jaccard (fraction of equal minhash
+    positions, computed IN the join projection so the multi-band dedup
+    shuffles only (key_a, key_b, est), never two K-long signatures)."""
+    left, right = banded.alias("l"), banded.alias("r")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("l.sig"), F.col("r.sig"), lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(
+            F.col(f"l.{key}").alias(out_a),
+            F.col(f"r.{key}").alias(out_b),
+            F.round(est, 4).alias(score),
+        )
+        .filter(F.col(score) >= threshold)
+        .groupBy(out_a, out_b)
+        .agg(F.first(score).alias(score))
+    )
+
+
 def expand_copy_groups(
     cand: DataFrame,
     members: DataFrame,
@@ -215,6 +326,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     bucket_cap: int | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -242,8 +354,36 @@ def minhash_lsh_pairs(
     DISTINCT-content occupancy exceeds the cap — for boilerplate-heavy
     NEAR-dup skew that survives the exact collapse. Trades recall for a
     hard bound on join fan-out; pairs may still surface via the
-    doc's other bands. Off (None) for the oracle-gated queries."""
-    rows = num_hashes // bands
+    doc's other bands. Off (None) for the oracle-gated queries.
+
+    `collapse`: True = always pre-collapse (duplicate-heavy corpora);
+    False = band per document directly (corpora KNOWN to carry few
+    exact copies — skips the collapse machinery's fixed cost); None
+    (default) = decide from a memoized duplicate-density probe (see
+    `approx_distinct_ratio`). Output rows are identical either way."""
+    if bucket_cap is not None:
+        collapse = True  # cap semantics are defined on DISTINCT-content occupancy
+    if collapse is None:
+        collapse = (
+            approx_distinct_ratio(df, F.md5(normalize_text(F.col(text_col)))) < COLLAPSE_RATIO
+        )
+    if not collapse:
+        # rare-duplicate fast path: band per DOCUMENT — no content-hash
+        # rollup, no expansion joins. Checkpointed because the band
+        # self-join consumes the shingle→hash pipeline on BOTH sides.
+        sig = df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        ).localCheckpoint(eager=False)
+        return _band_join_pairs(
+            _band_explode(sig, "id", num_hashes, bands),
+            "id",
+            num_hashes,
+            threshold,
+            "id_a",
+            "id_b",
+            "est_jaccard",
+        )
     # ONE checkpointed pass over the bodies computes chash + signature
     # per doc; everything downstream (membership, collapse, expansion)
     # derives from this (id, 16-byte chash, K longs) frame — the text
@@ -266,23 +406,7 @@ def minhash_lsh_pairs(
         .agg(F.first("sig").alias("sig"))
         .localCheckpoint(eager=False)
     )
-    banded = rep.select(
-        "chash",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(F.concat_ws("|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("chash", "sig", "bb.band", "bb.bucket")
+    banded = _band_explode(rep, "chash", num_hashes, bands)
     if bucket_cap is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_occ"))
         # checkpointed: both self-join sides consume the capped frame,
@@ -294,36 +418,8 @@ def minhash_lsh_pairs(
             .localCheckpoint(eager=False)
         )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    # estimated Jaccard = fraction of equal minhash positions, computed
-    # IN the join projection: the dedup of multi-band matches then
-    # shuffles only (chash_a, chash_b, est) instead of two K-long sigs
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("l.sig"), F.col("r.sig"), lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(num_hashes))
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.chash") < F.col("r.chash")),
-        )
-        .select(
-            F.col("l.chash").alias("ch_a"),
-            F.col("r.chash").alias("ch_b"),
-            F.round(est, 4).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .groupBy("ch_a", "ch_b")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    cand = _band_join_pairs(
+        banded, "chash", num_hashes, threshold, "ch_a", "ch_b", "est_jaccard"
     )
     # re-expansion: within-group pairs estimate exactly 1.0 (identical
     # shingles ⇒ identical signatures); cross-group pairs inherit their
@@ -340,6 +436,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     bucket_hashes: int = 4,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-pruned candidate pairs.
 
@@ -356,7 +453,38 @@ def ngram_jaccard_pairs(
     content hash); copy-groups re-expand afterwards — within-group
     pairs at Jaccard exactly 1.0 (identical shingle sets), cross-group
     pairs inheriting their representatives' score. Output is
-    row-identical to the naive per-document join."""
+    row-identical to the naive per-document join.
+
+    `collapse` semantics as in :func:`minhash_lsh_pairs` (True / False
+    / None=auto-probe)."""
+    if collapse is None:
+        collapse = (
+            approx_distinct_ratio(df, F.md5(normalize_text(F.col(text_col)))) < COLLAPSE_RATIO
+        )
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = inter.cast("double") / union
+    if not collapse:
+        # rare-duplicate fast path: bucket + verify per document
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        ).localCheckpoint(eager=False)  # shared by both self-join sides
+        sig = sh.select(
+            "id", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
+        )
+        return (
+            sig.alias("l")
+            .join(sig.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.round(jac, 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .groupBy("id_a", "id_b")
+            .agg(F.first("jaccard").alias("jaccard"))
+        )
     # one checkpointed body pass (see minhash_lsh_pairs): chash +
     # hashed shingle set per doc; members/rep derive from it
     sh_all = df.select(
@@ -373,9 +501,6 @@ def ngram_jaccard_pairs(
     sig = rep.select(
         "chash", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
     )
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-    jac = inter.cast("double") / union
     cand = (
         sig.alias("l")
         .join(sig.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.chash") < F.col("r.chash")))

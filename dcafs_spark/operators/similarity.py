@@ -131,6 +131,56 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.aggregate(F.transform(jidx, bit), F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
+def _bucket_pairs(
+    b: DataFrame, key: str, planes: list[list[float]], threshold: float, multiprobe: bool,
+    out_a: str, out_b: str,
+) -> DataFrame:
+    """Shared bucket self-join of a (key, v, bucket, nrm) frame →
+    (out_a, out_b, cos_sim) with out_a < out_b, cos ≥ threshold.
+    With multiprobe the PROBE side explodes (H+1)× over hamming-1
+    neighbor buckets (build side never moves) and pairs dedupe before
+    returning (a pair can surface via several probes and both orders;
+    cos_sim is identical in each, so first() is value-deterministic)."""
+    cos = F.round(dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6)
+    if multiprobe:
+        offs = [0] + [1 << j for j in range(len(planes))]
+        probe = b.select(
+            key,
+            "v",
+            "nrm",
+            F.explode(F.array(*[F.lit(o).cast("long") for o in offs])).alias("_off"),
+            "bucket",
+        ).select(key, "v", "nrm", F.col("bucket").bitwiseXOR(F.col("_off")).alias("bucket"))
+        return (
+            probe.alias("l")
+            .join(
+                b.alias("r"),
+                (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") != F.col(f"r.{key}")),
+            )
+            .select(
+                F.least(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(out_a),
+                F.greatest(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(out_b),
+                cos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .groupBy(out_a, out_b)
+            .agg(F.first("cos_sim").alias("cos_sim"))
+        )
+    return (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(
+            F.col(f"l.{key}").alias(out_a),
+            F.col(f"r.{key}").alias(out_b),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_dedup_pairs(
     emb: DataFrame,
     planes: list[list[float]],
@@ -138,7 +188,8 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "v",
     multiprobe: bool = False,
-    center: bool = False,
+    center: bool = True,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cos_sim) with
     id_a < id_b: sign-LSH bucket equi-join prunes candidates, exact
@@ -192,23 +243,51 @@ def embedding_dedup_pairs(
     embedding spaces are anisotropic — with a dominant mean direction,
     most vectors agree on most plane signs, buckets collapse, and the
     join goes quadratic (measured 58× cliff at 128k vectors under a
-    mean-shifted corpus). `center=True` is the production setting for
-    such corpora: the per-dimension corpus mean (one map-side-combined
-    aggregate, dim doubles to the driver, re-broadcast as a plan
-    literal — the kmeans-seeds pattern) is subtracted INSIDE the
-    bucketing expression only; collapse, candidates and cosines still
-    use the ORIGINAL vectors, so centering changes which bucket a
-    representative lands in (recall/balance) but never a pair's
-    reported cos_sim. Off for the oracle-gated queries: the mean is a
+    mean-shifted corpus). `center=True` — the DEFAULT, since real
+    encoder outputs are the anisotropic case — subtracts the
+    per-dimension corpus mean (one map-side-combined aggregate, dim
+    doubles to the driver, re-broadcast as a plan literal — the
+    kmeans-seeds pattern) INSIDE the bucketing expression only;
+    collapse, candidates and cosines still use the ORIGINAL vectors,
+    so centering changes which bucket a representative lands in
+    (recall/balance) but never a pair's reported cos_sim. The
+    oracle-gated queries pin center=False: the mean is a
     data-dependent parallel float sum, whose last-ulp ordering an
-    engine-portable SQL oracle cannot replicate bit-for-bit."""
-    hashed = (
+    engine-portable SQL oracle cannot replicate bit-for-bit.
+
+    `collapse` (see `dedup.approx_distinct_ratio`): True = always
+    pre-collapse; False = bucket per vector directly (skips the
+    collapse machinery's fixed cost on corpora known to carry few
+    bit-identical vectors); None = auto-probe. `center=True` forces
+    the collapsed path: the centering mean is computed per DISTINCT
+    vector so a copy-flood cannot drag it, and keeping one mean
+    definition means the probe decision can never change which
+    buckets (and therefore which candidate pairs) the operator sees.
+    Output rows are identical across collapse settings."""
+    base = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .filter(~F.exists("v", lambda x: x.isNull()))  # NULL components: cosine undefined
         .filter(F.exists("v", lambda x: x != 0.0))  # zero vectors: no direction
-        .withColumn("chash", F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
-        .localCheckpoint(eager=False)
     )
+    chash = F.md5(F.concat_ws(",", F.col("v").cast("array<string>")))
+    if center:
+        collapse = True  # mean is defined over DISTINCT vectors (flood-robust)
+    if collapse is None:
+        from dcafs_spark.operators.dedup import COLLAPSE_RATIO, approx_distinct_ratio
+
+        collapse = approx_distinct_ratio(base, chash) < COLLAPSE_RATIO
+    if not collapse:
+        # rare-duplicate fast path: bucket + verify per vector — no
+        # content-hash rollup, no expansion joins. One lazy checkpoint:
+        # the self-join consumes the bucket/norm map on both sides.
+        b = base.select(
+            "id",
+            "v",
+            lsh_bucket(F.col("v"), planes).alias("bucket"),
+            l2_norm(F.col("v")).alias("nrm"),
+        ).localCheckpoint(eager=False)
+        return _bucket_pairs(b, "id", planes, threshold, multiprobe, "id_a", "id_b")
+    hashed = base.withColumn("chash", chash).localCheckpoint(eager=False)
     # one checkpointed pass feeds membership, reps, and both join sides
     members = hashed.select("chash", "id")
     # copies share chash ⇒ identical v, so first() is value-deterministic
@@ -232,54 +311,7 @@ def embedding_dedup_pairs(
     ).localCheckpoint(eager=False)
     # checkpoint: the self-join references b on BOTH sides; without it
     # each side re-runs the collapse + bucket/norm map
-    if multiprobe:
-        offs = [0] + [1 << j for j in range(len(planes))]
-        probe = b.select(
-            "chash",
-            "v",
-            "nrm",
-            F.explode(F.array(*[F.lit(o).cast("long") for o in offs])).alias("_off"),
-            "bucket",
-        ).select(
-            "chash", "v", "nrm", F.col("bucket").bitwiseXOR(F.col("_off")).alias("bucket")
-        )
-        cand = (
-            probe.alias("l")
-            .join(
-                b.alias("r"),
-                (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.chash") != F.col("r.chash")),
-            )
-            .select(
-                F.least(F.col("l.chash"), F.col("r.chash")).alias("ch_a"),
-                F.greatest(F.col("l.chash"), F.col("r.chash")).alias("ch_b"),
-                F.round(
-                    dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-                ).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
-            # a pair can surface via several probes (and both orders);
-            # dedupe at REP level so the expansion stays exactly-once
-            .groupBy("ch_a", "ch_b")
-            .agg(F.first("cos_sim").alias("cos_sim"))
-        )
-    else:
-        cand = (
-            b.alias("l")
-            .join(
-                b.alias("r"),
-                (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.chash") < F.col("r.chash")),
-            )
-            .select(
-                F.col("l.chash").alias("ch_a"),
-                F.col("r.chash").alias("ch_b"),
-                F.round(
-                    dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-                ).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
-        )
+    cand = _bucket_pairs(b, "chash", planes, threshold, multiprobe, "ch_a", "ch_b")
     from dcafs_spark.operators.dedup import expand_copy_groups
 
     return expand_copy_groups(
@@ -299,7 +331,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     multiprobe: bool = False,
-    center: bool = False,
+    center: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact cosine but only within the query's LSH
     bucket. With ``multiprobe`` the query also probes every hamming-1
@@ -307,12 +339,15 @@ def lsh_topk(
     brute force at ~(H+1)× the candidate count, still with zero corpus
     shuffle: only the tiny query side explodes.
 
-    ``center=True`` subtracts the CORPUS per-dimension mean from both
-    corpus and query vectors inside the bucketing only (same
-    anisotropy hazard + mitigation as `embedding_dedup_pairs`: a
-    dominant mean direction collapses sign buckets, degrading both
-    balance and recall); cosines are still computed on the original
-    vectors."""
+    ``center=True`` (the DEFAULT — real encoder outputs are
+    anisotropic, and a default that melts on them is the wrong
+    default) subtracts the CORPUS per-dimension mean from both corpus
+    and query vectors inside the bucketing only (same anisotropy
+    hazard + mitigation as `embedding_dedup_pairs`: a dominant mean
+    direction collapses sign buckets, degrading both balance and
+    recall); cosines are still computed on the original vectors. The
+    oracle-gated queries pin center=False (the mean's parallel float
+    sum is not engine-portable bit-for-bit)."""
     planes = hyperplanes(dim, n_planes, seed)
     if center:
         mu_row = corpus.agg(

@@ -850,7 +850,8 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64)
+    # center=False pinned: the oracle replicates the UNcentered plane set
+    return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, center=False)
 
 
 def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,7 +863,7 @@ def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, multiprobe=True)
+    return lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, multiprobe=True, center=False)
 
 
 def _sql_similarity_lsh(multiprobe: bool = False) -> str:
@@ -1395,7 +1396,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes = hyperplanes(64, 8, 42)
     emb = _perturbed_embeddings(spark, sf_dir)
-    return embedding_dedup_pairs(emb, planes, threshold=0.995)
+    # center=False pinned for oracle portability (see operator docstring)
+    return embedding_dedup_pairs(emb, planes, threshold=0.995, center=False)
 
 
 def _sql_dedup_embedding() -> str:
@@ -1448,7 +1450,8 @@ def q_dedup_embedding_logn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes = hyperplanes(64, 14, 42)
     emb = _perturbed_embeddings(spark, sf_dir)
-    return embedding_dedup_pairs(emb, planes, threshold=0.995)
+    # center=False pinned for oracle portability (see operator docstring)
+    return embedding_dedup_pairs(emb, planes, threshold=0.995, center=False)
 
 
 def _sql_dedup_embedding_logn() -> str:
@@ -1488,7 +1491,8 @@ def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes = hyperplanes(64, 14, 42)
     emb = _perturbed_embeddings(spark, sf_dir)
-    return embedding_dedup_pairs(emb, planes, threshold=0.995, multiprobe=True)
+    # center=False pinned for oracle portability (see operator docstring)
+    return embedding_dedup_pairs(emb, planes, threshold=0.995, multiprobe=True, center=False)
 
 
 def _sql_dedup_embedding_multiprobe() -> str:
@@ -6115,10 +6119,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for method, top5 in (
         ("brute_force", cosine_topk(corpus, queries, k=5)),
-        ("lsh", lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64)),
+        ("lsh", lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, center=False)),
         (
             "lsh_multiprobe",
-            lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, multiprobe=True),
+            lsh_topk(corpus, queries, k=5, n_planes=8, seed=42, dim=64, multiprobe=True, center=False),
         ),
     ):
         found = (

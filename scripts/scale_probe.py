@@ -516,7 +516,12 @@ def main() -> None:
                             break
                         _gc()
                     t0 = time.time()
-                    embedding_dedup_pairs(d, planes, 0.995).count()
+                    # center=False: keeps the rung comparable across
+                    # rounds (centering adds a mean-agg job and forces
+                    # the collapsed path); the auto collapse probe then
+                    # exercises the REAL path choice per growth mode —
+                    # exact-copy → collapsed, perturbed → direct
+                    embedding_dedup_pairs(d, planes, 0.995, center=False).count()
                     best = min(best, time.time() - t0)
                 prev = best
                 row.append(f"{best:.2f}")

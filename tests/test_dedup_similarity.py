@@ -154,7 +154,9 @@ def test_embedding_dedup_copy_group_expansion(spark):
     emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
     got = {
         (r["id_a"], r["id_b"]): r["cos_sim"]
-        for r in embedding_dedup_pairs(emb, hyperplanes(4, 6, 42), threshold=0.9).collect()
+        for r in embedding_dedup_pairs(
+            emb, hyperplanes(4, 6, 42), threshold=0.9, center=False
+        ).collect()  # center=False: the test pins UNcentered bucket geometry
     }
     for p in [(0, 1), (0, 2), (1, 2), (3, 4)]:
         assert got[p] == 1.0  # copy groups, exactly 1.0 at 6dp
@@ -310,11 +312,13 @@ def test_embedding_dedup_multiprobe_superset(spark):
     emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
     plain = {
         (r["id_a"], r["id_b"])
-        for r in embedding_dedup_pairs(emb, planes, threshold=0.99).collect()
-    }
+        for r in embedding_dedup_pairs(emb, planes, threshold=0.99, center=False).collect()
+    }  # center=False in both: flip1 is constructed hamming-1 in the RAW plane basis
     multi = {
         (r["id_a"], r["id_b"])
-        for r in embedding_dedup_pairs(emb, planes, threshold=0.99, multiprobe=True).collect()
+        for r in embedding_dedup_pairs(
+            emb, planes, threshold=0.99, multiprobe=True, center=False
+        ).collect()
     }
     assert plain <= multi
     assert (0, 1) not in plain  # buckets differ -> exact join misses it
@@ -572,3 +576,97 @@ class TestCrossDedup:
             # generator plants duplicate families — ties break low)
             assert 0 <= r["ref_id"] < 500
             assert r["ref_id"] <= r["doc_id"] - 1_000_000
+
+
+def test_collapse_paths_row_identical(spark):
+    """The duplicate-density probe is performance-only: collapse=True
+    (pre-collapse + expansion) and collapse=False (per-document join)
+    must emit IDENTICAL rows, on a corpus that has both exact copies
+    and near-dups — within-copy-group pairs score exactly 1.0 on both
+    paths (identical shingle sets / signatures / vectors)."""
+    docs = _docs(spark)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(minhash_lsh_pairs(docs, threshold=0.3, collapse=True)) == rows(
+        minhash_lsh_pairs(docs, threshold=0.3, collapse=False)
+    )
+    assert rows(ngram_jaccard_pairs(docs, threshold=0.3, collapse=True)) == rows(
+        ngram_jaccard_pairs(docs, threshold=0.3, collapse=False)
+    )
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
+
+    v = [1.0, 0.2, -0.3, 0.05]
+    near = [1.0, 0.2, -0.3, 0.06]
+    emb = spark.createDataFrame(
+        [(0, v), (1, v), (2, near), (3, [-0.2, 1.0, 0.0, 0.0])], "vec_id long, v array<double>"
+    )
+    planes = hyperplanes(4, 6, 42)
+    for mp in (False, True):
+        assert rows(
+            embedding_dedup_pairs(emb, planes, 0.9, center=False, collapse=True, multiprobe=mp)
+        ) == rows(
+            embedding_dedup_pairs(emb, planes, 0.9, center=False, collapse=False, multiprobe=mp)
+        )
+
+
+def test_collapse_auto_probe_and_memo(spark):
+    """Auto mode measures duplicate density (HLL distinct ratio) and
+    memoizes it per probe plan: an all-distinct corpus reads ~1.0
+    (→ direct path), a copy-flood reads low (→ collapse), and the
+    second call for the same corpus hits the cache."""
+    from dcafs_spark.operators.dedup import (
+        _DUP_RATIO_CACHE,
+        approx_distinct_ratio,
+        normalize_text,
+    )
+
+    distinct = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    flood = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("same text every row").alias("text")
+    )
+    key = F.md5(normalize_text(F.col("text")))
+    before = len(_DUP_RATIO_CACHE)
+    r_distinct = approx_distinct_ratio(distinct, key)
+    r_flood = approx_distinct_ratio(flood, key)
+    assert r_distinct > 0.97
+    assert r_flood < 0.05
+    assert len(_DUP_RATIO_CACHE) == before + 2
+    # memo hit: same corpus, no new entry, same value
+    assert approx_distinct_ratio(distinct, key) == r_distinct
+    assert len(_DUP_RATIO_CACHE) == before + 2
+
+
+def test_center_is_the_default_and_spreads_buckets(spark):
+    """The production default must center (SCALE.md round 9: a
+    mean-shifted corpus melts sign-LSH buckets 58x). Functional check
+    on the ANN path: on a 6-sigma-shifted corpus the UNcentered query
+    bucket piles up a large fraction of the corpus, while the default
+    call returns strictly fewer candidates — and still ranks the
+    planted neighbor first."""
+    import inspect
+    import random as _random
+
+    from dcafs_spark.operators.similarity import embedding_dedup_pairs, lsh_topk
+
+    assert inspect.signature(lsh_topk).parameters["center"].default is True
+    assert inspect.signature(embedding_dedup_pairs).parameters["center"].default is True
+
+    dim, n, shift = 8, 64, 6.0
+    rows = []
+    for i in range(n):
+        rng = _random.Random(1000 + i)
+        rows.append((i, [rng.gauss(0.0, 1.0) + shift for _ in range(dim)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(900, [x + 0.0001 for x in rows[0][1]])], "query_id long, query_vec array<double>"
+    )
+    uncentered = lsh_topk(corpus, q, k=n, n_planes=6, dim=dim, center=False).collect()
+    default = lsh_topk(corpus, q, k=n, n_planes=6, dim=dim).collect()
+    assert len(uncentered) > n // 3  # mean direction piles up the query bucket
+    assert len(default) < len(uncentered)  # centering spread the buckets
+    best = min(default, key=lambda r: r["rank"])
+    assert best["vec_id"] == 0 and best["cos_sim"] >= 0.999

@@ -217,26 +217,81 @@ def weighted_priority_sample(
     )
 
 
+# stratum-count memo for the dominant-stratum prefilter (same
+# statistics-cache pattern as dedup.approx_distinct_ratio: keyed on the
+# count plan's semantic hash, staleness is performance-only)
+_STRATA_COUNT_CACHE: dict[int, list[tuple]] = {}
+
+
+def _stratum_counts(df: DataFrame, strata_col: str) -> list[tuple]:
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    try:
+        h = counts._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        h = None
+    if h is not None and h in _STRATA_COUNT_CACHE:
+        return _STRATA_COUNT_CACHE[h]
+    rows = [(r[0], r[1]) for r in counts.collect()]
+    if h is not None:
+        _STRATA_COUNT_CACHE[h] = rows
+    return rows
+
+
 def capped_stratified_sample(
-    df: DataFrame, strata_col: str, cap: int, key_col: str, seed: int = 0
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    key_col: str,
+    seed: int = 0,
+    prefilter_margin: int = 4,
 ) -> DataFrame:
     """At most `cap` rows per stratum (corpus balancing: cap the
     dominant languages/sources so one stratum can't swamp a training
     mix), chosen deterministically — rank rows inside each stratum by
     key hash and keep the first `cap`.
 
-    One shuffle on the stratum key; with few strata and huge rows the
-    window would hotspot, so real 100 TB runs pre-filter with
-    `hash_sample` at ~cap/|stratum| before ranking — the window then
-    sees ~cap rows per stratum instead of the whole corpus. The hash
-    order makes the selection stable under repartitioning and corpus
-    growth restricted to new keys."""
+    Dominant-stratum hotspot mitigation (AUTOMATIC): the rank window
+    shuffles every row of a stratum through one task, so a dominant
+    stratum (90% of a 100 TB corpus in one language) is a straggler.
+    One memoized map-side stratum count decides, per stratum, whether
+    to pre-filter by the SAME hash-bucket order the window ranks by:
+    a stratum with n rows keeps only buckets below ~(margin·cap+32)/n
+    of the range, so the window sees ~margin·cap rows instead of n.
+    Because the prefilter keeps a PREFIX of the rank order, the kept
+    top-`cap` is unchanged as long as ≥cap rows survive — expected
+    survivors are margin·cap+32, so P[fewer than cap] is a Chernoff
+    tail below e^-20 for any cap (the +32 floors the expectation for
+    tiny caps). Only strata with ≥4× the target survive the cutoff
+    (smaller ones gain nothing), and at most the 256 largest dominant
+    strata ride the literal CASE threshold (bounded plan size; the
+    257th-largest stratum is ranked un-prefiltered, correct either
+    way). NULL strata are never prefiltered.
+
+    Plan shape: scan → Filter(bucket < CASE stratum) → window. The
+    filter is a row-level predicate evaluated in the scan stage —
+    dominant-stratum rows die before the exchange, which is the point.
+    Selection stays stable under repartitioning and corpus growth
+    restricted to new keys; set prefilter_margin=0 to disable."""
     from pyspark.sql import Window
 
     bucket = hash_bucket(F.col(key_col), seed)
+    pre = df
+    if prefilter_margin > 0:
+        target = prefilter_margin * cap + 32  # expected survivors per stratum
+        dominant = [
+            (s, n) for s, n in _stratum_counts(df, strata_col) if s is not None and n > 4 * target
+        ]
+        if dominant:
+            dominant = sorted(dominant, key=lambda x: -x[1])[:256]
+            thr = None
+            for sval, n in dominant:
+                t = F.lit(int(target * _BUCKETS / n) + 1)
+                cond = F.col(strata_col) == F.lit(sval)
+                thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+            pre = df.filter(bucket < thr.otherwise(F.lit(_BUCKETS)))
     win = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(key_col).asc())
     return (
-        df.withColumn("_rk", F.row_number().over(win))
+        pre.withColumn("_rk", F.row_number().over(win))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )

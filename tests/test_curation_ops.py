@@ -117,6 +117,32 @@ class TestCappedSample:
         df = spark.createDataFrame([(1, "rare"), (2, "rare")], "doc_id long, lang string")
         assert capped_stratified_sample(df, "lang", 10, "doc_id").count() == 2
 
+    def test_dominant_stratum_prefilter(self, spark):
+        """A dominant stratum triggers the automatic scan-side hash
+        prefilter: the plan carries a bucket < CASE(stratum) Filter
+        BEFORE the rank window, small strata are untouched, and the
+        selected rows are identical to the unfiltered spec (the
+        prefilter keeps a prefix of the rank order)."""
+        from dcafs_spark.operators.sampling import capped_stratified_sample
+
+        rows = [(i, "en") for i in range(3000)] + [(10_000 + i, "fr") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = capped_stratified_sample(df, "lang", 5, "doc_id", seed=7)
+        spec = capped_stratified_sample(df, "lang", 5, "doc_id", seed=7, prefilter_margin=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        spec_plan = spec._jdf.queryExecution().executedPlan().toString()
+        # threshold for en: target=4*5+32=52 expected survivors of 3000
+        thr = int(52 * 1_000_000 / 3000) + 1
+        assert f"THEN {thr} ELSE 1000000 END" in plan  # attr ids vary: lang#N
+        assert "CASE WHEN" not in spec_plan  # margin=0 disables
+        got = sorted(tuple(r) for r in out.collect())
+        want = sorted(tuple(r) for r in spec.collect())
+        assert got == want
+        counts = {
+            r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"en": 5, "fr": 5}
+
 
 class TestGopherFilter:
     def test_rules_fire_independently(self, spark):

@@ -96,6 +96,13 @@ def streaming_minhash_bucket_dedup(
     dedup state on the full banded signature (concatenated band
     hashes): exact mirrors (all bands equal) are collapsed; partial
     collisions pass through to the precise batch tier.
+
+    Capacity note (measured round 10): the signature is computed in
+    the SOURCE stage, so keep-up is bounded by source parallelism —
+    an 8-partition source capped the tier at ~28-48k docs/s on 32
+    cores while a 32-partition source sustains ~85k. Size the ingest
+    topic/source partitions to at least the core count at these rates
+    (the expression itself runs ~260k docs/s on 32 cores).
     """
     keyed = stream_df.withColumn(
         _SIGKEY,

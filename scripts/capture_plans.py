@@ -90,7 +90,10 @@ HEADLINE = [
     ("embedding_outliers", "64-row stats broadcast onto the component stream"),
     ("lang_confusion", "share window over the bounded lang×pred rollup only"),
     ("bpe_merge_candidates", "corpus touched once; pair explosion on the VOCAB; TakeOrdered"),
-    ("dedup_embedding_logn", "logN-plane sign-LSH: O(N) candidates, bucket equi-join; bit-identical vectors collapsed pre-join"),
+    ("dedup_embedding_logn", "logN-plane sign-LSH: O(N) candidates, bucket equi-join; density probe picks the direct per-vector path here (gate corpus has no exact copies)"),
+    ("dedup_embedding", "8-plane sign-LSH fixture shape: same auto collapse probe, direct path at gate density"),
+    ("dedup_embedding_multiprobe", "hamming-1 probe side explodes (H+1)x; build side and corpus never move"),
+    ("lang_balanced_sample", "capped stratified sample; the dominant-stratum hash prefilter stays out at sf0.01 density (engages above ~4x cap +32 rows/stratum — plan-asserted in test_curation_ops)"),
     ("source_drift_js", "JS drift: closed-form absent-token tail, vocab equi-join only"),
     ("lsh_bucket_profile", "bucket-occupancy audit: distinct-content rollup, never pairs"),
     ("cross_dedup", "batch-vs-ref band join on collapsed signatures; content-level best-match election"),

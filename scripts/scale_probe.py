@@ -141,6 +141,14 @@ def main() -> None:
         # broadcast-scored per-doc rollup (the dsir_importance shape;
         # target = a fixed hash slice so its share stays constant)
         "dsir_importance": lambda d: _dsir_probe(d),
+        # narrow-map exponential-clock priorities → TakeOrdered k-row
+        # per-partition heap (the weighted_sample shape; zero corpus
+        # shuffle, driver traffic bounded at k rows)
+        "weighted_sample": lambda d: _weighted_probe(d),
+        # bounded lang rollup → one pow per lang → integer DIV share/
+        # weight projection (the temperature_mix shape; corpus sees
+        # only the count rollup)
+        "temperature_mix": lambda d: _temperature_probe(d),
     }
 
     def _dsir_probe(d):
@@ -150,6 +158,35 @@ def main() -> None:
             dsir_importance(d, F.col("doc_id") % 5 == 0)
             .agg(F.sum("logw_micro"))
             .collect()
+        )
+
+    def _weighted_probe(d):
+        from dcafs_spark.operators.sampling import weighted_priority_sample
+
+        return weighted_priority_sample(
+            d.select("doc_id", (F.length("text") + 1).alias("w")), "w", 100, key_col="doc_id"
+        ).count()
+
+    def _temperature_probe(d):
+        # lang synthesized from doc_id: cardinality stays bounded (23)
+        # at any inflation, like a real language column
+        per = (
+            d.select((F.col("doc_id") % 23).cast("string").alias("lang"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .localCheckpoint(eager=False)
+        )
+        qt = F.round(F.pow(F.col("n_docs").cast("double"), 0.7) * 1e6).cast("long")
+        wide = per.select("lang", "n_docs", qt.alias("qt"))
+        tot = wide.agg(
+            F.sum("qt").cast("long").alias("t_qt"),
+            F.sum("n_docs").cast("long").alias("t_docs"),
+        )
+        return (
+            wide.crossJoin(F.broadcast(tot))
+            .withColumn("q_ppm", F.expr("CAST(GREATEST((qt * 1000000) DIV t_qt, 1) AS BIGINT)"))
+            .select(F.expr("CAST((q_ppm * t_docs) DIV n_docs AS BIGINT)").alias("weight_ppm"))
+            .count()
         )
 
     def _calib_probe(d):
@@ -540,6 +577,10 @@ def main() -> None:
     deep = {
         "minhash_lsh": probes["minhash_lsh"],
         "substring_dedup": probes["substring_dedup"],
+        # round-10 add: confirm the roster's 32x dsir cell with a 64x
+        # rung under both growth modes (broadcast bucket table is
+        # fixed-size, so the expected shape is ~linear tokenize+rollup)
+        "dsir_importance": probes["dsir_importance"],
     }
     deep_factors = factors + ([factors[-1] * 2] if factors[-1] >= 4 else [])
     lines += [

@@ -362,14 +362,17 @@ def streaming_dedup_sustained(spark) -> dict:
 
     from dcafs_spark.streaming.dedup import streaming_minhash_bucket_dedup
 
-    # 45k offered (was 30k through round 9): the old 8-partition rate
-    # source capped the map-side signature stage at 8 cores — the tier
-    # capability read 28-48k and flapped with JVM pressure. A real
-    # ingest at these rates has >=32 source partitions (Kafka), and at
-    # 32 the measured capability is ~85k docs/s (keeps up at 60k, knee
-    # ~85k), so the 45k offer = 1.5x the old target with ~2x headroom
-    # even under end-of-bench JVM pressure.
-    rps = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_RPS", "45000"))
+    # ~1400 docs/s/core offered (45k on the 32-core driver box; was a
+    # flat 30k through round 9): the old 8-partition rate source capped
+    # the map-side signature stage at 8 cores — the tier capability
+    # read 28-48k and flapped with JVM pressure. A real ingest at these
+    # rates has source partitions >= cores (Kafka), and at 32/32 the
+    # measured capability is ~85k docs/s (~2.7k/core; keeps up at 60k,
+    # knee ~85k), so 1400/core ≈ 2x headroom even under end-of-bench
+    # JVM pressure — and the default scales with the actual core count
+    # instead of assuming this box.
+    cores = spark.sparkContext.defaultParallelism or 32
+    rps = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_RPS", str(1400 * cores)))
     seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
     if rps <= 0:
         return {}
@@ -378,7 +381,7 @@ def streaming_dedup_sustained(spark) -> dict:
         src = (
             spark.readStream.format("rate")
             .option("rowsPerSecond", rps)
-            .option("numPartitions", 32)
+            .option("numPartitions", cores)
             .load()
         )
         # ~2000 distinct phrases of 12 words → heavy duplication within

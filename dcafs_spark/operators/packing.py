@@ -44,10 +44,13 @@ def sequence_packing(
     """
     # both are interpolated into F.expr SQL below: quote the column so
     # names needing backticks parse, and reject a float/str budget that
-    # would silently change (or kill) the integer DIV semantics
+    # would silently change (or kill) the integer DIV semantics.
+    # Dots stay field-access separators (tokens_col='meta.tok_count'
+    # must keep resolving the struct field, matching F.col semantics);
+    # each segment is backtick-quoted with embedded backticks doubled.
     if not isinstance(budget, int) or isinstance(budget, bool) or budget <= 0:
         raise ValueError(f"budget must be a positive int, got {budget!r}")
-    toks_sql = f"`{tokens_col}`"
+    toks_sql = ".".join("`" + seg.replace("`", "``") + "`" for seg in tokens_col.split("."))
     bucket = hash_bucket(F.col(key_col), seed)
     win = (
         Window.partitionBy("shard")

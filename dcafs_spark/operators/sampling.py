@@ -217,24 +217,15 @@ def weighted_priority_sample(
     )
 
 
-# stratum-count memo for the dominant-stratum prefilter (same
-# statistics-cache pattern as dedup.approx_distinct_ratio: keyed on the
-# count plan's semantic hash, staleness is performance-only)
-_STRATA_COUNT_CACHE: dict[int, list[tuple]] = {}
-
-
 def _stratum_counts(df: DataFrame, strata_col: str) -> list[tuple]:
+    # NOT memoized: unlike dedup's distinct-ratio probe (where both plan
+    # shapes emit identical rows, so a stale ratio is performance-only),
+    # a stale stratum count would parameterize the prefilter THRESHOLD —
+    # an undercount keeps too few rows and silently breaks the "first
+    # cap per stratum" contract. Callers looping over one frame pass
+    # stratum_counts= explicitly instead.
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
-    try:
-        h = counts._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        h = None
-    if h is not None and h in _STRATA_COUNT_CACHE:
-        return _STRATA_COUNT_CACHE[h]
-    rows = [(r[0], r[1]) for r in counts.collect()]
-    if h is not None:
-        _STRATA_COUNT_CACHE[h] = rows
-    return rows
+    return [(r[0], r[1]) for r in counts.collect()]
 
 
 def capped_stratified_sample(
@@ -244,6 +235,7 @@ def capped_stratified_sample(
     key_col: str,
     seed: int = 0,
     prefilter_margin: int = 4,
+    stratum_counts: list[tuple] | None = None,
 ) -> DataFrame:
     """At most `cap` rows per stratum (corpus balancing: cap the
     dominant languages/sources so one stratum can't swamp a training
@@ -253,11 +245,14 @@ def capped_stratified_sample(
     Dominant-stratum hotspot mitigation (AUTOMATIC): the rank window
     shuffles every row of a stratum through one task, so a dominant
     stratum (90% of a 100 TB corpus in one language) is a straggler.
-    One memoized map-side stratum count decides, per stratum, whether
-    to pre-filter by the SAME hash-bucket order the window ranks by:
-    a stratum with n rows keeps only buckets below ~(margin·cap+32)/n
-    of the range, so the window sees ~margin·cap rows instead of n.
-    Because the prefilter keeps a PREFIX of the rank order, the kept
+    One map-side stratum count — paid EAGERLY at plan build unless the
+    caller supplies ``stratum_counts`` or disables with
+    prefilter_margin=0 — decides, per stratum, whether to pre-filter
+    by the SAME hash-bucket order the window ranks by: a stratum with
+    n rows keeps only buckets below ~(margin·cap+32)/n of the range,
+    so the window sees ~margin·cap rows instead of n. Because the
+    prefilter keeps a PREFIX of the rank order (NULL-bucket rows,
+    which rank first under NULLS FIRST, are always retained), the kept
     top-`cap` is unchanged as long as ≥cap rows survive — expected
     survivors are margin·cap+32, so P[fewer than cap] is a Chernoff
     tail below e^-20 for any cap (the +32 floors the expectation for
@@ -271,16 +266,16 @@ def capped_stratified_sample(
     filter is a row-level predicate evaluated in the scan stage —
     dominant-stratum rows die before the exchange, which is the point.
     Selection stays stable under repartitioning and corpus growth
-    restricted to new keys; set prefilter_margin=0 to disable."""
+    restricted to new keys."""
     from pyspark.sql import Window
 
     bucket = hash_bucket(F.col(key_col), seed)
     pre = df
     if prefilter_margin > 0:
         target = prefilter_margin * cap + 32  # expected survivors per stratum
-        dominant = [
-            (s, n) for s, n in _stratum_counts(df, strata_col) if s is not None and n > 4 * target
-        ]
+        if stratum_counts is None:
+            stratum_counts = _stratum_counts(df, strata_col)
+        dominant = [(s, n) for s, n in stratum_counts if s is not None and n > 4 * target]
         if dominant:
             dominant = sorted(dominant, key=lambda x: -x[1])[:256]
             thr = None
@@ -288,7 +283,11 @@ def capped_stratified_sample(
                 t = F.lit(int(target * _BUCKETS / n) + 1)
                 cond = F.col(strata_col) == F.lit(sval)
                 thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-            pre = df.filter(bucket < thr.otherwise(F.lit(_BUCKETS)))
+            # bucket IS NULL (NULL sampling key) ranks FIRST in the
+            # window's NULLS FIRST order — always in the kept prefix,
+            # so the prefilter must retain it (bucket < thr is NULL,
+            # not true, for those rows)
+            pre = df.filter(bucket.isNull() | (bucket < thr.otherwise(F.lit(_BUCKETS))))
     win = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(key_col).asc())
     return (
         pre.withColumn("_rk", F.row_number().over(win))

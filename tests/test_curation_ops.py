@@ -125,19 +125,27 @@ class TestCappedSample:
         prefilter keeps a prefix of the rank order)."""
         from dcafs_spark.operators.sampling import capped_stratified_sample
 
-        rows = [(i, "en") for i in range(3000)] + [(10_000 + i, "fr") for i in range(20)]
+        # 3 NULL sampling keys in the dominant stratum: NULL buckets
+        # rank FIRST in the window's NULLS FIRST order, so the
+        # prefilter must retain them or the selection diverges
+        rows = (
+            [(i, "en") for i in range(3000)]
+            + [(10_000 + i, "fr") for i in range(20)]
+            + [(None, "en")] * 3
+        )
         df = spark.createDataFrame(rows, "doc_id long, lang string")
         out = capped_stratified_sample(df, "lang", 5, "doc_id", seed=7)
         spec = capped_stratified_sample(df, "lang", 5, "doc_id", seed=7, prefilter_margin=0)
         plan = out._jdf.queryExecution().executedPlan().toString()
         spec_plan = spec._jdf.queryExecution().executedPlan().toString()
-        # threshold for en: target=4*5+32=52 expected survivors of 3000
-        thr = int(52 * 1_000_000 / 3000) + 1
+        # threshold for en: target=4*5+32=52 expected survivors of 3003
+        thr = int(52 * 1_000_000 / 3003) + 1
         assert f"THEN {thr} ELSE 1000000 END" in plan  # attr ids vary: lang#N
         assert "CASE WHEN" not in spec_plan  # margin=0 disables
-        got = sorted(tuple(r) for r in out.collect())
-        want = sorted(tuple(r) for r in spec.collect())
-        assert got == want
+        def norm(df):  # None-safe sort key for rows with NULL doc_id
+            return sorted(((r[0] is None, r[0] or 0, r[1]) for r in df.collect()))
+
+        assert norm(out) == norm(spec)
         counts = {
             r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
         }
@@ -281,6 +289,26 @@ class TestCurationInvariants:
                 assert r["pack_first"] >= prev["pack_first"]
                 assert r["cum_tokens"] == prev["cum_tokens"] + r["n_tokens"]
             by_shard[r["shard"]] = r
+
+    def test_packing_nested_field_and_bad_budget(self, spark):
+        """tokens_col may be a struct field path (dots stay field-access
+        separators when quoting for SQL interpolation), and a non-int
+        or non-positive budget is rejected instead of silently changing
+        the integer DIV semantics."""
+        import pytest
+
+        from dcafs_spark.operators.packing import sequence_packing
+
+        df = spark.createDataFrame(
+            [(i, (i % 7 + 1,)) for i in range(40)],
+            "doc_id long, meta struct<tok_count: long>",
+        )
+        out = sequence_packing(df, "meta.tok_count", "doc_id", budget=16, shards=2).collect()
+        assert all(r["pack_first"] <= r["pack_last"] for r in out)
+        assert len(out) == 40
+        for bad in (16.0, "16", 0, -3, True):
+            with pytest.raises(ValueError):
+                sequence_packing(df, "meta.tok_count", "doc_id", budget=bad, shards=2)
 
     def test_ngram_topk_subset_of_full_census(self, spark):
         """top-k counts agree with a full explode-groupBy recount."""

@@ -954,9 +954,66 @@ def main() -> None:
         "table carries (round 9: in-session 1.27→31.86 s, isolated",
         "0.51→2.09 s — the isolated row was reported).",
     ]
+    lines += _CURATED_EVIDENCE
     with open("/root/repo/SCALE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")
+
+
+# One-off isolated measurements and their findings — curated evidence
+# that must SURVIVE wholesale regeneration (round 10 lesson: the 128×
+# rungs and the anisotropy-cliff narrative vanished when the probe
+# rewrote SCALE.md). Numbers here are from the named rounds' isolated
+# sessions, not re-measured per run.
+_CURATED_EVIDENCE = [
+    "",
+    "## Curated one-off rungs and findings (carried across regens)",
+    "",
+    "### 128× perturbed rungs (round 9, isolated sessions, best-of-2)",
+    "",
+    "At 128× (640 000 docs, inputs spread over 64 partitions):",
+    "substring_dedup 19.23 s — 2.02× its 64× cell, exactly linear;",
+    "minhash_lsh 30.34 s — 2.28× its 64× cell, mildly super-linear,",
+    "consistent with the shuffle/sort log factor on the band join's",
+    "candidate set rather than any hot key (the exact-copy hazard stays",
+    "collapsed; per-rung ratios over 1×→128× are 1.5-2.3×, no cliff).",
+    "",
+    "### Embedding collapse restructure (round 9)",
+    "",
+    "The vector collapse moved from a Window over the raw ~512-byte",
+    "vector (one task would buffer an entire copy-flood) to a groupBy",
+    "on a 16-byte content hash with MAP-SIDE partial aggregation — the",
+    "flood collapses at the mappers before any shuffle. Re-measured",
+    "exact-copy rungs then: 2.69 s at 32×, 2.29 s at 64× (flat). The",
+    "production operator one doubling past the roster (128 000 vectors,",
+    "n_planes = ⌈log2 N⌉+3 = 20): exact-copy 1.63→2.52 s, perturbed",
+    "2.84→3.94 s (32×→64×) — both ~linear. Since round 10 a memoized",
+    "duplicate-density probe additionally skips the collapse machinery",
+    "entirely when exact copies are rare (row-identical output).",
+    "",
+    "### Sign-LSH anisotropy cliff — measured 58× (round 9)",
+    "",
+    "A failed 64× variant used an ad-hoc perturbation that ADDED a large",
+    "positive offset to every dimension — shifting all 128 000 vectors",
+    "toward one dominant direction. Sign-LSH bucket balance assumes",
+    "roughly centered vectors: with the common direction dominating",
+    "every dot product, most vectors agreed on most plane signs, the",
+    "bucket distribution collapsed, and the same operator at the same",
+    "scale ran **228 s vs 3.94 s** (~58×) with one straggler task",
+    "holding the hot bucket. Real LM embedding spaces are anisotropic",
+    "(a nonzero mean is the norm), so sign-LSH over raw encoder outputs",
+    "hits exactly this cliff. Mitigation shipped and — since round 10 —",
+    "made the DEFAULT: `embedding_dedup_pairs` / `lsh_topk` center=True",
+    "subtracts the broadcast per-dimension corpus mean inside the",
+    "bucketing expression only (candidates and cosines still use the",
+    "original vectors). Tested on a shift-6σ corpus: max occupancy",
+    "153/300 raw → rebalanced, planted near-dups still recovered",
+    "(`test_embedding_dedup_centering_rebalances_buckets`,",
+    "`test_center_is_the_default_and_spreads_buckets`). The gated",
+    "queries pin center=False: the synthetic test embeddings are",
+    "centered by construction and the mean is a data-dependent parallel",
+    "float sum a cross-engine oracle cannot replicate bit-for-bit.",
+]
 
 
 if __name__ == "__main__":

@@ -561,36 +561,12 @@ def simhash32(col: Column) -> Column:
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-
-    Scale path: band the 32-bit fingerprint into 4 bytes; pigeonhole —
-    any pair within hamming ≤ 3 shares at least one exact byte band →
-    equi-join per band, then exact hamming verify.
-
-    Same hot-bucket mitigation as :func:`minhash_lsh_pairs`: exact
-    copies share the fingerprint (hence every byte band), so the band
-    join runs on ONE fingerprint per distinct content; copy-groups
-    re-expand afterwards (within-group hamming is 0 by construction).
-    Output row-identical to the naive per-document join."""
-    # one checkpointed body pass (see minhash_lsh_pairs): chash +
-    # fingerprint per doc; members/rep derive from it
-    fp_all = df.select(
-        F.col(id_col).alias("id"),
-        F.md5(normalize_text(F.col(text_col))).alias("chash"),
-        simhash32(F.col(text_col)).alias("fp"),
-    ).localCheckpoint(eager=False)
-    members = fp_all.select("chash", "id")
-    rep = (
-        fp_all.groupBy("chash").agg(F.first("fp").alias("fp")).localCheckpoint(eager=False)
-    )
-    banded = rep.select(
-        "chash",
+def _simhash_band_explode(frame: DataFrame, key: str) -> DataFrame:
+    """(key, fp) → one row per (key, fp, band, byte): the 32-bit
+    fingerprint banded into 4 bytes (pigeonhole: hamming ≤ 3 shares at
+    least one exact byte band). Shared by both collapse paths."""
+    return frame.select(
+        key,
         "fp",
         F.explode(
             F.array(
@@ -603,20 +579,77 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("chash", "fp", "bb.band", "bb.byte")
+    ).select(key, "fp", "bb.band", "bb.byte")
+
+
+def _simhash_band_join(
+    banded: DataFrame, key: str, max_hamming: int, out_a: str, out_b: str
+) -> DataFrame:
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    cand = (
+    return (
         banded.alias("l")
         .join(
             banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.byte") == F.col("r.byte"))
-            & (F.col("l.chash") < F.col("r.chash")),
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
         )
-        .select(F.col("l.chash").alias("ch_a"), F.col("r.chash").alias("ch_b"), F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"))
-        .dropDuplicates(["ch_a", "ch_b"])
-        .select("ch_a", "ch_b", ham.alias("hamming"))
+        .select(
+            F.col(f"l.{key}").alias(out_a),
+            F.col(f"r.{key}").alias(out_b),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+        .dropDuplicates([out_a, out_b])
+        .select(out_a, out_b, ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    collapse: bool | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: band the 32-bit fingerprint into 4 bytes; pigeonhole —
+    any pair within hamming ≤ 3 shares at least one exact byte band →
+    equi-join per band, then exact hamming verify.
+
+    Same hot-bucket mitigation as :func:`minhash_lsh_pairs`: exact
+    copies share the fingerprint (hence every byte band), so the band
+    join runs on ONE fingerprint per distinct content; copy-groups
+    re-expand afterwards (within-group hamming is 0 by construction).
+    Output row-identical to the naive per-document join.
+
+    `collapse` semantics as in :func:`minhash_lsh_pairs` (True / False
+    / None = memoized duplicate-density auto-probe)."""
+    if collapse is None:
+        collapse = (
+            approx_distinct_ratio(df, F.md5(normalize_text(F.col(text_col)))) < COLLAPSE_RATIO
+        )
+    if not collapse:
+        # rare-duplicate fast path: band per document directly
+        fp = df.select(
+            F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("fp")
+        ).localCheckpoint(eager=False)  # both band-join sides
+        return _simhash_band_join(_simhash_band_explode(fp, "id"), "id", max_hamming, "id_a", "id_b")
+    # one checkpointed body pass (see minhash_lsh_pairs): chash +
+    # fingerprint per doc; members/rep derive from it
+    fp_all = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("chash"),
+        simhash32(F.col(text_col)).alias("fp"),
+    ).localCheckpoint(eager=False)
+    members = fp_all.select("chash", "id")
+    rep = (
+        fp_all.groupBy("chash").agg(F.first("fp").alias("fp")).localCheckpoint(eager=False)
+    )
+    cand = _simhash_band_join(
+        _simhash_band_explode(rep, "chash"), "chash", max_hamming, "ch_a", "ch_b"
     )
     return expand_copy_groups(
         cand, members, "hamming", F.lit(0), include_within=max_hamming >= 0

@@ -595,6 +595,9 @@ def test_collapse_paths_row_identical(spark):
     assert rows(ngram_jaccard_pairs(docs, threshold=0.3, collapse=True)) == rows(
         ngram_jaccard_pairs(docs, threshold=0.3, collapse=False)
     )
+    assert rows(simhash_pairs(docs, max_hamming=16, collapse=True)) == rows(
+        simhash_pairs(docs, max_hamming=16, collapse=False)
+    )
     from dcafs_spark.operators.similarity import embedding_dedup_pairs, hyperplanes
 
     v = [1.0, 0.2, -0.3, 0.05]

@@ -946,6 +946,7 @@ def cross_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Fuzzy CROSS-corpus dedup: which new docs are near-duplicates of
     the reference corpus (dedupe a fresh crawl batch against the
@@ -969,21 +970,26 @@ def cross_minhash_dedup(
     constant within a ref copy-group, its representative id is the
     group min — exactly the tie-break the per-doc election produces)
     and condemned new copy-groups re-expand afterwards. Output is
-    row-identical to the per-document join."""
+    row-identical to the per-document join.
+
+    `collapse` semantics as in :func:`minhash_lsh_pairs`; auto mode
+    probes BOTH corpora and collapses if either is duplicate-heavy
+    (a flood on either side multiplies the band join's fan-out)."""
     from pyspark.sql import Window
 
     rows = num_hashes // bands
 
-    def _collapsed(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"),
-            F.md5(normalize_text(F.col(text_col))).alias("chash"),
-            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-        ).localCheckpoint(eager=False)
+    if collapse is None:
+        collapse = (
+            approx_distinct_ratio(new_docs, F.md5(normalize_text(F.col(text_col))))
+            < COLLAPSE_RATIO
+            or approx_distinct_ratio(ref_docs, F.md5(normalize_text(F.col(text_col))))
+            < COLLAPSE_RATIO
+        )
 
-    def _banded(rep: DataFrame, extra: list[str]) -> DataFrame:
+    def _banded(rep: DataFrame, key: str, extra: list[str]) -> DataFrame:
         return rep.select(
-            "chash",
+            key,
             "sig",
             *extra,
             F.explode(
@@ -1001,7 +1007,63 @@ def cross_minhash_dedup(
                     ]
                 )
             ).alias("bb"),
-        ).select("chash", "sig", *extra, "bb.band", "bb.bucket")
+        ).select(key, "sig", *extra, "bb.band", "bb.bucket")
+
+    def _est(left: str, right: str):
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.col(f"{left}.sig"),
+                    F.col(f"{right}.sig"),
+                    lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(num_hashes))
+        )
+
+    if not collapse:
+        # rare-duplicate fast path: band per DOCUMENT on both sides;
+        # the per-new-doc best-match election runs directly (ties on
+        # est break to min ref_id — identical to the content-level
+        # election, whose group representative is the group min)
+        sig_new = new_docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        ).localCheckpoint(eager=False)
+        sig_ref = ref_docs.select(
+            F.col(id_col).alias("ref_id"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        ).localCheckpoint(eager=False)
+        cand = (
+            _banded(sig_new, "id", []).alias("n")
+            .join(
+                _banded(sig_ref, "ref_id", []).alias("r"),
+                (F.col("n.band") == F.col("r.band")) & (F.col("n.bucket") == F.col("r.bucket")),
+            )
+            .select(
+                F.col("n.id").alias("id"),
+                F.col("r.ref_id").alias("ref_id"),
+                F.round(_est("n", "r"), 4).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .groupBy("id", "ref_id")
+            .agg(F.first("est_jaccard").alias("est_jaccard"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("est_jaccard").desc(), F.col("ref_id").asc())
+        return (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("id").alias(id_col), "ref_id", "est_jaccard")
+        )
+
+    def _collapsed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text(F.col(text_col))).alias("chash"),
+            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        ).localCheckpoint(eager=False)
 
     nall = _collapsed(new_docs)
     members_new = nall.select("chash", "id")
@@ -1011,27 +1073,17 @@ def cross_minhash_dedup(
         .groupBy("chash")
         .agg(F.first("sig").alias("sig"), F.min("id").alias("ref_id"))
     )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("n.sig"), F.col("r.sig"), lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(num_hashes))
-    )
     cand = (
-        _banded(rep_new, []).alias("n")
+        _banded(rep_new, "chash", []).alias("n")
         .join(
-            _banded(rep_ref, ["ref_id"]).alias("r"),
+            _banded(rep_ref, "chash", ["ref_id"]).alias("r"),
             (F.col("n.band") == F.col("r.band")) & (F.col("n.bucket") == F.col("r.bucket")),
         )
         .select(
             F.col("n.chash").alias("ch_n"),
             F.col("r.chash").alias("ch_r"),
             F.col("r.ref_id").alias("ref_id"),
-            F.round(est, 4).alias("est_jaccard"),
+            F.round(_est("n", "r"), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .groupBy("ch_n", "ch_r")

@@ -673,3 +673,33 @@ def test_center_is_the_default_and_spreads_buckets(spark):
     assert len(default) < len(uncentered)  # centering spread the buckets
     best = min(default, key=lambda r: r["rank"])
     assert best["vec_id"] == 0 and best["cos_sim"] >= 0.999
+
+
+def test_cross_dedup_collapse_paths_identical(spark):
+    """cross_minhash_dedup's probe decision is performance-only: the
+    collapsed (content-level election + re-expansion) and direct
+    (per-document) paths must emit identical condemned rows, including
+    the max-est / min-ref_id tie-break, on corpora with exact copies
+    on both sides."""
+    from dcafs_spark.operators.dedup import cross_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    ref = spark.createDataFrame(
+        [(10, base), (11, base), (12, "spark catalyst optimizer plans only here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra"), (4, "entirely different content words")],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a = rows(cross_minhash_dedup(new, ref, threshold=0.3, collapse=True))
+    b = rows(cross_minhash_dedup(new, ref, threshold=0.3, collapse=False))
+    assert a == b
+    got = {r[0]: (r[1], r[2]) for r in a}
+    assert got[1] == (10, 1.0)  # exact copy: best ref match, min ref id on tie
+    assert got[2] == (10, 1.0)
+    assert 4 not in got  # unrelated doc survives

@@ -20,12 +20,16 @@ _K0 = 0.9996
 
 
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """Great-circle distance in km (haversine)."""
+    """Great-circle distance in km (haversine).
+
+    The haversine term is clamped to 1.0: floating-point error on
+    near-antipodal pairs can push it to 1 + few-ulp, where sqrt > 1
+    and asin returns NaN instead of ~20015 km."""
     p1, p2 = F.radians(lat1), F.radians(lat2)
     dp = F.radians(lat2 - lat1)
     dl = F.radians(lon2 - lon1)
     a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
-    return 2 * _EARTH_R_KM * F.asin(F.sqrt(a))
+    return 2 * _EARTH_R_KM * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
 
 
 def bearing_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
@@ -47,7 +51,10 @@ def nmea_degrees(raw: Column, hemi: Column) -> Column:
 
 
 def utm_zone(lon: Column) -> Column:
-    return (F.floor((lon + 180.0) / 6.0) + 1).cast("int")
+    # (lon + 180) % 360 wraps lon = 180.0 exactly to zone 1 (valid
+    # zones are 1-60; the unwrapped formula yields 61 with a
+    # nonexistent 183-degree central meridian)
+    return (F.floor(((lon + 180.0) % 360.0) / 6.0) + 1).cast("int")
 
 
 def utm_from_gdc(lat: Column, lon: Column) -> Column:
@@ -139,5 +146,13 @@ def gdc_from_utm(easting: Column, northing: Column, zone: Column, southern: Colu
 def geofence_state(dist_km: Column, radius_km: float) -> Column:
     """INSIDE/OUTSIDE classification for a waypoint circle
     (Waypoint.java:71-105); ENTER/LEAVE transitions come from lag()
-    over this column (operators.waypoints)."""
-    return F.when(dist_km <= radius_km, F.lit("INSIDE")).otherwise(F.lit("OUTSIDE"))
+    over this column (operators.waypoints).
+
+    A NULL or NaN distance (dropped GPS fix) propagates as NULL: the
+    old otherwise-branch mapped it to OUTSIDE, fabricating a spurious
+    LEAVE + ENTER pair around one bad record."""
+    return (
+        F.when(dist_km.isNull() | F.isnan(dist_km), F.lit(None).cast("string"))
+        .when(dist_km <= radius_km, F.lit("INSIDE"))
+        .otherwise(F.lit("OUTSIDE"))
+    )

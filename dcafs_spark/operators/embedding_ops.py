@@ -82,11 +82,14 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     Degenerate inputs yield NULL summaries instead of garbage or a
     job abort: a non-finite component (NaN/Inf from a bad upstream
-    normalization) makes the quantized code NULL via try_cast, which
-    propagates NULL through the integer folds (under ANSI mode a plain
-    cast would kill the whole corpus pass); an empty or NULL vector
-    returns NULL summaries rather than the fold's impossible
-    (q_min=127, q_max=-127) sentinel range."""
+    normalization) makes the quantized code NULL via try_cast (under
+    ANSI mode a plain cast would kill the whole corpus pass); an empty
+    or NULL vector returns NULL summaries. The NULL-code case is
+    detected through q_sum (addition propagates NULL) and then ALL
+    summaries are nulled together — least/greatest SKIP NULL
+    arguments, so without that gate a NaN vector would emit the fold's
+    impossible (q_min=127, q_max=-127) sentinel range and a partial
+    q_nnz as if they were real statistics."""
     vec = F.col(vec_col)
     maxabs = F.aggregate(
         vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
@@ -119,9 +122,12 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     st = F.aggregate(vec, zero, merge)
     nonempty = F.size(vec) > 0  # NULL vec → NULL size → NULL outputs
+    # q_sum NULL ⟺ some quantized code was NULL (a non-finite
+    # component): null every summary together, not just the sums
+    valid = nonempty & st.getField("q_sum").isNotNull()
 
     def out(field: str) -> Column:
-        return F.when(nonempty, st.getField(field))
+        return F.when(valid, st.getField(field))
 
     return df.select(
         *[c for c in df.columns if c != vec_col],

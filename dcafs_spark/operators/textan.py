@@ -106,22 +106,14 @@ def fingerprint(col: Column, n: int = 8) -> Column:
     word 8-shingles of normalized text (order-invariant under exact
     shingle set; robust to whitespace changes)."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    w = F.split(norm, " ")
-    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
-    shingles = F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
-    return F.array_min(F.transform(shingles, F.md5))
+    return F.array_min(F.transform(grams_of(F.split(norm, " "), n), F.md5))
 
 
 def repetition_ratio(col: Column, n: int = 2) -> Column:
     """Gopher-style repetition: fraction of duplicate word n-grams,
     1 - |distinct n-grams| / |n-grams| (0 = no repetition). Unlike
     `word_shingles` this keeps duplicates — that's the signal."""
-    w = words(col)
-    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
+    grams = grams_of(words(col), n)
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
     )
@@ -162,12 +154,18 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def grams_of(w: Column, n: int) -> Column:
+    """Word n-grams (duplicates KEPT) from a words array — the single
+    construction shared by ngrams/fingerprint/repetition/gopher so the
+    short-doc clamp (k >= 1) can never drift between them."""
+    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
 def ngrams(col: Column, n: int = 2) -> Column:
     """All word n-grams of the text (duplicates kept), as
     array<string> — the corpus-statistics building block."""
-    w = words(col)
-    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(w, i, n), " "))
+    return grams_of(words(col), n)
 
 
 def ngram_topk(
@@ -201,39 +199,42 @@ def inverted_index(
     """Term → (document frequency, capped posting list) — the corpus
     index artifact retrieval/decontamination tooling consumes.
 
-    Skew-safe by construction: the posting cap applies via a window
-    row_number BEFORE any aggregation, so a stopword appearing in every
-    document never materializes an unbounded list in one reducer — the
-    full df count rides the same window pass (count over the term
-    partition), one shuffle total. Postings are the `max_postings`
-    lowest doc ids, rendered as a csv string so cross-engine comparers
-    see a scalar."""
-    from pyspark.sql import Window
-
-    # NB: id_col must be unique per row (the corpus-table contract).
-    # Per-row array_distinct already dedups a doc's own terms, so no
-    # (term, id) duplicate can exist — a dropDuplicates here would be
-    # a second full shuffle of the largest intermediate for nothing
-    # (the docstring's "one shuffle total" claim)
+    Skew-safe two-level aggregation: a window row_number over the term
+    partition (the previous shape) pairs row_number with a full
+    count(*) frame, which disables Spark's WindowGroupLimit partial
+    pushdown — EVERY (term, id) pair for a corpus-wide stopword would
+    shuffle into and sort in ONE task. Instead, level 1 groups by
+    (term, input partition): the partial aggregation completes
+    map-side (the partition id is constant within each task) and the
+    first exchange hashes on the COMPOSITE key, so a stopword's rows
+    scatter across reducers; its projection keeps only the
+    `max_postings` lowest ids per partition plus a count. Level 2
+    merges per-term: ≤ #partitions rows of ≤ max_postings ids each —
+    bounded regardless of corpus size — and min-k of per-partition
+    min-ks is exactly the global min-k, so the output is identical to
+    the single-window form. doc_freq = sum of partial counts.
+    Postings render as a csv string so cross-engine comparers see a
+    scalar. (id_col must be unique per row — the corpus-table
+    contract; per-row array_distinct dedups a doc's own terms, so no
+    (term, id) duplicate can exist.)"""
     pairs = df.select(
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
         F.col(id_col).alias("id"),
+        F.spark_partition_id().alias("_p"),
     )
-    w = Window.partitionBy("term").orderBy("id")
-    wall = Window.partitionBy("term")
-    capped = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .withColumn("df", F.count("*").over(wall))
-        .filter(F.col("rn") <= max_postings)
+    partial = pairs.groupBy("term", "_p").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.slice(F.array_sort(F.collect_list("id")), 1, max_postings).alias("_ids"),
     )
-    return (
-        capped.groupBy("term")
-        .agg(
-            F.max("df").cast("bigint").alias("doc_freq"),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("id")), lambda x: x.cast("string")), ","
-            ).alias("postings"),
-        )
+    return partial.groupBy("term").agg(
+        F.sum("_c").cast("bigint").alias("doc_freq"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))), 1, max_postings),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 
@@ -260,8 +261,7 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.array_distinct(F.filter(w, lambda x: x.isin(*stop_set))))
     # unrounded repetition fraction: the rule compares it, and a rounded
     # value could straddle the threshold differently across engines
-    k2 = F.greatest(F.size(w) - F.lit(1), F.lit(1))
-    grams2 = F.transform(F.sequence(F.lit(1), k2), lambda i: F.array_join(F.slice(w, i, 2), " "))
+    grams2 = grams_of(w, 2)
     rep2 = F.lit(1.0) - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2)
     ok_wc = (n_words >= 50) & (n_words <= 100000)
     ok_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)

@@ -1163,10 +1163,10 @@ WITH pos AS (
          50.0 + (value % 200) / 100.0 AS lat, 3.0 AS lon
   FROM events
 ), d AS (
-  SELECT *, 2 * 6371.0088 * asin(sqrt(
+  SELECT *, 2 * 6371.0088 * asin(least(1.0, sqrt(
            pow(sin(radians(51.0 - lat) / 2), 2)
            + cos(radians(lat)) * cos(radians(51.0)) * pow(sin(radians(3.0 - lon) / 2), 2)
-         )) AS dist_km
+         ))) AS dist_km
   FROM pos
 ), s AS (
   SELECT *, dist_km <= 25.0 AS inside,
@@ -1865,7 +1865,7 @@ WITH pos AS (
   FROM events
 ), g AS (
   SELECT event_id, lat, lon,
-         CAST(floor((lon + 180.0) / 6.0) + 1 AS INT) AS zone,
+         CAST(floor(((lon + 180.0) % 360.0) / 6.0) + 1 AS INT) AS zone,
          radians(lat) AS phi, radians(lon) AS lam
   FROM pos
 ), t AS (
@@ -3266,10 +3266,10 @@ WITH pos AS (
          (pus - lag(pus) OVER w) / 3.6e9 AS dt_h
   FROM pos WINDOW w AS (PARTITION BY track_id ORDER BY pus, event_id)
 ), d AS (
-  SELECT *, 2 * 6371.0088 * asin(sqrt(
+  SELECT *, 2 * 6371.0088 * asin(least(1.0, sqrt(
            pow(sin(radians(lat - plat) / 2), 2)
            + cos(radians(plat)) * cos(radians(lat)) * pow(sin(radians(lon - plon) / 2), 2)
-         )) AS dist
+         ))) AS dist
   FROM lagged WHERE plat IS NOT NULL AND dt_h > 0
 )
 SELECT event_id, track_id, round(dist, 4) AS dist_km,
@@ -4500,10 +4500,10 @@ pos AS (
   FROM events
 ), scored AS (
   SELECT event_id, CAST(port_id AS BIGINT) AS port_id,
-         round(2 * 6371.0088 * asin(sqrt(
+         round(2 * 6371.0088 * asin(least(1.0, sqrt(
            pow(sin(radians(p_lat - lat) / 2), 2)
            + cos(radians(lat)) * cos(radians(p_lat)) * pow(sin(radians(p_lon - lon) / 2), 2)
-         )), 8) AS dist_km
+         ))), 8) AS dist_km
   FROM pos, ports
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_km ASC, port_id ASC) AS rn

@@ -93,7 +93,14 @@ class ValuesStore:
         collect_list over the groupBy is bounded: only the last
         ``history_n`` values matter, so we aggregate the batch tail via
         max_by struct packing (avoids shipping whole batches driver-side).
+
+        NULL values are non-measurements (the reference's RealVal only
+        updates on a parsed double) and are dropped up front: without
+        the filter an all-NULL key crashes the merge on min(inf, None)
+        and a mixed batch whose latest-ts value is NULL overwrites
+        last/history with None.
         """
+        df = df.filter(F.col(value).isNotNull())
         packed = F.array_sort(
             F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
         )
@@ -130,11 +137,20 @@ class ValuesStore:
         value = cols.get("value", "value")
         ts = cols.get("ts", "ts")
         seqs: dict[tuple[str, str], list[float]] = {}
+        persisted = False
         if ruled:
+            # two jobs consume this batch (the ruled-key sequences and
+            # the per-key deltas) — persist so the micro-batch is
+            # scanned once, not recomputed per job
+            try:
+                batch_df.persist()
+                persisted = True
+            except Exception:
+                pass  # e.g. a plan that disallows caching: correctness unaffected
             key_expr = F.struct(F.col(group).alias("g"), F.col(name).alias("n"))
             wanted = [F.struct(F.lit(g).alias("g"), F.lit(n).alias("n")) for g, n in sorted(ruled)]
             seq_rows = (
-                batch_df.filter(key_expr.isin(*wanted))
+                batch_df.filter(key_expr.isin(*wanted) & F.col(value).isNotNull())
                 .groupBy(F.col(group).alias("group"), F.col(name).alias("name"))
                 .agg(
                     F.transform(
@@ -147,7 +163,12 @@ class ValuesStore:
                 .collect()
             )
             seqs = {(r["group"], r["name"]): list(r["vals"]) for r in seq_rows}
-        for row in self.batch_deltas(batch_df, **cols).collect():
+        try:
+            delta_rows = self.batch_deltas(batch_df, **cols).collect()
+        finally:
+            if persisted:
+                batch_df.unpersist()
+        for row in delta_rows:
             key = (row["group"], row["name"])
             st = self.state.setdefault(key, _KeyState())
             prev = st.last
@@ -201,8 +222,11 @@ class ValuesStore:
                     if rule.kind == "stdev":
                         # compare the rolling history's sample stdev
                         # instead of the value; skip until the window is
-                        # full (RealVal.java:515-521 NaN guard)
-                        if len(hist) < self.history_n:
+                        # full (RealVal.java:515-521 NaN guard). Sample
+                        # stdev needs >= 2 points, so a history_n=1
+                        # store never fires (snapshot() applies the
+                        # same len>1 rule) instead of dividing by zero
+                        if len(hist) < max(self.history_n, 2):
                             continue
                         mean = sum(hist) / len(hist)
                         var = sum((x - mean) ** 2 for x in hist) / (len(hist) - 1)
@@ -284,13 +308,14 @@ class ValuesStore:
             if key[0] != group:
                 continue
             prev = st.last
-            st.last = value
+            pre_hist = list(st.history)  # rules see the REAL rolling
+            st.last = value  # window, as a merge_batch update would
             st.min = min(st.min, value)
             st.max = max(st.max, value)
             st.count += 1
             st.total += value
             st.history = (st.history + [value])[-self.history_n :]
-            self._eval_rules_seq(key, prev, [value])
+            self._eval_rules_seq(key, prev, [value], pre_hist)
             n += 1
         return n
 

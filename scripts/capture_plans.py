@@ -36,7 +36,7 @@ HEADLINE = [
     ("gopher_filter", "rule flags: single project over the scan, zero shuffle"),
     ("ngram_topk", "bigram census: partial agg before shuffle, TakeOrdered top-k"),
     ("sequence_packing", "per-shard window: one uniform-key shuffle, no global sort"),
-    ("inverted_index", "posting cap pre-agg via window — stopword terms can't blow a reducer"),
+    ("inverted_index", "two-level capped agg: (term, partition) scatter then <=k-id merges — stopword terms can't blow a reducer or its sort"),
     ("chunk_dedup_apply", "ownership on 24-byte rows; bodies cross the wire once (id join)"),
     ("corpus_stats", "one scan, map-side partial agg, integer-only outputs"),
     ("oov_rate", "token-df agg + TakeOrdered vocab, broadcast anti-join; text never shuffles"),

@@ -165,3 +165,30 @@ class TestAsofTolerance:
                 assert g is None, row["id"]
             else:
                 assert g == row["payload"], row["id"]
+
+
+def test_quantize_nan_inf_null_all_summaries(spark):
+    """A non-finite component must null EVERY summary together:
+    least/greatest skip NULL codes, so without the q_sum gate a NaN
+    vector emitted the fold's impossible (q_min=127, q_max=-127)
+    sentinel and a partial q_nnz as if they were real statistics
+    (round-10 review, reproduced live)."""
+    from dcafs_spark.operators.embedding_ops import quantize_int8
+
+    rows = [
+        (0, [float("nan")]),
+        (1, [float("inf"), 1.0]),
+        (2, [1.0, -2.0]),
+        (3, []),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for vid in (0, 1, 3, 4):
+        r = got[vid]
+        assert all(
+            r[c] is None for c in ("q_sum", "q_min", "q_max", "q_nnz", "q_sq_sum")
+        ), (vid, r)
+    ok = got[2]  # finite vector still quantizes: scale=127/2
+    assert (ok["q_min"], ok["q_max"], ok["q_nnz"]) == (-127, 64, 2)
+    assert ok["q_sum"] == -63 and ok["q_sq_sum"] == 64 * 64 + 127 * 127

@@ -1,5 +1,7 @@
 """Domain function library: ocean goldens, checksums, geo, bits, time."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -180,3 +182,34 @@ def test_file_md5(spark, tmp_path):
     out = {r["path"].split("/")[-1]: (r["length"], r["md5"]) for r in file_md5(spark, str(tmp_path)).collect()}
     assert out["a.bin"] == (11, hashlib.md5(b"hello dcafs").hexdigest())
     assert out["b.bin"] == (3, hashlib.md5(b"\x00\x01\x02").hexdigest())
+
+
+def test_haversine_antipodal_clamped(spark):
+    """FP error near antipodes pushes the haversine term past 1.0 —
+    asin must see a clamped value, not return NaN (round-10 review:
+    reproduced NaN at a ~20015 km pair)."""
+    d = one(
+        spark,
+        haversine_km(
+            F.lit(61.89854752150677), F.lit(97.0020683850554),
+            F.lit(-61.89854752141772), F.lit(-82.99793161523547),
+        ),
+    )
+    assert not math.isnan(d)
+    assert abs(d - math.pi * 6371.0088) < 1.0  # antipodal distance = pi * R
+
+
+def test_utm_zone_antimeridian_wraps(spark):
+    from dcafs_spark.functions.geo import utm_zone
+
+    assert one(spark, utm_zone(F.lit(180.0))) == 1  # not the invalid 61
+    assert one(spark, utm_zone(F.lit(179.9))) == 60
+    assert one(spark, utm_zone(F.lit(-180.0))) == 1
+
+
+def test_geofence_state_null_propagates(spark):
+    from dcafs_spark.functions.geo import geofence_state
+
+    df = spark.createDataFrame([(1.0,), (30.0,), (None,)], "d double")
+    got = [r["s"] for r in df.select(geofence_state(F.col("d"), 25.0).alias("s")).collect()]
+    assert got == ["INSIDE", "OUTSIDE", None]  # NULL fix ≠ OUTSIDE

@@ -647,3 +647,64 @@ class TestStateRecoveryAcrossRestart:
         finally:
             q2.stop()
             q2.awaitTermination(10)
+
+
+class TestValuesStoreReviewRegressions:
+    """Round-10 review findings, each reproduced live before fixing."""
+
+    def test_null_values_are_non_measurements(self, spark):
+        from dcafs_spark.streaming.values_store import ValuesStore
+
+        store = ValuesStore(history_n=3)
+        # all-NULL key: previously TypeError on min(inf, None)
+        df = spark.createDataFrame(
+            [("g", "a", None, 1.0)], "group string, name string, value double, ts double"
+        )
+        store.merge_batch(df)
+        assert ("g", "a") not in store.state  # nothing to record
+        # mixed batch whose LATEST value is NULL: previously last=None
+        # and a None polluting the history ring
+        df2 = spark.createDataFrame(
+            [("g", "a", 5.0, 1.0), ("g", "a", None, 2.0)],
+            "group string, name string, value double, ts double",
+        )
+        store.merge_batch(df2)
+        st = store.state[("g", "a")]
+        assert st.last == 5.0 and st.history == [5.0] and st.count == 1
+        snap = store.snapshot()[0]
+        assert snap["last_value"] == 5.0  # snapshot math survives
+
+    def test_update_group_stdev_rule_sees_history(self, spark):
+        from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+        store = ValuesStore(history_n=3)
+        fired: list = []
+        # threshold between stdev([1,5,9])=4 and stdev([5,9,42])≈20.6:
+        # the rule arms during merge_batch and must fire on the FORCED
+        # update only if it sees the real rolling window
+        store.add_rule(
+            TriggerRule("g", "a", "stdev", comparison="above 10",
+                        cmd=lambda g, n, v: fired.append(v))
+        )
+        df = spark.createDataFrame(
+            [("g", "a", 1.0, 1.0), ("g", "a", 5.0, 2.0), ("g", "a", 9.0, 3.0)],
+            "group string, name string, value double, ts double",
+        )
+        store.merge_batch(df)
+        fired.clear()
+        # forced group update must evaluate over the REAL rolling
+        # window ([5, 9, 42]) — previously pre_hist was dropped and the
+        # stdev rule could never fire from update_group
+        assert store.update_group("g", 42.0) == 1
+        assert fired == [42.0]
+
+    def test_stdev_rule_history_n_1_never_divides_by_zero(self, spark):
+        from dcafs_spark.streaming.values_store import TriggerRule, ValuesStore
+
+        store = ValuesStore(history_n=1)
+        store.add_rule(TriggerRule("g", "a", "stdev", comparison="above 0"))
+        df = spark.createDataFrame(
+            [("g", "a", 3.0, 1.0)], "group string, name string, value double, ts double"
+        )
+        store.merge_batch(df)  # previously ZeroDivisionError
+        assert store.fired_log == []  # sample stdev undefined at n=1

@@ -828,6 +828,89 @@ def chunk_dedup_stats(
     )
 
 
+def source_boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chunk_words: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style per-source boilerplate detection: a
+    chunk (non-overlapping `chunk_words`-word window of normalized
+    text) whose hash appears in ≥ `min_docs` DISTINCT documents of the
+    SAME source is boilerplate there (nav bars, cookie banners,
+    footers — site templating, not content) and is dropped from EVERY
+    document. This differs from :func:`chunk_dedup_stats`'
+    first-owner-wins rule, which keeps one copy: boilerplate has no
+    "first" worth keeping.
+
+    Returns per-document (id_col, source_col, n_chunks, n_boiler,
+    kept_words).
+
+    Scale shape: one tokenize pass produces (id, source, 8-byte chash,
+    nw) occurrence rows — bodies never shuffle. The boilerplate set is
+    a map-side-combined count_distinct over (source, chash), and only
+    the qualifying (source, chash) keys come back through the marker
+    join — the boilerplate side is small by construction (site
+    templates, not content). The occurrence frame is lazily
+    checkpointed so the rollup and the marker join consume ONE explode
+    pass. A chunk shared by most of a source concentrates 16-byte rows
+    in one aggregation partition — the same bounded exposure as
+    chunk_dedup_stats' window, and rows this narrow spill gracefully."""
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("chash"),
+            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
+        ),
+    )
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            F.explode(chunks).alias("c"),
+        )
+        .select("id", "source", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw"))
+        .localCheckpoint(eager=False)
+    )
+    boiler = (
+        occ.groupBy("source", "chash")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("source", "chash", F.lit(1).alias("_b"))
+    )
+    return (
+        occ.join(boiler, ["source", "chash"], "left")
+        .groupBy("id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.sum(F.when(F.col("_b").isNull(), F.col("nw")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_words"),
+        )
+        .select(
+            F.col("id").alias(id_col), F.col("source").alias(source_col),
+            "n_chunks", "n_boiler", "kept_words",
+        )
+    )
+
+
 def chunk_dedup_apply(
     df: DataFrame,
     text_col: str = "text",

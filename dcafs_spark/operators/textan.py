@@ -154,6 +154,76 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scores for a FIXED query term set — the retrieval
+    scoring a curation/decontamination pipeline runs against a known
+    probe set (benchmark prompts, seed-corpus queries). Emits one row
+    per document containing at least one query term:
+    (id_col, n_tokens, bm25_micro).
+
+    idf is the Lucene/ATIRE positive form ln((N − df + 0.5)/(df + 0.5)
+    + 1); per-term contribution idf · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl)).
+
+    Scale shape — zero explode, zero wide shuffle: per-doc term
+    frequencies for the (bounded) query set and the doc length are
+    ONE narrow map over the scan (a size(filter(words)) per term —
+    no (doc, term) pairs ever materialize); corpus statistics (N,
+    Σdl for avgdl, per-term document frequencies) reduce to a single
+    map-side-combined aggregate row that broadcasts back; scoring is
+    a second narrow map over the checkpointed base. Per-(doc, term)
+    contributions quantize to int64 micro-units BEFORE summing, so
+    the total is order-independent and engine-portable (ln parity is
+    the same contract the surprisal/DSIR gates rely on)."""
+    w = F.filter(words(F.col(text_col)), lambda x: x != "")
+
+    def _tf(term: str) -> Column:
+        # NB: a two-parameter lambda (e.g. `lambda x, t=t`) would make
+        # F.filter pass the ELEMENT INDEX into the second slot — the
+        # arity-dispatch trap word_shingles documents
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("long")
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)]
+    # one tokenize pass feeds the stats agg AND the scoring map
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(w).cast("long").alias("dl"), *tf_cols
+    ).localCheckpoint(eager=False)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("tot"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("long").alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    dl_over_avg = F.col("dl").cast("double") * F.col("N") / F.col("tot")
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("N") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"_tf{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * dl_over_avg)
+        contrib = F.round(idf * tf * (k1 + 1.0) / denom * 1e6).cast("long")
+        score = contrib if score is None else score + contrib
+    any_hit = None
+    for i in range(len(query_terms)):
+        hit = F.col(f"_tf{i}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select(F.col("id").alias(id_col), F.col("dl").alias("n_tokens"), score.alias("bm25_micro"))
+    )
+
+
 def grams_of(w: Column, n: int) -> Column:
     """Word n-grams (duplicates KEPT) from a words array — the single
     construction shared by ngrams/fingerprint/repetition/gopher so the

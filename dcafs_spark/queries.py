@@ -6544,6 +6544,110 @@ FROM shared
 """
 
 
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 against a fixed probe-term set — the retrieval
+    scoring a curation/decontamination pipeline runs to find documents
+    relevant to known queries (benchmark prompts, seed topics). One
+    narrow tokenize map computes per-doc tf/dl for the bounded query
+    set (no (doc, term) explode), a single broadcast stats row carries
+    N/avgdl/df, contributions quantize to micro-units before the
+    integer sum. See operators/textan.py:bm25_score for the scale
+    argument."""
+    from dcafs_spark.operators.textan import bm25_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_score(docs, ["spark", "join", "window"])
+
+
+def _sql_bm25() -> str:
+    k1, b = 1.2, 0.75
+    terms = ["spark", "join", "window"]
+    wexpr = r"string_split_regex(lower(trim(text)), '\s+')"
+    tf_sel = ",\n         ".join(
+        f"len(list_filter({wexpr}, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_sel = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(terms))
+    )
+    # op-for-op mirror of the Spark expression, constants via repr so
+    # the embedded doubles are bit-identical on both engines
+    contribs = " + ".join(
+        f"CAST(round(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * (CAST(dl AS DOUBLE) * n / tot)))"
+        f" * 1e6) AS BIGINT)"
+        for i in range(len(terms))
+    )
+    hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter({wexpr}, x -> x <> '')) AS dl,
+         {tf_sel}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot, {df_sel}
+  FROM base
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens, ({contribs}) AS bm25_micro
+FROM base CROSS JOIN stats
+WHERE {hit}
+"""
+
+
+_BOILER_BANNER = "cookie banner accept terms privacy policy subscribe newsletter footer"
+
+
+def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate stripping stats (CCNet §4.1 /
+    RefinedWeb-style): every doc gets its source's 10-word banner
+    prepended (chunk-aligned — the synthetic corpus has no natural
+    templating), and the operator must flag exactly that chunk in
+    every document of every source while content chunks stay.
+    n_boiler counts dropped chunks; kept_words is the post-strip
+    length the pipeline budgets with."""
+    from dcafs_spark.operators.dedup import source_boilerplate_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    with_banner = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.col("source"), F.lit(_BOILER_BANNER), F.col("text")).alias("text"),
+    )
+    return source_boilerplate_stats(with_banner, min_docs=3)
+
+
+def _sql_source_boilerplate() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         concat_ws(' ', source, '{_BOILER_BANNER}', text) AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM d
+), i0 AS (
+  SELECT doc_id, source, ws,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS i
+  FROM w
+), occ AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(array_to_string(ws[i*10+1 : i*10+10], ' ')), 1, 15))::BIGINT AS chash,
+         len(ws[i*10+1 : i*10+10]) AS nw
+  FROM i0
+), boiler AS (
+  SELECT source, chash FROM occ GROUP BY source, chash HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT occ.doc_id, occ.source,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN b.chash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       sum(CASE WHEN b.chash IS NULL THEN nw ELSE 0 END)::BIGINT AS kept_words
+FROM occ LEFT JOIN boiler b ON occ.source = b.source AND occ.chash = b.chash
+GROUP BY occ.doc_id, occ.source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -6710,4 +6814,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
+    # round-10 additions: retrieval scoring + per-source boilerplate
+    "bm25_score": (q_bm25_score, _sql_bm25()),
+    "source_boilerplate": (q_source_boilerplate, _sql_source_boilerplate()),
 }

@@ -100,6 +100,8 @@ HEADLINE = [
     ("dsir_importance", "fixed-size bucket weights broadcast; one tokenize pass, int rollups"),
     ("weighted_sample", "exponential-clock priorities; TakeOrdered top-k, no global sort"),
     ("temperature_mix", "one tiny lang rollup; integer DIV share/weight projection"),
+    ("bm25_score", "BM25 vs fixed probe terms: narrow tf/dl map, broadcast stats row, no (doc,term) explode"),
+    ("source_boilerplate", "per-source boilerplate: chunk-hash explode, (source,chash) distinct rollup, small marker join"),
 ]
 
 

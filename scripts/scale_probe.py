@@ -145,6 +145,12 @@ def main() -> None:
         # per-partition heap (the weighted_sample shape; zero corpus
         # shuffle, driver traffic bounded at k rows)
         "weighted_sample": lambda d: _weighted_probe(d),
+        # fixed-probe-set BM25: one narrow tf/dl map + broadcast stats
+        # row + narrow scoring map (no (doc, term) explode)
+        "bm25_score": lambda d: _bm25_probe(d),
+        # per-source boilerplate: chunk-hash explode → map-side
+        # (source, chash) distinct-doc rollup → small marker join
+        "source_boiler": lambda d: _boiler_probe(d),
         # bounded lang rollup → one pow per lang → integer DIV share/
         # weight projection (the temperature_mix shape; corpus sees
         # only the count rollup)
@@ -166,6 +172,22 @@ def main() -> None:
         return weighted_priority_sample(
             d.select("doc_id", (F.length("text") + 1).alias("w")), "w", 100, key_col="doc_id"
         ).count()
+
+    def _bm25_probe(d):
+        from dcafs_spark.operators.textan import bm25_score
+
+        return bm25_score(d, ["spark", "join", "window"]).count()
+
+    def _boiler_probe(d):
+        from dcafs_spark.operators.dedup import source_boilerplate_stats
+
+        return (
+            source_boilerplate_stats(
+                d.withColumn("source", (F.col("doc_id") % 7).cast("string")), min_docs=3
+            )
+            .agg(F.sum("n_boiler"))
+            .collect()
+        )
 
     def _temperature_probe(d):
         # lang synthesized from doc_id: cardinality stays bounded (23)

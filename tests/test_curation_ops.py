@@ -461,3 +461,67 @@ class TestCleanText:
         assert got[1] == "Hello & world 'quoted'"
         assert got[2] == "no markup at all"
         assert got[3] == "<not closed"  # unterminated tag is kept, not eaten
+
+
+class TestBm25AndBoilerplate:
+    def test_bm25_matches_python_reference(self, spark):
+        """Quantized BM25 equals an independent python implementation
+        (same Lucene positive-idf form, same micro-unit rounding)."""
+        import math
+
+        from dcafs_spark.operators.textan import bm25_score
+
+        corpus = [
+            (0, "spark join window spark spark"),
+            (1, "join join hash scan filter"),
+            (2, "window"),
+            (3, "hash scan row batch merge sort"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        terms = ["spark", "join", "window"]
+        got = {r["doc_id"]: (r["n_tokens"], r["bm25_micro"]) for r in bm25_score(df, terms).collect()}
+
+        toks = {i: [w for w in t.lower().strip().split() if w] for i, t in corpus}
+        n = len(corpus)
+        tot = sum(len(v) for v in toks.values())
+        k1, b = 1.2, 0.75
+        want = {}
+        for i, tk in toks.items():
+            score = 0
+            hit = False
+            for t in terms:
+                tf = tk.count(t)
+                dfq = sum(1 for v in toks.values() if t in v)
+                idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+                denom = tf + k1 * (1.0 - b + b * (len(tk) * n / tot))
+                score += int(round(idf * tf * (k1 + 1.0) / denom * 1e6))
+                hit = hit or tf > 0
+            if hit:
+                want[i] = (len(tk), score)
+        assert got == want
+        assert 4 not in got and 3 not in got  # no query term -> no row
+
+    def test_source_boilerplate_per_source_threshold(self, spark):
+        """A 10-word banner shared by >= min_docs docs of ONE source is
+        flagged in EVERY doc of that source; the same banner below the
+        threshold in another source is NOT flagged (per-source rule);
+        content chunks survive."""
+        from dcafs_spark.operators.dedup import source_boilerplate_stats
+
+        banner = "cookie banner accept terms privacy policy subscribe newsletter footer now"
+        assert len(banner.split()) == 10
+        mk = lambda i: f"unique content words number{i} alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}"  # noqa: E731
+        rows = (
+            [(i, "a", banner + " " + mk(i)) for i in range(3)]  # >= min_docs
+            + [(10 + i, "b", banner + " " + mk(10 + i)) for i in range(2)]  # below
+            + [(20, "a", mk(20))]  # source-a doc without the banner
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r["doc_id"]: r for r in source_boilerplate_stats(df, min_docs=3).collect()}
+        for i in range(3):  # banner flagged, content kept
+            assert got[i]["n_boiler"] == 1 and got[i]["n_chunks"] == 2
+            assert got[i]["kept_words"] == 10
+        for i in (10, 11):  # same banner, source below threshold
+            assert got[i]["n_boiler"] == 0
+        assert got[20]["n_boiler"] == 0 and got[20]["kept_words"] == 10

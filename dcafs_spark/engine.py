@@ -86,7 +86,11 @@ class Engine:
     def add_source(self, source_id: str, spec: dict) -> dict:
         """Register a stream source spec (the reference's ss:add* —
         `src/io/stream/StreamManager.java:879-911`); paths reference it
-        by id."""
+        by id. Ids are case-insensitive: ss:addtcp lowercases on
+        registration, so every lookup (ss:alter, path references,
+        start-time late binding) lowercases too — a user who registers
+        'Sensor' must be able to reference 'Sensor'."""
+        source_id = source_id.strip().lower()
         spec = {**spec, "id": source_id}
         self.sources[source_id] = spec
         return spec
@@ -100,7 +104,9 @@ class Engine:
     ) -> PathHandle:
         if isinstance(source, str):  # reference an ss: stream by id
             # resolve now if registered; else defer to start() so XML
-            # paths can load before their stream is added
+            # paths can load before their stream is added (ids are
+            # case-insensitive — see add_source)
+            source = source.strip().lower()
             source = self.sources.get(source, source)
         handle = PathHandle(path_id, source, spec)
         handle.store_cols = store_cols  # type: ignore[attr-defined]
@@ -144,7 +150,7 @@ class Engine:
                 srctype, _, dbpath = cs.get("type", "plain").partition(":")
                 data = (dbpath + "#" + cs.get("data", "")) if srctype == "sqlite" else cs.get("data", "")
                 self.add_custom_source(sid, srctype, data, parse_period_s(cs.get("interval", "1s")))
-            h.source = self.sources[sid]
+            h.source = self.sources[sid.strip().lower()]
         if not h.source or "kind" not in h.source:
             raise ValueError(
                 f"path '{path_id}' has no stream source bound — register one "
@@ -233,7 +239,11 @@ class Engine:
             if args[:1] == ["resetgroup"] and len(args) == 2:
                 return f"Reset {self.store.reset_group(args[1])} vals."
             if args[:1] == ["updategroup"] and len(args) == 3:
-                return f"Updated {self.store.update_group(args[1], float(args[2]))} vals."
+                try:
+                    val = float(args[2])
+                except ValueError:
+                    return f"Not a valid number: {args[2]}"
+                return f"Updated {self.store.update_group(args[1], val)} vals."
             snap = self.values()
             if args[:1] == ["group"] and len(args) > 1:
                 snap = [s for s in snap if s["group"] == args[1]]
@@ -338,7 +348,7 @@ class Engine:
                 # quickstart step: ss:alter,sensor,eol:cr)
                 if len(args) < 3 or ":" not in rest.split(",", 2)[2]:
                     return "Not enough arguments: ss:alter,id,param:value"
-                spec = self.sources.get(args[1])
+                spec = self.sources.get(args[1].strip().lower())
                 if spec is None:
                     return f"No such stream: {args[1]}"
                 param, _, value = rest.split(",", 2)[2].partition(":")
@@ -395,12 +405,21 @@ class Engine:
                     out.append(float(nrs[0]))
                 elif len(nrs) == 3:
                     d, m, s = (float(x) for x in nrs)
-                    out.append(round(d + (m + round(s / 60.0, 7)) / 60.0, 7))
+                    # minutes/seconds extend the magnitude AWAY from
+                    # zero: -5 30 0 is -5.5, not -4.5 (a sign-blind add
+                    # shifts every S/W coordinate ~1 degree)
+                    frac = (m + round(s / 60.0, 7)) / 60.0
+                    out.append(round(d - frac if d < 0 else d + frac, 7))
                 else:
                     return self._UNKNOWN + line
-            return "\n".join(
+            if len(out) == 1:
+                return f"{out[0]:g}"
+            pairs = [
                 f"Result: {out[i]:g} and {out[i + 1]:g}" for i in range(0, len(out) - 1, 2)
-            ) or str(out[0])
+            ]
+            if len(out) % 2:  # odd count: the tail value must not vanish
+                pairs.append(f"Result: {out[-1]:g}")
+            return "\n".join(pairs)
         if prefix == "fc":
             return self._fc_command(args, line)
         if prefix == "dbm":

@@ -41,8 +41,8 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         \{[a-z]+:[^}]+\}      # rtval ref {r:group_name}
-      | \d+\.\d+(?:[eE]-?\d+)? # float
-      | \d+(?:[eE]-?\d+)?      # int
+      | \d+\.\d+(?:[eE][-+]?\d+)? # float (exponent sign optional)
+      | \d+(?:[eE][-+]?\d+)?      # int
       | i\d+                   # field ref
       | [A-Za-z_][A-Za-z0-9_]* # name / function
       | \|\||&&|!\||<=|>=|==|!=  # two-char ops
@@ -225,7 +225,7 @@ class _Parser:
             inner = self.or_expr()
             self.expect(")")
             return inner
-        if re.fullmatch(r"\d+(\.\d+)?([eE]-?\d+)?", tok):
+        if re.fullmatch(r"\d+(\.\d+)?([eE][-+]?\d+)?", tok):
             return F.lit(float(tok))
         if re.fullmatch(r"i\d+", tok):
             if self.fields is None:

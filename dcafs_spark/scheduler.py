@@ -81,7 +81,8 @@ class Task:
     trigger: str = "execute"  # interval | clock | keyword | delay | execute
     interval_s: float | None = None
     initial_delay_s: float = 0.0
-    clock: str | None = None  # "HH:MM" UTC
+    clock: str | None = None  # "HH:MM" (UTC unless clock_local)
+    clock_local: bool = False  # localtime: triggers compare local wall-clock
     days: str | None = None  # "mo,tu,we" (None = all)
     keyword: str | None = None
     check: Check | None = None
@@ -194,7 +195,15 @@ class TaskManager:
         for i in range(attempts):
             if self._gate(task):
                 text = render_template(task.value, self.store)
-                task.action(text)
+                # actions report transport failure by returning False
+                # (dropped email/stream sends): that must COUNT as a
+                # failed step — a step taskset's failure_set is defined
+                # as running "on error", and swallowing the result made
+                # it dead code for exactly the errors it exists for.
+                # None (no status) stays success.
+                if task.action(text) is False:
+                    self.log.append((task.id, "action_failed"))
+                    return False
                 task.last_fire = _time.monotonic()
                 task.fire_count += 1
                 self.log.append((task.id, "fired"))
@@ -205,7 +214,12 @@ class TaskManager:
                     self._firing.discard(task.id)
                 return True
             if i < attempts - 1:
-                _time.sleep(self.tick_s)
+                # RETRY semantics: wait the task's configured interval
+                # between attempts (retry:10s,5 = five tries over 50 s)
+                # — the scheduler tick is only the fallback for tasks
+                # without one (the value being waited on needs time to
+                # arrive; _run_gate_task already slept interval_s)
+                _time.sleep(task.interval_s or self.tick_s)
         self.log.append((task.id, "check_failed"))
         return False
 
@@ -292,13 +306,18 @@ class TaskManager:
                 return now_mono >= self._t0 + task.initial_delay_s
             return now_mono - task.last_fire >= (task.interval_s or 0)
         if task.trigger == "clock" and task.clock:
+            # localtime: compares the host's wall clock (a 07:15 task
+            # must fire at 07:15 local, not 07:15 UTC — and weekday
+            # gating must use the local date near midnight); utctime:
+            # and bare time: stay UTC
+            now_wall = now_utc.astimezone() if task.clock_local else now_utc
             if task.days:
                 allowed = {_WEEKDAYS[d.strip()[:2].lower()] for d in task.days.split(",")}
-                if now_utc.weekday() not in allowed:
+                if now_wall.weekday() not in allowed:
                     return False
             hh, mm = task.clock.split(":")
-            target = now_utc.replace(hour=int(hh), minute=int(mm), second=0, microsecond=0)
-            due = abs((now_utc - target).total_seconds()) < max(self.tick_s, 1.0)
+            target = now_wall.replace(hour=int(hh), minute=int(mm), second=0, microsecond=0)
+            due = abs((now_wall - target).total_seconds()) < max(self.tick_s, 1.0)
             recently = task.last_fire is not None and now_mono - task.last_fire < 120
             return due and not recently
         if task.trigger == "delay":
@@ -342,7 +361,10 @@ def parse_period_s(text: str) -> float:
     total, matched = 0.0, 0
     for m in _PERIOD.finditer(text):
         total += int(m.group(1)) * _PERIOD_S[m.group(2)]
-        matched += len(m.group(0))
+        # the pattern consumes '5 m' including the space; compare both
+        # sides space-stripped or the whitespace the regex accepts
+        # would fail the full-coverage check
+        matched += len(m.group(0).replace(" ", ""))
     if matched != len(text.replace(" ", "")):
         raise ValueError(f"unparsable period: {text!r}")
     return total
@@ -366,6 +388,8 @@ def parse_trigger(spec: str) -> dict[str, Any]:
     items = rest.split(",")
     if cmd in ("time", "utctime", "localtime"):
         out: dict[str, Any] = {"trigger": "clock", "clock": items[0][:5]}
+        if cmd == "localtime":
+            out["clock_local"] = True
         if len(items) > 1 and items[1]:
             out["days"] = items[1]
         return out

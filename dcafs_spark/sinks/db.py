@@ -121,16 +121,29 @@ def _quote_ident(name: str, dialect: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
-def ddl_for(df: DataFrame, table: str, dialect: str = "sqlite", if_not_exists: bool = True) -> str:
+def ddl_for(
+    df: DataFrame,
+    table: str,
+    dialect: str = "sqlite",
+    if_not_exists: bool = True,
+    unique_cols: list[str] | None = None,
+) -> str:
     """CREATE TABLE from a DataFrame schema, per dialect (the five the
     reference ships: sqlite/mssql/mariadb/mysql/postgresql —
-    SQLDB.java:84-95 — plus a generic 'server' map)."""
+    SQLDB.java:84-95 — plus a generic 'server' map).
+
+    `unique_cols` adds a table-level UNIQUE constraint — REQUIRED when
+    the table backs an upsert (INSERT ... ON CONFLICT needs a matching
+    unique index; without it every upsert row errors and dead-letters)."""
     types = _DIALECT_TYPES.get(dialect, _SERVER_TYPES)
     cols = []
     for f in df.schema.fields:
         t = f.dataType.simpleString()
         base = t.split("(")[0]
         cols.append(f"{_quote_ident(f.name, dialect)} {types.get(base, 'TEXT')}")
+    if unique_cols:
+        uq = ", ".join(_quote_ident(c, dialect) for c in unique_cols)
+        cols.append(f"UNIQUE ({uq})")
     body = f"CREATE TABLE {_quote_ident(table, dialect)} ({', '.join(cols)})"
     if not if_not_exists:
         return body
@@ -225,11 +238,18 @@ class SqliteSink:
         if self.key_cols:
             sets = ", ".join(f'"{c}" = excluded."{c}"' for c in cols if c not in self.key_cols)
             keys = ", ".join(f'"{c}"' for c in self.key_cols)
-            insert += f" ON CONFLICT ({keys}) DO UPDATE SET {sets}"
+            # all-columns-are-key (pure dedup table): DO UPDATE SET with
+            # an empty assignment list is a syntax error that would
+            # dead-letter even valid first-time inserts
+            action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+            insert += f" ON CONFLICT ({keys}) {action}"
         con = sqlite3.connect(self.db_path)
         try:
             if self.create:
-                con.execute(ddl_for(df, self.table, "sqlite"))
+                # upserts need a unique index on the key: a plain-column
+                # CREATE leaves ON CONFLICT matching nothing, erroring
+                # EVERY row into dead_letter (silent total data loss)
+                con.execute(ddl_for(df, self.table, "sqlite", unique_cols=self.key_cols))
             cur = con.cursor()
             n = 0
             buf: list[tuple] = []

@@ -58,3 +58,18 @@ def test_constants_and_named_columns(spark):
 def test_max_field():
     assert compile_math("i0 + i5*i2").max_field == 5
     assert compile_math("1+2").max_field == -1
+
+
+def test_scientific_notation_positive_exponent(spark):
+    """'2e+3' must lex as one number (previously '2','e','+','3' — the
+    'e' silently became a column ref or a parse error)."""
+    from dcafs_spark.functions.mathfab import compile_math
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+
+    def fields(i):
+        return F.col("x")
+
+    for formula, expect in [("i0+2e+3", 2001.0), ("i0*1.5e+2", 150.0), ("i0+2e-3", 1.002)]:
+        got = df.select(compile_math(formula).column(fields).alias("r")).first()["r"]
+        assert got == expect, (formula, got)

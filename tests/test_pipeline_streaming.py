@@ -624,3 +624,82 @@ class TestIgnoresAndIssues:
         # 50: raise again
         assert iss.active
         assert iss.count == 2
+
+
+class TestRound10SchedulerReviewFixes:
+    """Review findings reproduced then fixed: action-failure handling,
+    retry pacing, localtime clocks, period whitespace."""
+
+    def test_action_failure_runs_failure_set(self):
+        from dcafs_spark.scheduler import Task, TaskManager, TaskSet
+
+        tm = TaskManager(tick_s=0.01)
+        ran: list[str] = []
+        tm.add_taskset(
+            TaskSet(
+                "main",
+                "step",
+                [
+                    Task("send", action=lambda t: False, value="x"),  # transport drop
+                    Task("after", action=lambda t: ran.append("after")),
+                ],
+                failure_set="fallback",
+            )
+        )
+        tm.add_taskset(
+            TaskSet("fallback", "oneshot", [Task("fb", action=lambda t: ran.append("fb"))])
+        )
+        assert tm.run_taskset("main") is False
+        assert ran == ["fb"]  # failure set ran, later steps did not
+        assert ("send", "action_failed") in tm.log
+
+    def test_retry_waits_configured_interval(self):
+        import time as _t
+
+        from dcafs_spark.scheduler import Check, Task, TaskManager, parse_trigger
+
+        tm = TaskManager(tick_s=0.001)
+        kw = parse_trigger("retry:100ms,3")
+        assert kw == {"trigger": "execute", "interval_s": 0.1, "retries": 3}
+        t = Task("r", action=lambda s: None, check=Check("g", "v", "above 10"), **kw)
+        t0 = _t.monotonic()
+        assert tm.fire(t) is False  # value never arrives
+        waited = _t.monotonic() - t0
+        assert waited >= 0.3  # 3 retry gaps of interval_s, not tick_s
+
+    def test_localtime_clock_uses_local_wall_time(self):
+        import os
+        import time as _t
+        from datetime import datetime, timezone
+
+        from dcafs_spark.scheduler import Task, TaskManager, parse_trigger
+
+        old_tz = os.environ.get("TZ")
+        os.environ["TZ"] = "Etc/GMT-2"  # UTC+2 (POSIX sign convention)
+        _t.tzset()
+        try:
+            tm = TaskManager(tick_s=0.5)
+            loc = Task("loc", action=lambda s: None, **parse_trigger("localtime:07:15"))
+            utc = Task("utc", action=lambda s: None, **parse_trigger("utctime:07:15"))
+            at_0515_utc = datetime(2026, 8, 12, 5, 15, 0, tzinfo=timezone.utc)  # 07:15 local
+            assert tm._due(loc, now_mono=100.0, now_utc=at_0515_utc) is True
+            assert tm._due(utc, now_mono=100.0, now_utc=at_0515_utc) is False
+            at_0715_utc = datetime(2026, 8, 12, 7, 15, 0, tzinfo=timezone.utc)  # 09:15 local
+            assert tm._due(loc, now_mono=100.0, now_utc=at_0715_utc) is False
+            assert tm._due(utc, now_mono=100.0, now_utc=at_0715_utc) is True
+        finally:
+            if old_tz is None:
+                os.environ.pop("TZ", None)
+            else:
+                os.environ["TZ"] = old_tz
+            _t.tzset()
+
+    def test_parse_period_accepts_inner_whitespace(self):
+        from dcafs_spark.scheduler import parse_period_s
+
+        assert parse_period_s("5 m") == 300.0
+        assert parse_period_s("1m 30s") == 90.0
+        import pytest
+
+        with pytest.raises(ValueError):
+            parse_period_s("5 parsecs")

@@ -1071,3 +1071,31 @@ def test_custom_step_extension_point(spark):
 
     with _pytest.raises(ValueError, match="callable"):
         compile_steps(df, [{"type": "custom"}])
+
+
+class TestEngineRound10ReviewFixes:
+    def test_stream_ids_case_insensitive(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert "Connected" in eng.command("ss:addtcp,Sensor,host:4000")
+        assert eng.command("ss:alter,Sensor,eol:cr") == "Alteration applied"
+        assert eng.sources["sensor"]["eol"] == "\r"
+        # a path referencing the mixed-case id resolves too
+        h = eng.add_path("p1", "Sensor", {"delimiter": ",", "steps": []})
+        assert isinstance(h.source, dict) and h.source["id"] == "sensor"
+
+    def test_conv_negative_degrees_and_odd_count(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        # minutes extend magnitude AWAY from zero for S/W coordinates
+        assert eng.command("conv:-5 30 0") == "-5.5"
+        out = eng.command("conv:1;2;3")  # odd count: tail must not vanish
+        assert out == "Result: 1 and 2\nResult: 3"
+
+    def test_updategroup_bad_number_is_reply_not_raise(self, spark):
+        from dcafs_spark.engine import Engine
+
+        eng = Engine(spark)
+        assert eng.command("rtvals:updategroup,sensors,abc") == "Not a valid number: abc"

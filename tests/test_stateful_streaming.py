@@ -708,3 +708,44 @@ class TestValuesStoreReviewRegressions:
         )
         store.merge_batch(df)  # previously ZeroDivisionError
         assert store.fired_log == []  # sample stdev undefined at n=1
+
+
+class TestSqliteUpsertReviewFixes:
+    """Round-10 review: upsert with create=True must actually upsert —
+    the generated table previously had no UNIQUE constraint, so every
+    ON CONFLICT insert errored into dead_letter (silent total loss)."""
+
+    def test_upsert_creates_unique_and_updates(self, spark, tmp_path):
+        from dcafs_spark.sinks.db import SqliteSink
+
+        db = str(tmp_path / "up.db")
+        sink = SqliteSink(db, "vals", key_cols=["k"])  # create=True default
+        df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+        assert sink.write_batch(df1) == 2
+        assert sink.dead_letter == []
+        # replay with one changed row: idempotent update, no dupes
+        df2 = spark.createDataFrame([(1, 11.0), (3, 30.0)], "k long, v double")
+        assert sink.write_batch(df2) == 2
+        assert sink.dead_letter == []
+        import sqlite3
+
+        con = sqlite3.connect(db)
+        rows = dict(con.execute('SELECT "k", "v" FROM "vals" ORDER BY "k"').fetchall())
+        con.close()
+        assert rows == {1: 11.0, 2: 20.0, 3: 30.0}
+
+    def test_upsert_all_columns_key_is_do_nothing(self, spark, tmp_path):
+        from dcafs_spark.sinks.db import SqliteSink
+
+        db = str(tmp_path / "dedup.db")
+        sink = SqliteSink(db, "seen", key_cols=["a", "b"])
+        df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "a long, b string")
+        sink.write_batch(df)
+        sink.write_batch(df)  # replay: no syntax error, no dead letters
+        assert sink.dead_letter == []
+        import sqlite3
+
+        con = sqlite3.connect(db)
+        n = con.execute('SELECT count(*) FROM "seen"').fetchone()[0]
+        con.close()
+        assert n == 2  # distinct keys only

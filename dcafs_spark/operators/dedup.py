@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dcafs_spark.runtime import checkpoint
+
 
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse whitespace — the canonical pre-dedup map."""
@@ -374,7 +376,7 @@ def minhash_lsh_pairs(
         sig = df.select(
             F.col(id_col).alias("id"),
             minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-        ).localCheckpoint(eager=False)
+        ).transform(checkpoint)
         return _band_join_pairs(
             _band_explode(sig, "id", num_hashes, bands),
             "id",
@@ -392,7 +394,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     # (chash, id) per doc — the only per-copy state past the map stage;
     # feeds the within-group expansion and two cross-group expansion
     # joins as cheap projections of the checkpoint
@@ -404,7 +406,7 @@ def minhash_lsh_pairs(
     rep = (
         sig_all.groupBy("chash")
         .agg(F.first("sig").alias("sig"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     banded = _band_explode(rep, "chash", num_hashes, bands)
     if bucket_cap is not None:
@@ -415,7 +417,7 @@ def minhash_lsh_pairs(
         banded = (
             banded.join(sizes.filter(F.col("_occ") <= bucket_cap), ["band", "bucket"])
             .drop("_occ")
-            .localCheckpoint(eager=False)
+            .transform(checkpoint)
         )
 
     cand = _band_join_pairs(
@@ -469,7 +471,7 @@ def ngram_jaccard_pairs(
         sh = df.select(
             F.col(id_col).alias("id"),
             shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-        ).localCheckpoint(eager=False)  # shared by both self-join sides
+        ).transform(checkpoint)  # shared by both self-join sides
         sig = sh.select(
             "id", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
         )
@@ -491,12 +493,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
         shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     members = sh_all.select("chash", "id")
     rep = (
         sh_all.groupBy("chash")
         .agg(F.first("sh").alias("sh"))
-        .localCheckpoint(eager=False)  # shared by both self-join sides
+        .transform(checkpoint)  # shared by both self-join sides
     )
     sig = rep.select(
         "chash", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
@@ -635,7 +637,7 @@ def simhash_pairs(
         # rare-duplicate fast path: band per document directly
         fp = df.select(
             F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("fp")
-        ).localCheckpoint(eager=False)  # both band-join sides
+        ).transform(checkpoint)  # both band-join sides
         return _simhash_band_join(_simhash_band_explode(fp, "id"), "id", max_hamming, "id_a", "id_b")
     # one checkpointed body pass (see minhash_lsh_pairs): chash +
     # fingerprint per doc; members/rep derive from it
@@ -643,10 +645,10 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
         simhash32(F.col(text_col)).alias("fp"),
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     members = fp_all.select("chash", "id")
     rep = (
-        fp_all.groupBy("chash").agg(F.first("fp").alias("fp")).localCheckpoint(eager=False)
+        fp_all.groupBy("chash").agg(F.first("fp").alias("fp")).transform(checkpoint)
     )
     cand = _simhash_band_join(
         _simhash_band_explode(rep, "chash"), "chash", max_hamming, "ch_a", "ch_b"
@@ -673,7 +675,9 @@ def connected_components(
     paths, so convergence is O(log(diameter)) rounds even for long
     chains — the classic Hash-to-Min / GraphX-CC shape. Each round is
     two equi-joins + a min-aggregate, all shuffles on uniformly-hashed
-    ids; `localCheckpoint` cuts lineage so round N does not re-execute
+    ids; a lineage cut (runtime.checkpoint, require_cut=True — persist
+    mode escalates to a reliable checkpoint because an actual CUT is
+    required here) keeps round N from re-executing
     rounds 1..N-1. The fixpoint test is a count of changed labels — one
     bounded action per round, no data collected. Result is independent
     of partitioning (min is commutative/associative).
@@ -683,12 +687,12 @@ def connected_components(
     )
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     for _ in range(max_iters):
         # One join does both propagation steps: real edges pull neighbor
@@ -718,7 +722,7 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("new_label"),
                 (F.coalesce("cand", F.col("label")) < F.col("label")).alias("chg"),
             )
-            .localCheckpoint(eager=False)
+            .transform(checkpoint, require_cut=True)
         )
         changed = stepped.filter("chg").count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
@@ -884,7 +888,7 @@ def source_boilerplate_stats(
             F.explode(chunks).alias("c"),
         )
         .select("id", "source", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     boiler = (
         occ.groupBy("source", "chash")
@@ -1015,7 +1019,7 @@ def incremental_dedup(
     )
     survivors = (
         fresh.withColumn("_rk", w_rank).filter(F.col("_rk") == 1).drop("_rk")
-    ).localCheckpoint(eager=True)  # compute once: returned AND appended
+    ).transform(checkpoint, eager=True)  # compute once: returned AND appended
     survivors.select("content_hash").write.mode("append").parquet(store_path)
     return survivors.drop("content_hash")
 
@@ -1114,11 +1118,11 @@ def cross_minhash_dedup(
         sig_new = new_docs.select(
             F.col(id_col).alias("id"),
             minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-        ).localCheckpoint(eager=False)
+        ).transform(checkpoint)
         sig_ref = ref_docs.select(
             F.col(id_col).alias("ref_id"),
             minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-        ).localCheckpoint(eager=False)
+        ).transform(checkpoint)
         cand = (
             _banded(sig_new, "id", []).alias("n")
             .join(
@@ -1146,7 +1150,7 @@ def cross_minhash_dedup(
             F.col(id_col).alias("id"),
             F.md5(normalize_text(F.col(text_col))).alias("chash"),
             minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-        ).localCheckpoint(eager=False)
+        ).transform(checkpoint)
 
     nall = _collapsed(new_docs)
     members_new = nall.select("chash", "id")

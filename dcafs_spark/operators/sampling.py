@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dcafs_spark.runtime import checkpoint
+
 _BUCKETS = 1_000_000
 
 
@@ -123,7 +125,7 @@ def dsir_importance(
         toks.select("id", "tgt", bucket)
         .groupBy("id", "tgt", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     bs = pre.filter(F.col("b").isNotNull()).groupBy("b").agg(
         F.sum("cnt").cast("long").alias("raw"),

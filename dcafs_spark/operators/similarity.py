@@ -27,6 +27,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dcafs_spark.runtime import checkpoint
+
 
 def dlit_array(vals: list[float]) -> Column:
     """Double-array literal in ONE py4j call (SQL-parsed server-side).
@@ -285,9 +287,9 @@ def embedding_dedup_pairs(
             "v",
             lsh_bucket(F.col("v"), planes).alias("bucket"),
             l2_norm(F.col("v")).alias("nrm"),
-        ).localCheckpoint(eager=False)
+        ).transform(checkpoint)
         return _bucket_pairs(b, "id", planes, threshold, multiprobe, "id_a", "id_b")
-    hashed = base.withColumn("chash", chash).localCheckpoint(eager=False)
+    hashed = base.withColumn("chash", chash).transform(checkpoint)
     # one checkpointed pass feeds membership, reps, and both join sides
     members = hashed.select("chash", "id")
     # copies share chash ⇒ identical v, so first() is value-deterministic
@@ -308,7 +310,7 @@ def embedding_dedup_pairs(
         "v",
         lsh_bucket(bucket_vec, planes).alias("bucket"),
         l2_norm(F.col("v")).alias("nrm"),
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     # checkpoint: the self-join references b on BOTH sides; without it
     # each side re-runs the collapse + bucket/norm map
     cand = _bucket_pairs(b, "chash", planes, threshold, multiprobe, "ch_a", "ch_b")

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dcafs_spark.runtime import checkpoint
+
 # minimal stopword profiles for the n-gram/stopword language heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "a"],
@@ -194,7 +196,7 @@ def bm25_score(
     # one tokenize pass feeds the stats agg AND the scoring map
     base = df.select(
         F.col(id_col).alias("id"), F.size(w).cast("long").alias("dl"), *tf_cols
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("N"),
         F.sum("dl").cast("long").alias("tot"),

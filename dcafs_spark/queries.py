@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dcafs_spark.runtime import checkpoint
+
 from dcafs_spark.functions.ocean import ctd_derive
 from dcafs_spark.operators.dedup import (
     exact_dedup,
@@ -1008,7 +1010,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice per row (measured 4×: 0.6→2.3 s at sf0.1). The checkpoint
     # carries only the 6 narrow projected columns — at 100 TB that is
     # 1-2% of the text it summarizes, far cheaper than double compute.
-    base = base.localCheckpoint(eager=False)
+    base = base.transform(checkpoint)
     kept = base.filter((F.col("quality_score") >= 0.6) & (F.col("lang_pred") == "en"))
     # dedup survivor = window-min over the content hash: one scan, one
     # shuffle keyed by the 16-byte hash (a groupBy+self-join would scan
@@ -2817,7 +2819,7 @@ def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consume the (tiny) per-lang rollup — one scan under a write
     per = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     totals = per.agg(
         F.sum("n_docs").alias("_total"), F.count("*").alias("_k")
     )
@@ -2985,7 +2987,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass instead of three under a write
     tfw = toks.groupBy("doc_id", "w").agg(
         F.count("*").cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     vocab = (
         tfw.groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3172,9 +3174,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # one scalar action on a metadata-cheap count
     # df derives exactly from the checkpointed tf rollup (distinct docs
     # per term == tf rows per term): one tokenize pass, not two
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).localCheckpoint(
-        eager=False
-    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).transform(checkpoint)
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "w").select(
         "doc_id",
@@ -3362,7 +3362,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct (user, day) set is checkpointed and the cohort rollup
     # DERIVES from it (min over distinct days == min over raw events):
     # one events scan instead of two under a write
-    active = days.distinct().localCheckpoint(eager=False)
+    active = days.distinct().transform(checkpoint)
     cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         active.join(cohort, "user_id")
@@ -3554,7 +3554,7 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     span = obs.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
@@ -3617,7 +3617,7 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     span = obs.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
@@ -3944,7 +3944,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)
@@ -4148,7 +4148,7 @@ def q_hourly_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("hr").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     a = hourly.select(F.col("hr"), F.col("clicks").alias("x"))
     out = None
     for lag in (0, 1):
@@ -4644,7 +4644,7 @@ def q_cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both rollups derive exactly from the checkpointed distinct
     # (user, day) set (count_distinct per day == row count; first-seen
     # == min day) — one events scan instead of two under a write
-    ud = ev.select("user_id", "day").distinct().localCheckpoint(eager=False)
+    ud = ev.select("user_id", "day").distinct().transform(checkpoint)
     daily = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     news = (
         ud.groupBy("user_id")
@@ -4783,7 +4783,7 @@ def q_levenshtein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"doc_id DIV {B}").alias("bucket"),
         F.substring("text", 1, 40).alias("head"),
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     wb = Window.partitionBy("bucket").orderBy("doc_id")
     in_bucket = heads.withColumn("lead_head", F.lead("head").over(wb))
     firsts = heads.groupBy("bucket").agg(
@@ -4990,14 +4990,14 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     totals = uni.agg(
         F.sum("c").cast("long").alias("u_total"),
     )
     pair_counts = pairs.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     t_total = pair_counts.agg(F.sum("c_xy").cast("long").alias("t_total"))
     return (
         pair_counts.filter(F.col("c_xy") >= 5)
@@ -5068,7 +5068,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
     scored = (
@@ -5353,7 +5353,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     totals = per.agg(F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k"))
     weights = per.crossJoin(F.broadcast(totals)).select(
@@ -5631,7 +5631,7 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         wins.groupBy("h", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("occ"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     multi = (
         per_doc.groupBy("h")
@@ -5704,13 +5704,13 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
     pc = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     p = (
         F.lit(0.7) * (F.col("c_xy").cast("double") / F.col("c_x"))
@@ -5983,7 +5983,7 @@ def q_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         toks.groupBy("source", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
-        .localCheckpoint(eager=False)
+        .transform(checkpoint)
     )
     ct = st.groupBy("t").agg(F.sum("c_st").cast("long").alias("c_t"))
     ts = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
@@ -6101,7 +6101,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (materializing it is what an index build does)
     emb = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     corpus = emb.select("vec_id", F.col("v").alias("embedding"))
     # eval queries: vec_id<20 rotated by a DETERMINISTIC integer-
     # rational offset per component (exact small rationals — identical
@@ -6236,7 +6236,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.0)
     sh = corpus.select(
         "doc_id", shingle_hashes(word_shingles(F.col("text"), 3)).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(checkpoint)
     j = est.join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -6496,7 +6496,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         docs.groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
-        .localCheckpoint(eager=False)  # totals + projection: one scan
+        .transform(checkpoint)  # totals + projection: one scan
     )
     # qt ∝ n^τ quantized per-lang (independent rounding — portable);
     # shares and per-doc weights are integer ratios of qt afterwards
@@ -6653,8 +6653,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
     "math_forward": (q_math_forward, SQL_MATH_FORWARD),
     "ocean_functions": (q_ocean_functions, SQL_OCEAN),
-    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
-    "generic_projection": (q_generic_projection, SQL_GENERIC),
+    # round-11 rotation (r10 verdict ask #1): the two round-10 queries
+    # that registered past the 50-slot cap get their first driver rows;
+    # unigram_surprisal (family covered in-cap by bigram_pmi /
+    # lang_confusion) and generic_projection (10x prior driver passes;
+    # projection family stays replica-checked via valmap_kv/valmap_remap)
+    # rotate out past the cap.
+    "bm25_score": (q_bm25_score, _sql_bm25()),
+    "source_boilerplate": (q_source_boilerplate, _sql_source_boilerplate()),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "current_values": (q_current_values, SQL_CURRENT_VALUES),
@@ -6814,7 +6820,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING),
     "click_attribution": (q_click_attribution, SQL_CLICK_ATTRIBUTION),
-    # round-10 additions: retrieval scoring + per-source boilerplate
-    "bm25_score": (q_bm25_score, _sql_bm25()),
-    "source_boilerplate": (q_source_boilerplate, _sql_source_boilerplate()),
+    # round-11 rotation: out of the cap (see the in-cap comment above)
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "generic_projection": (q_generic_projection, SQL_GENERIC),
 }

@@ -28,6 +28,8 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dcafs_spark.runtime import checkpoint
+
 from dcafs_spark.plans.dsl import PathSpec, compile_path
 from dcafs_spark.streaming.values_store import ValuesStore
 
@@ -137,7 +139,7 @@ class StreamingPath:
             if n_consumers > 1:
                 # materialize once, fan out — but only when something
                 # actually fans out: the checkpoint costs a full copy
-                main = main.localCheckpoint(eager=True)
+                main = main.transform(checkpoint, eager=True)
             if self.store is not None:
                 self.store.merge_batch(main, **self.store_cols)
             for sink in self.sinks:

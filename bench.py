@@ -478,6 +478,125 @@ def streaming_capacity(spark) -> dict:
     return out
 
 
+def isolated_remeasure(names: list[str]) -> dict[str, float]:
+    """Fresh-process re-measure of specific queries (min-of-2 after a
+    sf0.001 codegen warmup) — invoked as `bench.py --isolated q1 q2 ...`
+    by the drift adjudication below. A fresh JVM has none of the
+    accumulated broadcast/cleaner/GC pressure of the 144-query suite,
+    so this is the number a human would measure to decide whether a
+    >2x in-suite reading is a code regression or session drift."""
+    from dcafs_spark import get_spark
+    from dcafs_spark.queries import QUERIES
+
+    spark = get_spark("dcafs_spark_bench_isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_dir = "/root/testdata/sf0.001"
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in QUERIES:
+            continue
+        fn, _sql = QUERIES[name]
+        fn(spark, warm_dir if os.path.isdir(warm_dir) else SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    spark.stop()
+    return out
+
+
+def _prev_round_detail(repo_dir: str, detail_path: str) -> dict | None:
+    """The PRIOR ROUND's full per-query detail: prefer the committed
+    BENCH_DETAIL.json (git HEAD — local iteration runs overwrite the
+    worktree copy), fall back to whatever is on disk."""
+    import subprocess
+
+    try:
+        raw = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if raw.returncode == 0 and raw.stdout.strip():
+            return json.loads(raw.stdout)
+    except Exception:
+        pass
+    try:
+        with open(detail_path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def drift_recheck(
+    timings: dict[str, float], control_sec: float, sf: str, repo_dir: str, detail_path: str
+) -> dict:
+    """Automatic drift adjudication (r10 verdict ask #3): any query
+    whose NET-of-control ratio vs the prior round exceeds 2x gets ONE
+    fresh-process isolated re-measure recorded alongside the in-suite
+    number. Three rounds running, sub-second in-suite readings have
+    flapped ~2x with session JVM pressure on untouched code; the
+    isolated number (a clean JVM, like the judge's manual re-measure)
+    is what separates environment drift from a real regression."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_DRIFT_RECHECK", "1") == "0":
+        return {}
+    prev = _prev_round_detail(repo_dir, detail_path)
+
+    def _sfval(x):
+        try:
+            return float(x)
+        except (TypeError, ValueError):
+            return str(x)
+
+    if not prev or not prev.get("control_sec") or _sfval(prev.get("sf")) != _sfval(sf):
+        return {}
+    env = control_sec / prev["control_sec"] if prev["control_sec"] > 0 else 1.0
+    prev_q = prev.get("queries") or {}
+    flagged: list[tuple[float, str]] = []
+    for name, t in timings.items():
+        p = prev_q.get(name)
+        if p and p > 0.05 and env > 0 and (t / p) / env > 2.0:
+            flagged.append(((t / p) / env, name))
+    # worst offenders first; cap the fresh-JVM spend (~15 s startup + a
+    # few sec per query) — anything beyond the cap is still visible via
+    # its in-suite number
+    names = [n for _r, n in sorted(flagged, reverse=True)][:8]
+    if not names:
+        return {}
+    iso: dict[str, float] = {}
+    try:
+        run = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated", *names],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+        )
+        for ln in reversed(run.stdout.splitlines()):
+            if ln.strip().startswith("{"):
+                iso = json.loads(ln)
+                break
+    except Exception:
+        pass
+    out = {}
+    for name in names:
+        p = prev_q[name]
+        out[name] = {
+            "in_suite": timings[name],
+            "prev": p,
+            "net_ratio": round((timings[name] / p) / env, 2),
+            "isolated": iso.get(name),
+        }
+    return out
+
+
 def main() -> None:
     from dcafs_spark import get_spark
     from dcafs_spark.queries import QUERIES
@@ -541,6 +660,13 @@ def main() -> None:
         "waypoint_geofence", "threshold_crossings", "nation_profit", "pii_scrub",
     ]
     control_sec = round(sum(timings.get(k, 0.0) for k in control), 3)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # fresh-process adjudication of >2x net-drift queries — must read
+    # the PRIOR round's detail before this run overwrites the file
+    drift = drift_recheck(
+        timings, control_sec, sf, repo_dir, os.path.join(repo_dir, "BENCH_DETAIL.json")
+    )
     # automatic drift attribution: compare this run's frozen-control
     # total against the most recent prior round's (parsed from the
     # committed BENCH_r*.json stdout tails — round 8 was the first to
@@ -571,7 +697,6 @@ def main() -> None:
                 prev_control, prev_round = c, wrap.get("n")
         except Exception:
             continue
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -586,6 +711,8 @@ def main() -> None:
         "streaming_dedup_tier": dedup_tier,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if drift:
+        payload["drift_recheck"] = drift
     if prev_control:
         payload["control_vs_prev"] = round(control_sec / prev_control, 3)
         payload["prev_control"] = {"round": prev_round, "control_sec": prev_control}
@@ -642,4 +769,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolated":
+        print(json.dumps(isolated_remeasure(sys.argv[2:])))
+    else:
+        main()

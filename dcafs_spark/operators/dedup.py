@@ -199,7 +199,19 @@ COLLAPSE_RATIO = 0.97
 
 def approx_distinct_ratio(df: DataFrame, key: Column) -> float:
     """Estimated DISTINCT fraction of `key` over df (HLL, rsd 1%),
-    memoized on the probe plan's semantic hash. Clamped to [0, 1]."""
+    memoized on the probe plan's semantic hash. Clamped to [0, 1].
+
+    Memo-key semantics: the key is the ANALYZED PLAN's semanticHash —
+    two DIFFERENT DataFrame objects whose probe plans are semantically
+    equal (same source, same expressions) share one cached ratio BY
+    DESIGN; this is an optimizer statistic, not a per-frame value.
+    That is correctness-safe everywhere it is consumed: the ratio only
+    picks between collapse plan shapes that emit identical rows, so a
+    stale or shared ratio can cost performance, never answers. Do not
+    reuse this helper for anything where the number itself must be
+    fresh (e.g. thresholds that change WHICH rows survive — see
+    sampling.compute_stratum_counts for the deliberately-unmemoized
+    counterpart)."""
     probe = df.select(key.alias("k"))
     try:
         h = probe._jdf.queryExecution().analyzed().semanticHash()

@@ -219,15 +219,23 @@ def weighted_priority_sample(
     )
 
 
-def _stratum_counts(df: DataFrame, strata_col: str) -> list[tuple]:
-    # NOT memoized: unlike dedup's distinct-ratio probe (where both plan
-    # shapes emit identical rows, so a stale ratio is performance-only),
-    # a stale stratum count would parameterize the prefilter THRESHOLD —
-    # an undercount keeps too few rows and silently breaks the "first
-    # cap per stratum" contract. Callers looping over one frame pass
-    # stratum_counts= explicitly instead.
+def compute_stratum_counts(df: DataFrame, strata_col: str) -> list[tuple]:
+    """Exact per-stratum row counts, the ``stratum_counts=`` input to
+    :func:`capped_stratified_sample`.
+
+    NOT memoized here: unlike dedup's distinct-ratio probe (where both
+    plan shapes emit identical rows, so a stale ratio is
+    performance-only), a stale stratum count would parameterize the
+    prefilter THRESHOLD — an undercount keeps too few rows and silently
+    breaks the "first cap per stratum" contract. Callers who KNOW their
+    input is immutable (e.g. a fixed parquet snapshot, like the gated
+    queries' per-sf_dir tables) may cache the result themselves and
+    pass ``stratum_counts=`` — that is the supported amortization seam,
+    chosen over an operator-internal memo precisely because only the
+    caller can vouch for immutability. O(#strata) driver rows."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
     return [(r[0], r[1]) for r in counts.collect()]
+
 
 
 def capped_stratified_sample(
@@ -276,7 +284,7 @@ def capped_stratified_sample(
     if prefilter_margin > 0:
         target = prefilter_margin * cap + 32  # expected survivors per stratum
         if stratum_counts is None:
-            stratum_counts = _stratum_counts(df, strata_col)
+            stratum_counts = compute_stratum_counts(df, strata_col)
         dominant = [(s, n) for s, n in stratum_counts if s is not None and n > 4 * target]
         if dominant:
             dominant = sorted(dominant, key=lambda x: -x[1])[:256]

@@ -26,8 +26,9 @@ ALLOWED = {
     # k-means: k seed vectors (TakeOrdered) and k×dim centroid matrices
     ("operators/similarity.py", "kmeans_train"),
     # dominant-stratum prefilter statistics: one (value, count) row per
-    # stratum — strata are languages/sources, a bounded domain; memoized
-    ("operators/sampling.py", "_stratum_counts"),
+    # stratum — strata are languages/sources, a bounded domain; callers
+    # with immutable inputs cache via the stratum_counts= seam
+    ("operators/sampling.py", "compute_stratum_counts"),
     # JDBC sink ships rows out by design; toLocalIterator streams batches
     ("sinks/db.py", "write_batch"),
     # telnet session push: limit(max_push_lines) caps the transfer — an

@@ -344,7 +344,7 @@ def streaming_sustained_jvm(spark, rps: int | None = None, seconds: float | None
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def streaming_dedup_sustained(spark) -> dict:
+def streaming_dedup_sustained(spark, rps: int | None = None, seconds: float | None = None) -> dict:
     """Sustained run of the banded-signature ingest dedup tier
     (`streaming/dedup.py:streaming_minhash_bucket_dedup`): rate source
     → synthesized ~12-word docs drawn from a bounded phrase space (so
@@ -372,8 +372,10 @@ def streaming_dedup_sustained(spark) -> dict:
     # JVM pressure — and the default scales with the actual core count
     # instead of assuming this box.
     cores = spark.sparkContext.defaultParallelism or 32
-    rps = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_RPS", str(1400 * cores)))
-    seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
+    if rps is None:
+        rps = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_RPS", str(1400 * cores)))
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
     if rps <= 0:
         return {}
     ckpt = tempfile.mkdtemp(prefix="bench_dedup_state_")
@@ -413,15 +415,74 @@ def streaming_dedup_sustained(spark) -> dict:
             return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
         _rows, _busy, rate = _steady_rate(steady)
         state_rows = _last_state_rows(entries)
+        durs: dict[str, float] = {}
+        for e in steady:
+            for k, v in (e.get("durationMs") or {}).items():
+                durs[k] = durs.get(k, 0.0) + float(v)
+        durs = {k: round(v / len(steady), 1) for k, v in durs.items()}
         return {
             "sustained_rows_per_sec": round(rate, 1),
             "offered_rows_per_sec": rps,
             "kept_up": bool(rate >= 0.95 * rps),
             "state_rows": int(state_rows),
             "n_batches": len(steady),
+            "durations_ms": durs,
         }
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_dedup_capacity(spark) -> dict:
+    """Measured knee for the ingest-dedup tier (r10 verdict ask #7):
+    sweep offered docs/s ABOVE the keep-up default until the tier
+    stops keeping up, and name the dominant micro-batch component at
+    the first failing offer. COVERAGE documents ~85k docs/s capability
+    at cores-many source partitions on the 32-core box; the default
+    sweep (60k, 90k) brackets that claim so the tier has a measured
+    knee like the label path does. Rates scale with the actual core
+    count via SPARK_GRAFT_STREAM_DEDUP_SWEEP; empty disables."""
+    cores = spark.sparkContext.defaultParallelism or 32
+    # 60k/90k/120k at 32 cores. Fresh-session measurements (r11): keeps
+    # up at 60k (63.5k) and 90k (93.9k), breaks hard at 120k (36k
+    # sustained, addBatch 16.4 s/batch) — knee between 90k and 120k.
+    # Runs must be ≥45 s: the first 2-3 batches compile the minhash
+    # codegen at 7-8 s/batch and are dropped as warmup, so a 25 s run
+    # leaves a single still-ramping steady batch and reads 2x low.
+    default = f"{int(1875 * cores)},{int(2812 * cores)},{int(3750 * cores)}"
+    sweep_env = os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SWEEP", default)
+    if not sweep_env.strip():
+        return {}
+    rates = [int(r) for r in sweep_env.split(",") if r.strip()]
+    per_rate_sec = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SWEEP_SECONDS", "45"))
+    out: dict = {"rates": {}}
+    max_kept = 0
+    knee = None
+    for rps in rates:
+        r = _retry_if_missed(
+            lambda rps=rps: streaming_dedup_sustained(spark, rps=rps, seconds=per_rate_sec)
+        )
+        out["rates"][str(rps)] = {
+            k: r.get(k)
+            for k in ("sustained_rows_per_sec", "kept_up", "state_rows", "n_batches", "durations_ms")
+        }
+        if r.get("kept_up"):
+            max_kept = max(max_kept, rps)
+        elif knee is None:
+            knee = rps
+            durs = {
+                k: v
+                for k, v in (r.get("durations_ms") or {}).items()
+                if k != "triggerExecution"
+            }
+            if durs:
+                top = max(durs, key=durs.get)
+                out["knee_bottleneck"] = f"{top} ({durs[top]:.0f} ms/batch avg)" + (
+                    " — map-side minhash fold + state-store commit" if top == "addBatch" else ""
+                )
+    out["max_kept_up_rps"] = max_kept
+    if knee is not None:
+        out["first_failing_rps"] = knee
+    return out
 
 
 def streaming_capacity(spark) -> dict:
@@ -645,6 +706,7 @@ def main() -> None:
     # pressure and reads 28-48k docs/s run-to-run on identical code —
     # same retry-once rule as the capacity sweep
     dedup_tier = _retry_if_missed(lambda: streaming_dedup_sustained(spark))
+    dedup_capacity = streaming_dedup_capacity(spark)
 
     total = round(sum(timings.values()), 3)
     # fixed 20-query control group (stable since round 7, untouched by
@@ -709,6 +771,7 @@ def main() -> None:
         "streaming_capacity": capacity,
         "streaming_sustained_jvm": jvm_control,
         "streaming_dedup_tier": dedup_tier,
+        "streaming_dedup_capacity": dedup_capacity,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if drift:
@@ -753,8 +816,10 @@ def main() -> None:
     # durationMs breakdowns are detail-file material — drop from the
     # size-bounded tail line so query timings get the space
     tail.get("streaming_sustained", {}).pop("durations_ms", None)
-    for r in (tail.get("streaming_capacity", {}).get("rates") or {}).values():
-        r.pop("durations_ms", None)
+    tail.get("streaming_dedup_tier", {}).pop("durations_ms", None)
+    for sec in ("streaming_capacity", "streaming_dedup_capacity"):
+        for r in (tail.get(sec, {}).get("rates") or {}).values():
+            r.pop("durations_ms", None)
     while len(json.dumps(tail)) > 1800 and shown:
         shown.pop(next(reversed(shown)))
         tail["queries"] = shown

@@ -777,6 +777,132 @@ def decontaminate(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    probes: DataFrame,
+    shingle_n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Per-document contamination REPORT — the GPT-3-style overlap
+    fraction (Brown et al. 2020 App. C; also PaLM/Llama eval-overlap
+    methodology, all public): for EVERY corpus document, the fraction
+    of its distinct word ``shingle_n``-grams that also occur in the
+    probe/benchmark set. :func:`decontaminate` answers "which docs are
+    contaminated at all" (hit counts, contaminated docs only); this
+    answers "how contaminated is each doc" so a pipeline can apply a
+    threshold policy (e.g. drop > 5%, keep-and-log below) instead of a
+    binary flag.
+
+    Returns (id_col, n_shingles, n_contaminated, contam_ppm) for every
+    corpus document. contam_ppm is integer parts-per-million
+    (n_contaminated·1e6 DIV n_shingles — exact integer arithmetic,
+    bit-identical on any engine); zero-shingle docs (NULL/empty text
+    never happens — word_shingles emits ≥1 shingle — but the guard
+    stays) report (0, 0, 0).
+
+    Scale shape: identical to :func:`decontaminate` — shingles hash to
+    60-bit longs, the probe set (benchmarks are tiny next to a corpus)
+    broadcasts, and the corpus-side explode joins map-side; the only
+    shuffle is the per-doc count rollup on (id). The left join keeps
+    uncontaminated documents in the report, which a threshold policy
+    needs (an inner join would silently report only dirty docs)."""
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode_outer(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias(
+            "_sh"
+        ),
+    )
+    p_sh = (
+        probes.select(
+            F.explode(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias("_sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_probes:
+        p_sh = F.broadcast(p_sh)
+    return (
+        c_sh.join(p_sh, "_sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.when(F.col("n_shingles") > 0, F.expr("(n_contaminated * 1000000) DIV n_shingles"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contam_ppm"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    sketch_k: int = 16,
+) -> DataFrame:
+    """Asymmetric near-dup detection (quote/subset pairs): overlap
+    coefficient |A∩B| / min(|A|, |B|) over distinct-shingle sets, for
+    candidate pairs that share a bottom-k sketch hash.
+
+    WHY NOT the Jaccard band join: containment is invisible to it. A
+    200-word doc fully quoted inside a 10k-word page has Jaccard
+    ≈ 0.02 — banded minhash (tuned for J ≥ ~0.5) almost never
+    candidates the pair, yet overlap coefficient = 1.0 and a curation
+    pipeline usually wants exactly these (syndicated snippets, quoted
+    posts, header-wrapped mirrors). The bottom-k sketch (the classic
+    bottom-k minhash variant, e.g. Cohen & Kaplan 2007 — public
+    method) keys each doc on its k SMALLEST shingle hashes: if the
+    smaller set A is c-contained in B, a uniformly-hashed shared
+    shingle is as likely as any to be among A's k smallest, so the
+    pair shares ≥1 sketch slot with probability ≈ 1-(1-c)^k — for
+    c ≥ 0.8, k = 16 that is ≈ 1-1e-11; docs with ≤ k shingles are
+    sketched WHOLE (full recall). Exact verify on the full hashed
+    shingle arrays then removes false candidates.
+
+    Scale shape: the sketch join ships (8-byte hash, id) rows — k rows
+    per doc regardless of doc size; candidate (id_a, id_b) pairs are
+    DISTINCT'd as bare id pairs BEFORE the arrays join back (the
+    verify arrays never enter the dedup shuffle). Hot-key exposure:
+    a corpus-ubiquitous shingle with a small hash lands in many docs'
+    sketches — the same bounded exposure as an LSH band bucket, and
+    the verify join's key distribution is exactly the band join's.
+    Returns (id_a, id_b, overlap) with id_a < id_b, overlap ≥
+    ``threshold``, rounded to 4 decimals (portable float)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).transform(checkpoint)  # sketch explode + both verify sides read it
+    sk = sh.select("id", F.explode(F.slice(F.array_sort("sh"), 1, sketch_k)).alias("bk"))
+    cand = (
+        sk.alias("l")
+        .join(sk.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    j = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    ov = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.least(F.size("sh_a"), F.size("sh_b")),
+        4,
+    )
+    return (
+        j.select("id_a", "id_b", ov.alias("overlap"))
+        .filter(F.col("overlap") >= threshold)
+    )
+
+
 def chunk_dedup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -844,6 +970,44 @@ def chunk_dedup_stats(
     )
 
 
+def boilerplate_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """The one tokenize pass behind :func:`source_boilerplate_stats`:
+    (id, source, chash, nw) rows — one per non-overlapping
+    ``chunk_words``-word window, chash a 60-bit md5 prefix. Exposed
+    separately so the scale probe can attribute stage cost (explode vs
+    rollup vs marker join); production callers use the full stats op."""
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("chash"),
+            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.explode(chunks).alias("c"),
+    ).select("id", "source", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw"))
+
+
 def source_boilerplate_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -874,33 +1038,8 @@ def source_boilerplate_stats(
     pass. A chunk shared by most of a source concentrates 16-byte rows
     in one aggregation partition — the same bounded exposure as
     chunk_dedup_stats' window, and rows this narrow spill gracefully."""
-    w = F.split(normalize_text(F.col(text_col)), " ")
-    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("chash"),
-            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
-        ),
-    )
-    occ = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(source_col).alias("source"),
-            F.explode(chunks).alias("c"),
-        )
-        .select("id", "source", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw"))
-        .transform(checkpoint)
+    occ = boilerplate_occurrences(df, text_col, id_col, source_col, chunk_words).transform(
+        checkpoint
     )
     boiler = (
         occ.groupBy("source", "chash")

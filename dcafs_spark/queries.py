@@ -2036,6 +2036,72 @@ FROM c JOIN p USING (_sh) GROUP BY c.doc_id
 """
 
 
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-overlap report: for EVERY corpus doc, the
+    fraction (ppm) of its distinct 13-grams present in the probe set —
+    the graded signal behind a threshold policy, where `decontaminate`
+    is the binary flag. Probes = docs 10-19 themselves, so those read
+    contam_ppm = 1e6; everything else measures true cross-doc 13-gram
+    overlap (mostly 0 — the report keeps clean docs by design)."""
+    from dcafs_spark.operators.dedup import contamination_fraction
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    probes = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select("text")
+    return contamination_fraction(corpus, probes, shingle_n=13)
+
+
+_SQL_CONTAM_FRACTION = f"""
+WITH cw AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents WHERE doc_id >= 10),
+csh AS (SELECT doc_id, {_sql_shingles(13)} AS shingles FROM cw),
+c AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS _sh FROM csh),
+pw AS (SELECT {_WORDS_SQL} AS words FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+psh AS (SELECT {_sql_shingles(13)} AS shingles FROM pw),
+p AS (SELECT DISTINCT ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS _sh, 1 AS _hit FROM psh)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(coalesce(sum(_hit), 0) AS BIGINT) AS n_contaminated,
+       CAST((coalesce(sum(_hit), 0) * 1000000) // count(*) AS BIGINT) AS contam_ppm
+FROM c LEFT JOIN p USING (_sh)
+GROUP BY c.doc_id
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs (quote/subset detection): overlap
+    coefficient |A∩B|/min(|A|,|B|) ≥ 0.9 over bottom-k sketch
+    candidates — catches the contained-in pairs Jaccard banding is
+    blind to (the near corpus's suffix-extended copies contain their
+    originals completely: overlap 1.0 at Jaccard < 1)."""
+    from dcafs_spark.operators.dedup import containment_pairs
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return containment_pairs(corpus, shingle_n=3, threshold=0.9, sketch_k=16)
+
+
+def _sql_containment_pairs() -> str:
+    hashed = "list_transform(sh0, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    return f"""
+WITH corpus AS {_SQL_NEAR_CORPUS},
+w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM corpus),
+sh0 AS (SELECT doc_id, {_sql_shingles(3)} AS sh0 FROM w),
+sh AS (SELECT doc_id, {hashed} AS sh FROM sh0),
+sk AS (SELECT doc_id, unnest(list_sort(sh)[1:16]) AS bk FROM sh),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM sk l JOIN sk r ON l.bk = r.bk AND l.doc_id < r.doc_id
+),
+j AS (
+  SELECT id_a, id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b)) * 1.0 / least(len(sh_a), len(sh_b)), 4) AS overlap
+FROM j
+WHERE round(len(list_intersect(sh_a, sh_b)) * 1.0 / least(len(sh_a), len(sh_b)), 4) >= 0.9
+"""
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quantiles (p50/p90/p99) — the
     corpus-profiling pass a training-data pipeline runs before setting
@@ -6850,4 +6916,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round-11 rotation: out of the cap (see the in-cap comment above)
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "generic_projection": (q_generic_projection, SQL_GENERIC),
+    # round-11 additions: graded eval-overlap report + asymmetric
+    # (containment) near-dup pairs
+    "contamination_fraction": (q_contamination_fraction, _SQL_CONTAM_FRACTION),
+    "containment_pairs": (q_containment_pairs, _sql_containment_pairs()),
 }

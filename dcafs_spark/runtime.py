@@ -83,7 +83,9 @@ def _ensure_checkpoint_dir(spark: SparkSession) -> None:
     sc.setCheckpointDir(configured)
 
 
-def checkpoint(df: DataFrame, eager: bool = False, require_cut: bool = False) -> DataFrame:
+def checkpoint(
+    df: DataFrame, eager: bool = False, require_cut: bool = False, ephemeral: bool = False
+) -> DataFrame:
     """Cut (or pin) ``df``'s lineage per the deployment's checkpoint mode.
 
     Call as ``df.transform(checkpoint)`` (lazy) or
@@ -96,10 +98,23 @@ def checkpoint(df: DataFrame, eager: bool = False, require_cut: bool = False) ->
     keep round-N plans O(1) deep; in ``persist`` mode those escalate to
     a reliable checkpoint rather than silently growing the plan.
 
+    ``ephemeral=True`` marks frames whose lifetime is bounded by the
+    enclosing unit of work AND whose failure recovery already exists at
+    an outer layer — e.g. the streaming runner's per-micro-batch
+    fan-out materialization, where a failed batch is re-run from the
+    source via the streaming checkpoint. Those always use
+    localCheckpoint: a ``reliable`` checkpoint per micro-batch would
+    write permanent files the cleaner never deletes (cleanCheckpoints
+    is tied to driver GC timing) — an unbounded disk leak on a
+    long-running stream, for durability the streaming layer already
+    provides.
+
     All three modes produce identical rows — asserted by
     ``tests/test_runtime_checkpoint.py`` on a gated dedup query.
     """
     spark = df.sparkSession
+    if ephemeral:
+        return df.localCheckpoint(eager=eager)
     mode = checkpoint_mode(spark)
     if mode == "persist" and require_cut:
         mode = "reliable"

@@ -51,6 +51,11 @@ def get_spark(app_name: str = "dcafs_spark", shuffle_partitions: int | None = No
         # ns timestamps — read as long, convert at the edge (queries._events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # reliable-mode lineage cuts (runtime.checkpoint) write real
+        # checkpoint files; let the ContextCleaner delete them once the
+        # backing RDD is GC'd, or a long session accumulates one
+        # directory per cut (this conf is context-creation-time only)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -138,8 +138,12 @@ class StreamingPath:
             n_consumers = len(self.sinks) + (1 if self.store is not None else 0)
             if n_consumers > 1:
                 # materialize once, fan out — but only when something
-                # actually fans out: the checkpoint costs a full copy
-                main = main.transform(checkpoint, eager=True)
+                # actually fans out: the checkpoint costs a full copy.
+                # ephemeral: lifetime is this micro-batch; a failed
+                # batch re-runs from the source via the streaming
+                # checkpoint, so the deployment seam's reliable mode
+                # would only leak per-batch checkpoint files
+                main = main.transform(checkpoint, eager=True, ephemeral=True)
             if self.store is not None:
                 self.store.merge_batch(main, **self.store_cols)
             for sink in self.sinks:

@@ -603,6 +603,12 @@ def main() -> None:
         # rung under both growth modes (broadcast bucket table is
         # fixed-size, so the expected shape is ~linear tokenize+rollup)
         "dsir_importance": probes["dsir_importance"],
+        # round-11 add (r10 verdict ask #5): source_boiler grew the
+        # steepest among the r10 roster additions (~1.3x/doubling);
+        # deep rungs to 64x under both modes + the stage attribution
+        # section below adjudicate shuffle-sort log factor vs marker
+        # join degradation
+        "source_boiler": probes["source_boiler"],
     }
     deep_factors = factors + ([factors[-1] * 2] if factors[-1] >= 4 else [])
     lines += [
@@ -647,6 +653,77 @@ def main() -> None:
         "super-linearity in the exact-copy row tracks output cardinality,",
         "not shuffle skew.",
     ]
+
+    # --- source_boilerplate stage attribution (r10 verdict ask #5):
+    # which of the operator's three stages carries the growth? Timed
+    # on perturbed inflation (realistic distinct-content growth) with
+    # the occurrence frame MATERIALIZED between stages so each number
+    # is one stage's cost, not cumulative lineage.
+    def run_boiler_stages(fs):
+        from dcafs_spark.operators.dedup import boilerplate_occurrences
+
+        stage_rows = {s: [s] for s in ("boiler_occ_explode", "boiler_set_rollup", "boiler_marker_join")}
+        for n in fs:
+            d = inflate_perturbed(n).localCheckpoint(eager=True)
+            dd = d.withColumn("source", (F.col("doc_id") % 7).cast("string"))
+            _gc()
+            bests = dict.fromkeys(stage_rows, float("inf"))
+            for _ in range(2):
+                # stage 1: tokenize + chunk-hash explode, materialized
+                t0 = time.time()
+                occ = boilerplate_occurrences(dd).localCheckpoint(eager=True)
+                bests["boiler_occ_explode"] = min(bests["boiler_occ_explode"], time.time() - t0)
+                # stage 2: (source, chash) distinct-doc rollup + HAVING
+                t0 = time.time()
+                boiler = (
+                    occ.groupBy("source", "chash")
+                    .agg(F.count_distinct("id").alias("_nd"))
+                    .filter(F.col("_nd") >= 3)
+                    .select("source", "chash", F.lit(1).alias("_b"))
+                    .localCheckpoint(eager=True)
+                )
+                bests["boiler_set_rollup"] = min(bests["boiler_set_rollup"], time.time() - t0)
+                # stage 3: marker join back + per-doc rollup
+                t0 = time.time()
+                (
+                    occ.join(boiler, ["source", "chash"], "left")
+                    .groupBy("id", "source")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_chunks"),
+                        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("n_boiler"),
+                        F.sum(F.when(F.col("_b").isNull(), F.col("nw")).otherwise(0)).alias("kept_words"),
+                    )
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                bests["boiler_marker_join"] = min(bests["boiler_marker_join"], time.time() - t0)
+                occ.unpersist()
+                boiler.unpersist()
+            for s in stage_rows:
+                stage_rows[s].append(f"{bests[s]:.2f}")
+            d.unpersist()
+        lines.append("")
+        lines.append("### source_boilerplate stage attribution (perturbed inflation)")
+        lines.append("")
+        lines.append(
+            "Each stage timed in isolation (inputs materialized between stages,"
+        )
+        lines.append(
+            "best of 2): the explode is the narrow tokenize map, the set rollup"
+        )
+        lines.append(
+            "is the (source, chash) distinct-doc shuffle, the marker join is the"
+        )
+        lines.append("join-back + per-doc rollup shuffle.")
+        lines.append("")
+        lines.append("| stage | " + " | ".join(f"{n}× ({base_n * n} docs)" for n in fs) + " |")
+        lines.append("|---|" + "---|" * len(fs))
+        for s in stage_rows.values():
+            lines.append("| " + " | ".join(s) + " |")
+            print(lines[-1])
+
+    run_boiler_stages([f for f in deep_factors if f >= max(deep_factors) // 4] or deep_factors)
 
     # --- time-series family over inflated events: salt user_id so KEY
     # cardinality grows with inflation (per-key series length constant —

@@ -525,3 +525,77 @@ class TestBm25AndBoilerplate:
         for i in (10, 11):  # same banner, source below threshold
             assert got[i]["n_boiler"] == 0
         assert got[20]["n_boiler"] == 0 and got[20]["kept_words"] == 10
+
+
+class TestContaminationAndContainment:
+    def test_contamination_fraction_exact_ppm(self, spark):
+        """Fractions equal an independent python computation on distinct
+        3-gram sets; clean docs appear with 0 (report, not filter)."""
+        from dcafs_spark.operators.dedup import contamination_fraction
+
+        corpus = [
+            (0, "alpha beta gamma delta epsilon"),      # shares a prefix with probe
+            (1, "zeta eta theta iota kappa"),           # clean
+            (2, "alpha beta gamma delta epsilon"),      # exact probe copy
+        ]
+        probe = [(9, "alpha beta gamma delta epsilon")]
+        c = spark.createDataFrame(corpus, "doc_id long, text string")
+        p = spark.createDataFrame(probe, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_contaminated"], r["contam_ppm"])
+            for r in contamination_fraction(c, p.select("text"), shingle_n=3).collect()
+        }
+
+        def sh3(t):
+            w = t.split()
+            k = max(len(w) - 2, 1)
+            return {" ".join(w[i : i + 3]) for i in range(k)}
+
+        pset = sh3(probe[0][1])
+        want = {}
+        for i, t in corpus:
+            s = sh3(t)
+            hits = len(s & pset)
+            want[i] = (len(s), hits, hits * 1_000_000 // len(s))
+        assert got == want
+        assert got[1] == (3, 0, 0)          # clean doc present with 0
+        assert got[2] == (3, 3, 1_000_000)  # exact copy reads 100%
+
+    def test_containment_catches_pairs_jaccard_misses(self, spark):
+        """A short doc fully quoted inside a long page: overlap = 1.0
+        even though Jaccard is far below any banding threshold; an
+        unrelated doc pairs with nothing."""
+        from dcafs_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+        rows = [
+            (1, quote),
+            (2, filler[: len(filler) // 2] + " " + quote + " " + filler[len(filler) // 2 :]),
+            (3, "completely unrelated content about ships and oceans sailing"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["overlap"] for r in containment_pairs(df, threshold=0.9).collect()}
+        assert got == {(1, 2): 1.0}
+        jac = ngram_jaccard_pairs(df, threshold=0.3, collapse=False).collect()
+        assert all(not (r["id_a"] == 1 and r["id_b"] == 2) for r in jac)  # banding blind to it
+
+    def test_containment_small_docs_full_recall(self, spark):
+        """Docs with <= sketch_k shingles are sketched whole — an exact
+        sub-threshold overlap is computed, not missed, and filtered by
+        value; identical docs read 1.0."""
+        from dcafs_spark.operators.dedup import containment_pairs
+
+        rows = [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),       # identical -> 1.0
+            (3, "a b c d x y"),       # shares 2 of 4 shingles -> 0.5
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["overlap"] for r in containment_pairs(df, threshold=0.9).collect()}
+        assert got == {(1, 2): 1.0}
+        lo = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in containment_pairs(df, threshold=0.4).collect()
+        }
+        assert lo[(1, 3)] == 0.5 and lo[(2, 3)] == 0.5

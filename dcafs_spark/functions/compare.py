@@ -37,7 +37,9 @@ _OPS: dict[str, Callable[[Column, float], Column]] = {
     "!=": lambda c, v: c != v,
 }
 
-_NUM = r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"
+# sign-tolerant exponent, same lexing as mathfab's number token (the
+# round-10 `2e+3` fix): `<1.5e+4` and `at least +5` must parse
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
 
 
 class _PyBool:

@@ -42,3 +42,19 @@ def test_compare(spark, spec, expectations):
 def test_unparseable_raises():
     with pytest.raises(ValueError):
         compile_compare("wibble wobble")
+
+
+def test_signed_exponent_and_leading_plus():
+    """Round-11 review: the number token must accept sign-tolerant
+    exponents and a leading + (same lexing as mathfab's r10 `2e+3`
+    fix) — `<1.5e+4` previously failed to parse."""
+    from dcafs_spark.functions.compare import compile_compare_py
+
+    assert compile_compare_py("<1.5e+4")(14999.0)
+    assert not compile_compare_py("<1.5e+4")(15001.0)
+    assert compile_compare_py("at least +5")(5.0)
+    assert compile_compare_py(">=-1e-2")(-0.005)
+    assert compile_compare_py("between -1e+1 and 1e+1")(0.0)
+    # bare ranges still parse with signed bounds
+    assert compile_compare_py("-5--1")(-3.0)
+    assert compile_compare_py("1-10")(10.0)

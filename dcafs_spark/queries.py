@@ -4060,6 +4060,135 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier via correlated subquery,
+    `2_minimum_cost_supplier.sql`): the correlated
+    ``cost = (SELECT min(cost) ... WHERE same part)`` becomes a
+    two-level aggregate — per-(part, supplier) best offer, then the
+    per-part minimum equi-joined back as the filter. No window over
+    the fact table (a per-part window would sort-shuffle every offer
+    row); both rollups are map-side-combinable groupBys and the join
+    keys are 8-byte part keys. Ties keep EVERY minimal supplier —
+    deterministic without an arbitrary first(). Offers compare as
+    STORED doubles (min + equality, no float arithmetic), so the
+    DuckDB oracle matches bit-for-bit. The offers rollup is lazily
+    checkpointed: the min table and the filter join both read it, and
+    under a write that would otherwise re-scan lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("best_offer"))
+        .transform(checkpoint)
+    )
+    pm = offers.groupBy("l_partkey").agg(F.min("best_offer").alias("_pmin"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    win = offers.join(pm, "l_partkey").filter(F.col("best_offer") == F.col("_pmin"))
+    return (
+        win.join(s, win.l_suppkey == s.s_suppkey)
+        .join(p, win.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_type",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "best_offer",
+        )
+    )
+
+
+SQL_CHEAPEST_SUPPLIER = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_offer
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  GROUP BY l_partkey, l_suppkey
+),
+pm AS (SELECT l_partkey, min(best_offer) AS pmin FROM offers GROUP BY l_partkey)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_type, s_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal, best_offer
+FROM offers
+JOIN pm USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE best_offer = pmin
+"""
+
+
+def q_laggard_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting orders,
+    `21_suppliers_who_kept_orders_waiting.sql`): the EXISTS (another
+    supplier on the order) / NOT EXISTS (another supplier equally
+    late) pair becomes pure aggregates over a per-(order, supplier)
+    rollup — n_supp ≥ 2 is the EXISTS, "exactly one supplier holds
+    the order's last ship date" is the NOT EXISTS (the sole laggard).
+    Adapted to the schema's columns: the fixture lacks
+    receipt/commit dates, so "late" is the order's max l_shipdate;
+    orders restricted to finished status like Q21's o_orderstatus='F'.
+    Every comparison is on stored timestamps/integers — engine-exact.
+    Both intermediate frames fan out to two consumers each and are
+    lazily checkpointed, keeping lineitem at ONE scan under a write."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    per = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey, "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("_last"))
+        .transform(checkpoint)
+    )
+    o = per.groupBy("l_orderkey").agg(
+        F.max("_last").alias("_olast"), F.count(F.lit(1)).alias("_nsupp")
+    )
+    at_last = (
+        per.join(o.filter(F.col("_nsupp") >= 2), "l_orderkey")
+        .filter(F.col("_last") == F.col("_olast"))
+        .select("l_orderkey", "l_suppkey")
+        .transform(checkpoint)
+    )
+    solo = at_last.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_nlast"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    wait = at_last.join(solo.filter(F.col("_nlast") == 1), "l_orderkey")
+    return (
+        wait.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "numwait")
+    )
+
+
+SQL_LAGGARD_SUPPLIER = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey, l_suppkey
+),
+o AS (
+  SELECT l_orderkey, max(last_ship) AS o_last, count(*) AS n_supp
+  FROM per GROUP BY l_orderkey
+),
+at_last AS (
+  SELECT per.l_orderkey, per.l_suppkey
+  FROM per JOIN o USING (l_orderkey)
+  WHERE n_supp >= 2 AND last_ship = o_last
+),
+solo AS (
+  SELECT l_orderkey FROM at_last GROUP BY l_orderkey HAVING count(*) = 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM at_last JOIN solo USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (three disjunctive brand/size/quantity bands):
     the stress test for predicate normalization — Catalyst factors the
@@ -6920,4 +7049,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (containment) near-dup pairs
     "contamination_fraction": (q_contamination_fraction, _SQL_CONTAM_FRACTION),
     "containment_pairs": (q_containment_pairs, _sql_containment_pairs()),
+    # round-11 TPC-H join-shape additions: Q2 (correlated min) and Q21
+    # (EXISTS/NOT EXISTS as aggregates) analogues
+    "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "laggard_supplier": (q_laggard_supplier, SQL_LAGGARD_SUPPLIER),
 }

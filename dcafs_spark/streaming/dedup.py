@@ -97,12 +97,17 @@ def streaming_minhash_bucket_dedup(
     hashes): exact mirrors (all bands equal) are collapsed; partial
     collisions pass through to the precise batch tier.
 
-    Capacity note (measured round 10): the signature is computed in
-    the SOURCE stage, so keep-up is bounded by source parallelism —
-    an 8-partition source capped the tier at ~28-48k docs/s on 32
-    cores while a 32-partition source sustains ~85k. Size the ingest
-    topic/source partitions to at least the core count at these rates
-    (the expression itself runs ~260k docs/s on 32 cores).
+    Capacity note (measured round 11, clean-JVM sweep — `bench.py
+    --stream-dedup`): the signature is computed in the SOURCE stage,
+    so keep-up is bounded by source parallelism — an 8-partition
+    source capped the tier at ~28-48k docs/s on 32 cores; with
+    cores-many source partitions the tier keeps up through 160k
+    docs/s (~5000 docs/s/core) and breaks at 200k (169.6k sustained,
+    addBatch-bound: minhash fold + state-store commit). Size the
+    ingest topic/source partitions to at least the core count at
+    these rates. In-suite (after ~20 min of bench JVM pressure) the
+    same tier reads 2-5x slower — capability numbers come from the
+    isolated sweep, keep-up-under-co-load from the in-suite run.
     """
     keyed = stream_df.withColumn(
         _SIGKEY,

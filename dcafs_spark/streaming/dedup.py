@@ -97,17 +97,22 @@ def streaming_minhash_bucket_dedup(
     hashes): exact mirrors (all bands equal) are collapsed; partial
     collisions pass through to the precise batch tier.
 
-    Capacity note (measured round 11, clean-JVM sweep — `bench.py
-    --stream-dedup`): the signature is computed in the SOURCE stage,
-    so keep-up is bounded by source parallelism — an 8-partition
-    source capped the tier at ~28-48k docs/s on 32 cores; with
-    cores-many source partitions the tier keeps up through 160k
-    docs/s (~5000 docs/s/core) and breaks at 200k (169.6k sustained,
-    addBatch-bound: minhash fold + state-store commit). Size the
-    ingest topic/source partitions to at least the core count at
-    these rates. In-suite (after ~20 min of bench JVM pressure) the
-    same tier reads 2-5x slower — capability numbers come from the
-    isolated sweep, keep-up-under-co-load from the in-suite run.
+    Capacity note (measured round 11, fresh-process sweep —
+    `bench.py --stream-dedup`): the signature is computed in the
+    SOURCE stage, so keep-up is bounded by source parallelism — an
+    8-partition source capped the tier at ~28-48k docs/s on 32
+    cores; with cores-many source partitions the measured capability
+    is 110-170k docs/s (3.5-5.3k docs/s/core), addBatch-bound
+    (minhash fold + state-store commit). The 95%-of-offered keep-up
+    bar is sharp near capability and sensitive to co-load: on an
+    otherwise-idle machine the sweep keeps up through 160k (160.8k
+    sustained); co-resident with the bench's idle parent JVM the
+    same rungs read 107k@120k / 135k@160k — certified keep-up is
+    ≥60k everywhere, with the knee between 120k and 200k by
+    environment. In-suite (after ~20 min of bench JVM pressure) the
+    tier reads 2-5x slower still, which is why capability is
+    measured in a fresh process. Size ingest topic/source partitions
+    to at least the core count at these rates.
     """
     keyed = stream_df.withColumn(
         _SIGKEY,

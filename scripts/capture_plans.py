@@ -44,6 +44,9 @@ HEADLINE = [
     ("random_projection", "JL 64→8: narrow project over the scan, zero shuffle"),
     ("embedding_quantize", "int8 summaries in one fold pass, zero shuffle"),
     ("shipping_priority", "Q3 shape: dim broadcast, pushed date filters, TakeOrdered"),
+    ("cheapest_supplier", "Q2 shape: correlated min as two-level agg + equi-join filter — no window over the fact"),
+    ("laggard_supplier", "Q21 shape: EXISTS/NOT-EXISTS as aggregates over a checkpointed per-(order,supplier) rollup — one lineitem scan"),
+    ("containment_pairs", "bottom-k sketch equi-join; id-only pair dedup BEFORE the shingle-array verify join"),
     ("asof_tolerance", "same single window pass as plain as-of (tolerance = one more filled payload)"),
     ("quality_band_sample", "tiny threshold agg broadcast back; keep decision scan-side"),
     ("cross_dedup", "new-batch vs ref-corpus band join; bodies never shuffle"),

@@ -849,6 +849,7 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     sketch_k: int = 16,
+    sketch_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection (quote/subset pairs): overlap
     coefficient |A∩B| / min(|A|, |B|) over distinct-shingle sets, for
@@ -874,8 +875,15 @@ def containment_pairs(
     DISTINCT'd as bare id pairs BEFORE the arrays join back (the
     verify arrays never enter the dedup shuffle). Hot-key exposure:
     a corpus-ubiquitous shingle with a small hash lands in many docs'
-    sketches — the same bounded exposure as an LSH band bucket, and
-    the verify join's key distribution is exactly the band join's.
+    sketches — the same bounded exposure as an LSH band bucket.
+    ``sketch_cap`` (opt-in, the band-cap sibling of
+    :func:`minhash_lsh_pairs`'s bucket_cap) additionally skips any
+    sketch hash shared by more than that many docs: a boilerplate
+    shingle hashing low would otherwise put a near-quadratic bucket
+    through the candidate join. Recall degrades EXPLICITLY (a
+    containment-c pair still shares ≈ k·c uncapped slots in
+    expectation; only pairs whose ENTIRE shared sketch is
+    corpus-ubiquitous are lost) instead of melting a reducer.
     Returns (id_a, id_b, overlap) with id_a < id_b, overlap ≥
     ``threshold``, rounded to 4 decimals (portable float)."""
     sh = df.select(
@@ -883,6 +891,15 @@ def containment_pairs(
         shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).transform(checkpoint)  # sketch explode + both verify sides read it
     sk = sh.select("id", F.explode(F.slice(F.array_sort("sh"), 1, sketch_k)).alias("bk"))
+    if sketch_cap is not None:
+        sizes = sk.groupBy("bk").agg(F.count(F.lit(1)).alias("_occ"))
+        # checkpointed: both self-join sides consume the capped frame
+        # (exchange reuse does not fire under writes)
+        sk = (
+            sk.join(sizes.filter(F.col("_occ") <= sketch_cap), "bk")
+            .drop("_occ")
+            .transform(checkpoint)
+        )
     cand = (
         sk.alias("l")
         .join(sk.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))

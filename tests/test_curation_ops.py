@@ -599,3 +599,31 @@ class TestContaminationAndContainment:
             for r in containment_pairs(df, threshold=0.4).collect()
         }
         assert lo[(1, 3)] == 0.5 and lo[(2, 3)] == 0.5
+
+    def test_containment_sketch_cap_drops_hot_key_only(self, spark):
+        """A sketch hash shared by every doc (boilerplate) is skipped
+        under the cap; pairs that also share an uncapped slot still
+        surface, pairs whose ONLY shared slot was the hot key are
+        explicitly lost."""
+        from dcafs_spark.operators.dedup import containment_pairs
+
+        boiler = "common shared boilerplate words everyone has"
+        rows = [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " alpha beta gamma delta"),   # true dup of 1
+            (3, boiler + " wholly different tail here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in containment_pairs(df, threshold=0.5).collect()
+        }
+        assert (1, 2) in uncapped and (1, 3) in uncapped  # boiler links all
+        capped = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in containment_pairs(df, threshold=0.5, sketch_cap=2).collect()
+        }
+        # (1,2) survives: their non-boiler shingles are shared by only
+        # 2 docs; (1,3)'s only shared slots are the 3-doc boiler keys
+        assert (1, 2) in capped and capped[(1, 2)] == 1.0
+        assert (1, 3) not in capped and (2, 3) not in capped

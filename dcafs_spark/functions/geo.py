@@ -58,11 +58,20 @@ def utm_zone(lon: Column) -> Column:
 
 
 def utm_from_gdc(lat: Column, lon: Column) -> Column:
-    """WGS-84 lat/lon → UTM as struct(easting, northing, zone).
+    """WGS-84 lat/lon → UTM as struct(easting, northing, zone,
+    southern).
 
     Snyder (USGS PP 1395) series, the same projection the reference
     applies in GisTools.toUTM (GisTools.java:242-299). Multi-output →
-    struct column; callers `select(utm.*)` (SURVEY §2.4)."""
+    struct column; callers `select(utm.*)` (SURVEY §2.4).
+
+    The ``southern`` flag is part of the output because a UTM
+    coordinate without a hemisphere is ambiguous by definition (the
+    false-northing offset folds southern latitudes into the northern
+    range): without it, :func:`gdc_from_utm` cannot invert the
+    projection from the struct alone (round-11 review — the old
+    3-field struct forced callers to carry the hemisphere
+    out-of-band)."""
     zone = utm_zone(lon)
     lon0 = F.radians((zone.cast("double") - 1) * 6.0 - 180.0 + 3.0)
     phi = F.radians(lat)
@@ -97,7 +106,10 @@ def utm_from_gdc(lat: Column, lon: Column) -> Column:
     )
     northing = F.when(lat < 0, northing + 10000000.0).otherwise(northing)
     return F.struct(
-        easting.alias("easting"), northing.alias("northing"), zone.alias("zone")
+        easting.alias("easting"),
+        northing.alias("northing"),
+        zone.alias("zone"),
+        (lat < 0).alias("southern"),
     )
 
 

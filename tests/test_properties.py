@@ -24,7 +24,10 @@ class TestUtmRoundtrip:
         ]
         df = spark.createDataFrame(pts, "i int, lat double, lon double")
         utm = utm_from_gdc(F.col("lat"), F.col("lon"))
-        back = gdc_from_utm(utm["easting"], utm["northing"], utm["zone"], southern=F.col("lat") < 0)
+        # self-contained inverse: the hemisphere flag comes from the
+        # forward output's own struct, not the original latitude —
+        # proving a UTM struct alone is invertible (round-11 fix)
+        back = gdc_from_utm(utm["easting"], utm["northing"], utm["zone"], southern=utm["southern"])
         bad = df.select(
             (F.abs(back["lat"] - F.col("lat")) > 1e-6).alias("dlat"),
             (F.abs(back["lon"] - F.col("lon")) > 1e-6).alias("dlon"),

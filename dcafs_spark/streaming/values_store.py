@@ -249,8 +249,14 @@ class ValuesStore:
     # ----------------------------------------------- text / flag values
     def merge_text_batch(self, df: DataFrame, group="group", name="name", value="value", ts="ts") -> None:
         """TextVal flavor (RealtimeValues.java:31): last text per key —
-        the batch reduces to one max_by row per key distributedly."""
-        deltas = df.groupBy(
+        the batch reduces to one max_by row per key distributedly.
+
+        NULL texts are non-measurements and are dropped up front, the
+        same discipline as the numeric path (round-10 fix there,
+        round-11 review here): without the filter a batch whose
+        latest-ts row failed to parse overwrites a good stored text
+        with None, and an all-NULL key erases the entry."""
+        deltas = df.filter(F.col(value).isNotNull()).groupBy(
             F.col(group).alias("group"), F.col(name).alias("name")
         ).agg(F.max_by(F.col(value), F.col(ts)).alias("d_last"), F.max(ts).alias("d_ts"))
         for row in deltas.collect():

@@ -574,6 +574,16 @@ class TestSkewAndTextFlags:
         )
         store.merge_text_batch(df)
         assert store.get_text("nav", "mode") == "manual"  # last by ts
+        # NULL texts are non-measurements: a later-ts NULL must not
+        # overwrite, and an all-NULL batch must not erase (round-11
+        # review — same discipline as the numeric path's r10 fix)
+        nulls = spark.createDataFrame(
+            [("nav", "mode", None, 3), ("nav", "heading", None, 3)],
+            "group string, name string, value string, ts long",
+        )
+        store.merge_text_batch(nulls)
+        assert store.get_text("nav", "mode") == "manual"
+        assert store.get_text("nav", "heading") is None
         assert store.set_flag("nav", "alarm", "raise") is True
         assert store.set_flag("nav", "alarm", "toggle") is False
         assert store.get_flag("nav", "alarm") is False

@@ -200,7 +200,9 @@ def fields_from_table(db_path: str, table: str):
 
     con = sqlite3.connect(db_path)
     try:
-        cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        # same identifier quoting as every other sqlite statement here —
+        # a table name containing a double quote must not break out
+        cols = con.execute(f'PRAGMA table_info("{table.replace(chr(34), chr(34) * 2)}")').fetchall()
     finally:
         con.close()
     if not cols:
@@ -234,7 +236,8 @@ class SqliteSink:
         # keyword ('order', 'group') or containing spaces must not break
         # the INSERT and silently dead-letter every row
         qcols = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
-        insert = f'INSERT INTO "{self.table}" ({qcols}) VALUES ({placeholders})'
+        qtable = '"' + self.table.replace('"', '""') + '"'
+        insert = f"INSERT INTO {qtable} ({qcols}) VALUES ({placeholders})"
         if self.key_cols:
             sets = ", ".join(f'"{c}" = excluded."{c}"' for c in cols if c not in self.key_cols)
             keys = ", ".join(f'"{c}"' for c in self.key_cols)

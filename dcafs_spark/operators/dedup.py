@@ -850,6 +850,7 @@ def containment_pairs(
     threshold: float = 0.8,
     sketch_k: int = 16,
     sketch_cap: int | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection (quote/subset pairs): overlap
     coefficient |A∩B| / min(|A|, |B|) over distinct-shingle sets, for
@@ -884,40 +885,83 @@ def containment_pairs(
     containment-c pair still shares ≈ k·c uncapped slots in
     expectation; only pairs whose ENTIRE shared sketch is
     corpus-ubiquitous are lost) instead of melting a reducer.
+    ``collapse`` semantics as in :func:`minhash_lsh_pairs` (True /
+    False / None = auto via the memoized duplicate-density probe):
+    exact copies share their ENTIRE sketch, so a copy-group of size m
+    puts C(m, 2) candidate pairs through the sketch join — the
+    collapsed path sketches ONE representative per distinct normalized
+    content and re-expands copy-groups afterwards (within-group pairs
+    at overlap exactly 1.0 — identical shingle sets — cross-group
+    pairs inheriting their representatives' score). Output
+    row-identical to the direct path.
+
     Returns (id_a, id_b, overlap) with id_a < id_b, overlap ≥
     ``threshold``, rounded to 4 decimals (portable float)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).transform(checkpoint)  # sketch explode + both verify sides read it
-    sk = sh.select("id", F.explode(F.slice(F.array_sort("sh"), 1, sketch_k)).alias("bk"))
     if sketch_cap is not None:
-        sizes = sk.groupBy("bk").agg(F.count(F.lit(1)).alias("_occ"))
-        # checkpointed: both self-join sides consume the capped frame
-        # (exchange reuse does not fire under writes)
-        sk = (
-            sk.join(sizes.filter(F.col("_occ") <= sketch_cap), "bk")
-            .drop("_occ")
-            .transform(checkpoint)
+        collapse = True  # cap semantics are defined on DISTINCT-content
+        # occupancy (as minhash's bucket_cap): a flood of exact copies
+        # must not push a legitimate shingle over the cap
+    if collapse is None:
+        collapse = (
+            approx_distinct_ratio(df, F.md5(normalize_text(F.col(text_col)))) < COLLAPSE_RATIO
         )
-    cand = (
-        sk.alias("l")
-        .join(sk.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
-    j = cand.join(
-        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     ov = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.least(F.size("sh_a"), F.size("sh_b")),
         4,
     )
-    return (
-        j.select("id_a", "id_b", ov.alias("overlap"))
-        .filter(F.col("overlap") >= threshold)
-    )
+
+    def _sketch(frame: DataFrame, key: str) -> DataFrame:
+        sk = frame.select(
+            key, F.explode(F.slice(F.array_sort("sh"), 1, sketch_k)).alias("bk")
+        )
+        if sketch_cap is not None:
+            sizes = sk.groupBy("bk").agg(F.count(F.lit(1)).alias("_occ"))
+            # checkpointed: both self-join sides consume the capped
+            # frame (exchange reuse does not fire under writes)
+            sk = (
+                sk.join(sizes.filter(F.col("_occ") <= sketch_cap), "bk")
+                .drop("_occ")
+                .transform(checkpoint)
+            )
+        return sk
+
+    def _verified(frame: DataFrame, key: str, out_a: str, out_b: str) -> DataFrame:
+        sk = _sketch(frame, key)
+        cand = (
+            sk.alias("l")
+            .join(
+                sk.alias("r"),
+                (F.col("l.bk") == F.col("r.bk")) & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+            )
+            .select(F.col(f"l.{key}").alias(out_a), F.col(f"r.{key}").alias(out_b))
+            .distinct()
+        )
+        j = cand.join(
+            frame.select(F.col(key).alias(out_a), F.col("sh").alias("sh_a")), out_a
+        ).join(frame.select(F.col(key).alias(out_b), F.col("sh").alias("sh_b")), out_b)
+        return j.select(out_a, out_b, ov.alias("overlap")).filter(
+            F.col("overlap") >= threshold
+        )
+
+    if not collapse:
+        # rare-duplicate fast path: sketch + verify per document
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        ).transform(checkpoint)  # sketch explode + both verify sides read it
+        return _verified(sh, "id", "id_a", "id_b")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("chash"),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).transform(checkpoint)
+    members = base.select("chash", "id")
+    rep = (
+        base.groupBy("chash").agg(F.first("sh").alias("sh")).transform(checkpoint)
+    )  # sketch explode + both verify sides
+    scored = _verified(rep, "chash", "ch_a", "ch_b")
+    return expand_copy_groups(scored, members, "overlap", F.lit(1.0))
 
 
 def chunk_dedup_stats(

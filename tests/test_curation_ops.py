@@ -619,11 +619,39 @@ class TestContaminationAndContainment:
             for r in containment_pairs(df, threshold=0.5).collect()
         }
         assert (1, 2) in uncapped and (1, 3) in uncapped  # boiler links all
+        # cap semantics are on DISTINCT-content occupancy (docs 1+2 are
+        # exact copies -> one representative): cap=1 drops the boiler
+        # keys (2 representatives share them) while the copy-group pair
+        # (1,2) still surfaces through re-expansion at exactly 1.0
         capped = {
             (r["id_a"], r["id_b"]): r["overlap"]
-            for r in containment_pairs(df, threshold=0.5, sketch_cap=2).collect()
+            for r in containment_pairs(df, threshold=0.5, sketch_cap=1).collect()
         }
-        # (1,2) survives: their non-boiler shingles are shared by only
-        # 2 docs; (1,3)'s only shared slots are the 3-doc boiler keys
         assert (1, 2) in capped and capped[(1, 2)] == 1.0
         assert (1, 3) not in capped and (2, 3) not in capped
+
+    def test_containment_collapse_path_equivalence(self, spark):
+        """Both collapse paths emit identical rows on a copy-heavy
+        corpus (within-group pairs at exactly 1.0, cross-group pairs
+        inheriting representative scores)."""
+        from dcafs_spark.operators.dedup import containment_pairs
+
+        quote = "the quick brown fox jumps over the lazy dog tonight again"
+        rows = (
+            [(i, quote) for i in range(5)]                       # copy group
+            + [(10, quote + " plus a much longer tail " + " ".join(f"w{j}" for j in range(30)))]
+            + [(20, "entirely different material about oceans and ships sailing far")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        direct = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in containment_pairs(df, threshold=0.8, collapse=False).collect()
+        }
+        collapsed = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in containment_pairs(df, threshold=0.8, collapse=True).collect()
+        }
+        assert direct == collapsed
+        assert direct[(0, 1)] == 1.0            # within-copy-group
+        assert direct[(0, 10)] == 1.0           # quote contained in long doc
+        assert all(20 not in pair for pair in direct)

@@ -155,7 +155,23 @@ def main() -> None:
         # weight projection (the temperature_mix shape; corpus sees
         # only the count rollup)
         "temperature_mix": lambda d: _temperature_probe(d),
+        # round-11 add: per-doc eval-overlap fraction — broadcast probe
+        # set + narrow explode + per-doc rollup (the
+        # contamination_fraction shape; probe set stays FIXED as the
+        # corpus grows, like a real benchmark suite)
+        "contamination_frac": lambda d: _contam_probe(d),
     }
+
+    def _contam_probe(d):
+        from dcafs_spark.operators.dedup import contamination_fraction
+
+        return (
+            contamination_fraction(
+                d, docs.filter(F.col("doc_id") < 50).select("text"), shingle_n=8
+            )
+            .agg(F.sum("n_contaminated"))
+            .collect()
+        )
 
     def _dsir_probe(d):
         from dcafs_spark.operators.sampling import dsir_importance
@@ -609,7 +625,17 @@ def main() -> None:
         # section below adjudicate shuffle-sort log factor vs marker
         # join degradation
         "source_boiler": probes["source_boiler"],
+        # round-11 add: asymmetric containment — auto collapse makes the
+        # exact-copy mode exercise the copy-group pre-collapse (output
+        # still C(copies,2)-quadratic by construction) while perturbed
+        # measures the direct sketch join on distinct content
+        "containment": lambda d: _containment_probe(d),
     }
+
+    def _containment_probe(d):
+        from dcafs_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(d, threshold=0.9).count()
     deep_factors = factors + ([factors[-1] * 2] if factors[-1] >= 4 else [])
     lines += [
         "",

@@ -113,7 +113,12 @@ def valmap(
         df = df.withColumn(column, F.explode(F.split(col, F.lit(multi_delimiter), -1)))
         col = F.col(column)
     key = F.substring_index(col, split, 1)
-    val = F.expr(f"substring({column}, instr({column}, '{split}') + {len(split)})")
+    # backtick-quote the column and escape the split literal: a column
+    # named a keyword / containing spaces, or a split containing a
+    # quote, must not break the expression (round-11 review)
+    qcol = "`" + column.replace("`", "``") + "`"
+    qsplit = split.replace("\\", "\\\\").replace("'", "\\'")
+    val = F.expr(f"substring({qcol}, instr({qcol}, '{qsplit}') + {len(split)})")
     val = F.when(col.contains(split), val)
     if remaps:
         flat = [

@@ -57,7 +57,10 @@ def _apply_edit(
     if k == "resplit":
         # split on delim, re-template 'i0-i1...' with literal filler
         # (EditorForward.java:466-523)
-        arr = F.split(col, F.lit(a.get("delimiter", delimiter)), -1)
+        delimiter = a.get("delimiter", delimiter)  # edit-local override:
+        # the leftover append below must rejoin with the SAME delimiter
+        # the split used, not the path default (round-11 review)
+        arr = F.split(col, F.lit(delimiter), -1)
         import re
 
         parts: list[Column] = []
@@ -137,9 +140,13 @@ def _apply_edit(
         n = int(a["count"])
         return F.when(F.length(col) >= n, F.substring(col, 1, F.length(col) - n).cast("string"))
     if k == "toascii":
-        # delimited char codes → string (:576-583)
+        # delimited char codes → string (:576-583). A non-numeric code
+        # fails the ROW (the reference's parseInt throws → :113-119
+        # drops the record); array_join alone would silently skip the
+        # NULL char instead (round-11 review, same guard as redate)
         arr = F.split(col, F.lit(a.get("delimiter", delimiter)), -1)
-        return F.array_join(F.transform(arr, lambda x: F.char(x.try_cast("int"))), "")
+        chars = F.transform(arr, lambda x: F.char(x.try_cast("int")))
+        return F.when(~F.exists(chars, lambda x: x.isNull()), F.array_join(chars, ""))
     if k == "listreplace":
         # field value = index into a lookup list, offset `first` (:289-313)
         first = int(a.get("first", 0))

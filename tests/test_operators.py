@@ -188,3 +188,28 @@ def test_resplit_rtval_refs(spark):
     )
     out = ed.apply(df).first()["value"]
     assert out == "16[CTD01]-12NaN"
+
+
+class TestEditorRound11Review:
+    def test_toascii_bad_code_fails_row(self, spark):
+        """A non-numeric char code drops the record (reference parseInt
+        throws -> EditorForward.java:113-119), never silently skips."""
+        from dcafs_spark.operators.editor_forward import Edit, EditorForward
+
+        df = spark.createDataFrame([("72,105",), ("72,junk",)], "value string")
+        ed = EditorForward(edits=[Edit("toascii", {})])
+        out = [r["value"] for r in ed.apply(df).collect()]
+        assert out == ["Hi"]
+
+    def test_resplit_leftover_uses_edit_delimiter(self, spark):
+        """leftover=append rejoins with the edit's OWN delimiter when it
+        overrides the path delimiter."""
+        from dcafs_spark.operators.editor_forward import Edit, EditorForward
+
+        df = spark.createDataFrame([("a;b;c;d",)], "value string")
+        ed = EditorForward(
+            edits=[Edit("resplit", {"template": "i1_i0", "delimiter": ";", "leftover": "append"})],
+            delimiter=",",  # path delimiter differs
+        )
+        out = [r["value"] for r in ed.apply(df).collect()]
+        assert out == ["b_a;c;d"]

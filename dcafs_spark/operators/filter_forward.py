@@ -61,13 +61,12 @@ def _rule_to_predicate(rtype: str, value: str, col: Column, delimiter: str) -> C
     if rtype == "nmea":
         return nmea_checksum_ok(col)
     if rtype == "regex":
-        # reference uses String.matches = FULL match → anchor (:318-320)
-        pat = value
-        if not pat.startswith("^"):
-            pat = "^" + pat
-        if not pat.endswith("$"):
-            pat = pat + "$"
-        return col.rlike(pat)
+        # reference uses String.matches = FULL match. Wrap in a
+        # non-capturing group before anchoring: bare '^pat$' mis-anchors
+        # top-level alternation ('a|b' → '^a|b$' = (^a)|(b$), a partial
+        # match) and a pattern ending in an escaped \$ would skip the
+        # anchor entirely (round-11 review)
+        return col.rlike(f"^(?:{value})$")
     if rtype == "math":
         # numeric predicate over split fields: 'i0 < 10 && i1 > 2' (:349-379)
         arr = F.split(col, F.lit(delimiter), -1)

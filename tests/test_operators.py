@@ -213,3 +213,12 @@ class TestEditorRound11Review:
         )
         out = [r["value"] for r in ed.apply(df).collect()]
         assert out == ["b_a;c;d"]
+
+    def test_regex_rule_full_match_alternation(self, spark):
+        """String.matches is whole-string: 'abc|xy' must not pass
+        'zabc' (prefix-anchored alternation bug) nor 'xyz'."""
+        from dcafs_spark.operators.filter_forward import FilterForward
+
+        df = spark.createDataFrame([("abc",), ("xy",), ("zabc",), ("xyz",)], "value string")
+        got = [r["value"] for r in FilterForward(rules=[("regex", "abc|xy")]).apply(df).collect()]
+        assert sorted(got) == ["abc", "xy"]

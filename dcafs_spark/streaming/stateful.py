@@ -63,16 +63,22 @@ def _update_fn(history_n: int):
             hist = list(hist)
         else:
             last, vmin, vmax, cnt, total, hist, last_ts = None, math.inf, -math.inf, 0, 0.0, [], -math.inf
-        for pdf in pdfs:
-            # drop NULL value/ts rows up front: a NaN value would make
-            # cnt disagree with the skipna sum (wrong avg), poison the
-            # history ring (NaN hist_avg/stdev once it enters), and a
-            # NaN ts sorts last, freezing last_value
-            pdf = pdf.dropna(subset=["value", "ts"]).sort_values("ts")
+        # drop NULL value/ts rows up front: a NaN value would make
+        # cnt disagree with the skipna sum (wrong avg), poison the
+        # history ring (NaN hist_avg/stdev once it enters), and a
+        # NaN ts sorts last, freezing last_value.
+        # Concat ALL chunks before the ts sort: a key whose batch spans
+        # several Arrow chunks arrives in arbitrary cross-chunk order,
+        # and sorting per chunk would interleave the history ring out
+        # of event-time order (round-11 review). Memory is bounded by
+        # one key's rows in one micro-batch — the rtvals regime is many
+        # keys × few rows each.
+        frames = [p.dropna(subset=["value", "ts"]) for p in pdfs]
+        frames = [p for p in frames if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values("ts") if len(frames) > 1 else frames[0].sort_values("ts")
             vals = pdf["value"].astype(float)
             ts = pdf["ts"].astype(float)
-            if len(vals) == 0:
-                continue
             vmin = min(vmin, vals.min())
             vmax = max(vmax, vals.max())
             cnt += len(vals)

@@ -1047,6 +1047,10 @@ class Engine:
             if len(args) < 4:
                 return "Not enough arguments: fc:addrollover,id,count,unit,format,zip?"
             fc.rollover = args[3]
+            # the count was previously dropped (every-2-hours became
+            # hourly, round-11 review); multiples of min/hour/day bucket
+            # by epoch floor-division in the collector
+            fc.rollover_count = int(args[2]) if args[2].isdigit() and int(args[2]) > 0 else 1
             fc.zip_rollover = len(args) > 5 and args[5].lower() in ("yes", "true", "1")
             return "Rollover added"
         if verb == "addheader":

@@ -81,6 +81,11 @@ class FileCollector:
     path: str
     fmt: str = "text"  # text | csv | parquet
     rollover: str | None = None  # min|hour|day|week|month|year
+    # "every N units" (reference rollover count, FileCollector.java:157):
+    # multiples of min/hour/day bucket by epoch floor-division; week/
+    # month/year multiples fall back to every-1 (calendar multiples have
+    # no fixed-width epoch bucket)
+    rollover_count: int = 1
     skipcount: int = 0
     header: str | None = None
     ts_col: str = "ts"
@@ -94,9 +99,16 @@ class FileCollector:
             df = decimate(df, self.skipcount, self.ts_col)
         if self.rollover:
             unit = _ROLLOVER_TRUNC[self.rollover.lower()]
+            secs = {"minute": 60, "hour": 3600, "day": 86400}.get(unit)
+            if self.rollover_count > 1 and secs is not None:
+                width = secs * self.rollover_count
+                bucket = F.timestamp_seconds(
+                    F.expr(f"unix_timestamp({self.ts_col}) DIV {width}") * width
+                )
+            else:
+                bucket = F.date_trunc(unit, F.col(self.ts_col))
             df = df.withColumn(
-                "rollover",
-                F.date_format(F.date_trunc(unit, F.col(self.ts_col)), "yyyy-MM-dd'T'HH.mm"),
+                "rollover", F.date_format(bucket, "yyyy-MM-dd'T'HH.mm")
             )
             parts = ["rollover"]
         if self.fmt == "text":

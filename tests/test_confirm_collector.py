@@ -63,3 +63,24 @@ def test_retry_then_drain_reports_every_queued_message():
     assert results == [("a", False), ("b", False), ("c", False)]
     assert c.failed == ["a", "b", "c"]
     assert c.is_empty()
+
+
+def test_rollover_count_buckets_by_multiple(spark, tmp_path):
+    """fc 'every 30 min' rollover: rows at :00/:25/:35 land in two
+    30-minute partitions (the count was previously dropped and every
+    row got its own minute/hour bucket)."""
+    from dcafs_spark.sinks.file_collector import FileCollector
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2026-01-01 10:00:00"),
+            ("b", "2026-01-01 10:25:00"),
+            ("c", "2026-01-01 10:35:00"),
+        ],
+        "value string, ts string",
+    ).selectExpr("value", "cast(ts as timestamp) as ts")
+    fc = FileCollector(str(tmp_path / "out"), rollover="min", rollover_count=30)
+    out, parts = fc._prepare(df)
+    got = {r["rollover"] for r in out.select("rollover").collect()}
+    assert parts == ["rollover"]
+    assert got == {"2026-01-01T10.00", "2026-01-01T10.30"}

@@ -1103,6 +1103,15 @@ _CURATED_EVIDENCE = [
     "candidate set rather than any hot key (the exact-copy hazard stays",
     "collapsed; per-rung ratios over 1×→128× are 1.5-2.3×, no cliff).",
     "",
+    "### containment 128× perturbed rung (round 11, isolated, best-of-2)",
+    "",
+    "containment_pairs at 128× (640 000 docs, 64 partitions, threshold",
+    "0.9): 27.16 s — 1.68× its 64× cell (16.16 s), sub-quadratic and in",
+    "line with the bottom-k sketch join's candidate growth on distinct",
+    "content; 32 768 pairs emitted (each doc's within-copy internal",
+    "near-dups only — the perturbation kills cross-copy matches, so the",
+    "output is growth-mode-correct).",
+    "",
     "### Embedding collapse restructure (round 9)",
     "",
     "The vector collapse moved from a Window over the raw ~512-byte",

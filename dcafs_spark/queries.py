@@ -1559,6 +1559,85 @@ FROM walk GROUP BY node
 """
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization tier (Jégou et al. 2011): encode every
+    embedding to 8 codebook indices (8 bytes — a 32× compression of
+    the 64-dim vector) and score an asymmetric-distance (ADC) estimate
+    of the squared distance to a fixed query via per-subspace lookup
+    tables. The gate pins the encode + ADC MECHANICS with
+    data-independent seeded codebooks shared as literals by both
+    engines (the trained path, `similarity.train_pq`, is
+    numpy-differential-tested like the IVF trainer); distances
+    quantize to int64 micro-units before the argmin so a float ulp can
+    never flip a code cross-engine.
+
+    Scale shape: encode is one narrow map (m·k dot products/row, no
+    shuffle); ADC scoring touches only the 8-byte codes + m broadcast
+    k-entry tables — the corpus-side vector reads drop out entirely,
+    which is the point of PQ at 100 TB."""
+    from dcafs_spark.operators.similarity import (
+        hyperplanes,
+        pq_adc_distance,
+        pq_code,
+        pq_codebooks_fixed,
+    )
+
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    query = hyperplanes(64, 1, seed=9)[0]
+    emb = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    coded = emb.select(
+        "vec_id", pq_code(F.col("v"), books, quantize_micro=True).alias("_codes")
+    )
+    return coded.select(
+        "vec_id",
+        F.array_join(F.transform("_codes", lambda x: x.cast("string")), ",").alias("pq_code"),
+        F.round(pq_adc_distance(F.col("_codes"), query, books) * 1e6)
+        .cast("long")
+        .alias("adc_micro"),
+    )
+
+
+def _sql_similarity_pq() -> str:
+    from dcafs_spark.operators.similarity import hyperplanes, pq_codebooks_fixed
+
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    query = hyperplanes(64, 1, seed=9)[0]
+    m, k, dsub = 8, 16, 8
+    ds_cols = []
+    for s in range(m):
+        terms = []
+        for c in books[s]:
+            cn2 = sum(x * x for x in c)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            terms.append(
+                f"CAST(round(({cn2!r} - 2.0 * list_dot_product(v[{s * dsub + 1}:{(s + 1) * dsub}],"
+                f" {clit})) * 1000000.0) AS BIGINT)"
+            )
+        ds_cols.append(f"[{', '.join(terms)}] AS ds{s}")
+    code_cols = ", ".join(
+        f"list_position(ds{s}, list_min(ds{s})) - 1 AS code{s}" for s in range(m)
+    )
+    adc_terms = []
+    for s in range(m):
+        qs = query[s * dsub : (s + 1) * dsub]
+        table = [sum((q - x) ** 2 for q, x in zip(qs, c)) for c in books[s]]
+        tlit = "[" + ", ".join(repr(x) for x in table) + "]::DOUBLE[]"
+        adc_terms.append(f"list_extract({tlit}, code{s} + 1)")
+    csv = ", ".join(f"code{s}" for s in range(m))
+    return f"""
+WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, {', '.join(ds_cols)} FROM emb),
+c AS (SELECT vec_id, {code_cols} FROM d)
+SELECT vec_id,
+       concat_ws(',', {csv}) AS pq_code,
+       CAST(round(({' + '.join(adc_terms)}) * 1000000.0) AS BIGINT) AS adc_micro
+FROM c
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors partition into cells by nearest centroid
     (train-free: centroids = first 8 vectors); queries probe their 2
@@ -7053,4 +7132,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # (EXISTS/NOT EXISTS as aggregates) analogues
     "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "laggard_supplier": (q_laggard_supplier, SQL_LAGGARD_SUPPLIER),
+    "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
 }

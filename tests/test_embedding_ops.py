@@ -192,3 +192,75 @@ def test_quantize_nan_inf_null_all_summaries(spark):
     ok = got[2]  # finite vector still quantizes: scale=127/2
     assert (ok["q_min"], ok["q_max"], ok["q_nnz"]) == (-127, 64, 2)
     assert ok["q_sum"] == -63 and ok["q_sq_sum"] == 64 * 64 + 127 * 127
+
+
+class TestProductQuantization:
+    def test_kmeans_l2_matches_numpy_lloyds(self, spark):
+        """Distributed euclidean Lloyd's equals a numpy reference with
+        the same deterministic init (first-k by id) and iteration
+        count, including the first-min tie rule."""
+        import numpy as np
+
+        from dcafs_spark.operators.similarity import kmeans_train_l2
+
+        rng = np.random.RandomState(3)
+        X = rng.randn(60, 4).round(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        got = kmeans_train_l2(df, k=4, dim=4, iters=4, vec_col="embedding")
+
+        cents = X[:4].astype(float).copy()
+        for _ in range(4):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # numpy argmin = first min
+            new = cents.copy()
+            for c in range(4):
+                if (assign == c).any():
+                    new[c] = X[assign == c].mean(axis=0)
+            if np.allclose(new, cents, rtol=0, atol=0):
+                break
+            cents = new
+        assert np.allclose(np.array(got), cents, atol=1e-9)
+
+    def test_pq_encode_and_adc_reconstruction(self, spark):
+        """Vectors sitting exactly ON codebook centroids encode to
+        those centroids and score ADC distance equal to the true
+        squared distance from the query."""
+        from pyspark.sql import functions as F
+
+        from dcafs_spark.operators.similarity import pq_adc_distance, pq_code
+
+        # m=2 subspaces of dim 2, k=2 entries each
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [-1.0, -1.0]]]
+        rows = [
+            (1, [0.0, 0.0, 2.0, 2.0]),   # codes (0, 0)
+            (2, [1.0, 1.0, -1.0, -1.0]), # codes (1, 1)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        query = [0.0, 0.0, 0.0, 0.0]
+        out = {
+            r["vec_id"]: (list(r["c"]), r["adc"])
+            for r in df.select(
+                "vec_id",
+                pq_code(F.col("v"), books).alias("c"),
+                pq_adc_distance(pq_code(F.col("v"), books), query, books).alias("adc"),
+            ).collect()
+        }
+        assert out[1][0] == [0, 0] and abs(out[1][1] - 8.0) < 1e-12   # 0 + (2²+2²)
+        assert out[2][0] == [1, 1] and abs(out[2][1] - 4.0) < 1e-12   # (1+1) + (1+1)
+
+    def test_pq_quantized_mode_matches_raw(self, spark):
+        """quantize_micro changes comparison arithmetic, not answers,
+        away from micro-unit ties."""
+        from pyspark.sql import functions as F
+
+        from dcafs_spark.operators.similarity import pq_code, pq_codebooks_fixed
+
+        books = pq_codebooks_fixed(8, 2, 4, seed=5)
+        rows = [(i, [float((i * 7 + j * 3) % 11) / 11 for j in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        raw = df.select(pq_code(F.col("v"), books).alias("c")).collect()
+        qtz = df.select(pq_code(F.col("v"), books, quantize_micro=True).alias("c")).collect()
+        assert [list(r["c"]) for r in raw] == [list(r["c"]) for r in qtz]

@@ -25,6 +25,8 @@ ALLOWED = {
     ("operators/waypoint.py", "process_batch"),
     # k-means: k seed vectors (TakeOrdered) and k×dim centroid matrices
     ("operators/similarity.py", "kmeans_train"),
+    # euclidean variant (PQ codebooks): same bounded k×dim traffic
+    ("operators/similarity.py", "kmeans_train_l2"),
     # dominant-stratum prefilter statistics: one (value, count) row per
     # stratum — strata are languages/sources, a bounded domain; callers
     # with immutable inputs cache via the stratum_counts= seam

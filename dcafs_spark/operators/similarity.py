@@ -621,3 +621,123 @@ def pq_adc_distance(
         term = F.element_at(dlit_array(table), F.element_at(codes, s + 1) + 1)
         total = term if total is None else total + term
     return total
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark semantic duplicates WITHIN each cluster
+    — pairs whose cosine clears `threshold` — keeping, per duplicate
+    neighborhood, the member FARTHEST from its centroid (the paper's
+    keep-low-centroid-similarity rule, which preserves diversity at
+    the cluster fringe). Returns one row per vector:
+    (vec_id, cluster, c_sim_micro, kept).
+
+    Dominance semantics (deterministic, no connected components): x is
+    dropped iff SOME near-duplicate neighbor y beats it — c_sim(y) <
+    c_sim(x), ties on the micro-quantized similarity broken by lower
+    id. A chain A~B~C therefore keeps every local minimum rather than
+    electing one global representative per component; that matches the
+    paper's per-pair pruning (ε-dedup is pairwise, not transitive) and
+    keeps the decision local to a cluster partition.
+
+    Scale shape (100 TB): centroid assignment is a NARROW map — the
+    k×dim centroid matrix rides as one flat plan literal (broadcast
+    implicitly), each row computes k folds, no shuffle. The only
+    shuffle keys on the cluster id (pairing is a within-cluster
+    self-join), so cluster occupancy bounds the quadratic term — a
+    production run trains k ≈ N/5000 centroids (`kmeans_train_l2`,
+    or sphere k-means via `kmeans_train`) so the expected cluster
+    holds ~5k vectors; this gate pins a FIXED seeded centroid set so
+    the DuckDB oracle can replay assignment verbatim (the trained
+    path is numpy-differential-tested instead — data-dependent float
+    reductions don't replicate bit-for-bit in portable SQL).
+    Centroid scores micro-quantize (int64, 1e-6) BEFORE the argmax
+    and the dominance compare, so a float ulp can never flip a
+    cluster assignment or a keep decision cross-engine; pair cosines
+    round to 6 dp like every other similarity gate.
+
+    Zero-norm vectors have no direction: they assign to cluster 0
+    (all scores tie at 0) and are excluded from pairing (cosine
+    undefined), so they always come back kept=true.
+    """
+    k = len(centroids)
+    dim = len(centroids[0])
+    flat = dlit_array([x / (math.sqrt(sum(c * c for c in cen)) or 1.0) for cen in centroids for x in cen])
+    didx = F.sequence(F.lit(0), F.lit(dim - 1))
+    kidx = F.sequence(F.lit(0), F.lit(k - 1))
+
+    v = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def score(j: Column) -> Column:
+        # dot(v, centroid_j / |centroid_j|): |v| is a common positive
+        # factor across j, so it cancels out of the argmax.
+        d = F.aggregate(
+            didx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(F.col("_v"), i + 1) * F.element_at(flat, j * dim + i + 1),
+        )
+        return F.round(d * 1e6).cast("long")
+
+    scored = v.select(
+        "_id",
+        "_v",
+        F.transform(kidx, score).alias("_scores"),
+        l2_norm(F.col("_v")).alias("_norm"),
+    ).select(
+        "_id",
+        "_v",
+        "_norm",
+        (F.array_position(F.col("_scores"), F.array_max("_scores")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_max("_scores").alias("c_sim_micro"),
+    )
+    scored = checkpoint(scored)  # feeds both join sides + the output
+
+    side = scored.filter(F.col("_norm") > 0.0)
+    left = side.select(
+        F.col("cluster").alias("_cl"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("c_sim_micro").alias("_csa"),
+    )
+    right = side.select(
+        F.col("cluster").alias("_cl"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("c_sim_micro").alias("_csb"),
+    )
+    pairs = (
+        left.join(right, "_cl")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+    )
+    # x (= _ida) is dominated when the neighbor sits closer to the
+    # cluster fringe: lower c_sim, ties to the lower id.
+    dropped = (
+        pairs.filter(
+            (F.col("_csb") < F.col("_csa"))
+            | ((F.col("_csb") == F.col("_csa")) & (F.col("_idb") < F.col("_ida")))
+        )
+        .select(F.col("_ida").alias("_id"))
+        .distinct()
+    )
+    return (
+        scored.join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias("vec_id"),
+            "cluster",
+            "c_sim_micro",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

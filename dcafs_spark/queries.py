@@ -6949,6 +6949,373 @@ GROUP BY occ.doc_id, occ.source
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the perturbed embedding corpus: cluster by fixed
+    seeded centroids, mark within-cluster cosine-0.995 duplicates,
+    keep the fringe member (lowest centroid similarity). The planted
+    perturbed copies (vec_id ≥ 100000) are near-exact duplicates of
+    their sources, so each such pair must resolve to exactly one
+    kept=false row. Fixed centroids pin the MECHANICS for the oracle;
+    a production run trains k ≈ N/5000 centroids with
+    `kmeans_train_l2` so cluster occupancy (the only join key) stays
+    bounded — see the operator docstring for the 100 TB shape."""
+    from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
+
+    cents = hyperplanes(64, 6, seed=21)
+    emb = _perturbed_embeddings(spark, sf_dir)
+    return semantic_dedup(emb, cents, threshold=0.995, id_col="vec_id", vec_col="v")
+
+
+def _sql_semantic_dedup() -> str:
+    from dcafs_spark.operators.similarity import hyperplanes
+
+    cents = hyperplanes(64, 6, seed=21)  # unit-norm already
+    lits = [f"[{', '.join(repr(x) for x in c)}]::DOUBLE[]" for c in cents]
+    scores = ", ".join(
+        f"CAST(round(list_dot_product(v, {lits[j]}) * 1000000.0) AS BIGINT)"
+        for j in range(len(cents))
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, v FROM {_SQL_PERTURBED} e),
+sc AS (
+  SELECT vec_id, v, [{scores}] AS scores,
+         sqrt(list_dot_product(v, v)) AS nrm
+  FROM emb
+),
+a AS (
+  SELECT vec_id, v, nrm,
+         CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS cluster,
+         list_max(scores) AS c_sim_micro
+  FROM sc
+),
+pairs AS (
+  SELECT l.vec_id AS ida, l.c_sim_micro AS csa,
+         r.vec_id AS idb, r.c_sim_micro AS csb
+  FROM a l JOIN a r ON l.cluster = r.cluster AND l.vec_id <> r.vec_id
+  WHERE l.nrm > 0 AND r.nrm > 0
+    AND round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= 0.995
+),
+dropped AS (
+  SELECT DISTINCT ida AS vec_id FROM pairs
+  WHERE csb < csa OR (csb = csa AND idb < ida)
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, cluster, c_sim_micro,
+       (d.vec_id IS NULL) AS kept
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change,
+    `6_forecast_revenue_change.sql`): the pure scan-side query — every
+    predicate (ship year, discount band, quantity cap) pushes to the
+    parquet scan, the aggregate is a single map-side partial with a
+    one-row exchange. This is the shape whose 100 TB cost IS the scan:
+    no join, no wide shuffle, throughput bound by column-chunk decode.
+    Discounts are generated at exactly 2dp, so the band compare is a
+    stored-double-vs-literal equality class both engines share;
+    revenue uses the exact cent-sum (`_dsum`) because
+    price x discount carries 4-6 true decimals."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_FORECAST = f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting,
+    `10_returned_item_reporting.sql`): revenue lost to returns per
+    customer over one quarter, top 20. The quarter filter pushes to
+    the orders scan and the R-flag filter to the lineitem scan BEFORE
+    the join, so the fact-fact join sees two pre-thinned inputs;
+    customer and nation attach afterwards (nation broadcast, customer
+    an 8-byte-key equi-join against an already-tiny aggregate). The
+    top-20 is sort+limit = TakeOrderedAndProject — k rows of driver
+    traffic, never a global sort. Ties under the exact cent-sum
+    revenue break on c_custkey, making the limit deterministic
+    cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-07-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+WITH rev AS (
+  SELECT o_custkey, {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  GROUP BY o_custkey
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name, revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification,
+    `11_important_stock_identification.sql`): per-part "inventory
+    value" held by one nation's suppliers, keeping parts above a
+    fixed fraction of the nation's total. The schema has no partsupp,
+    so the part-supplier value relation derives from lineitem
+    (price x quantity), same adaptation as the Q2 analogue. The
+    HAVING-vs-scalar-subquery becomes: per-part exact cent-sums
+    (checkpointed — ONE lineitem scan feeds both the totals and the
+    filter), the grand total reduced EXACTLY in decimal from those
+    per-part values (a double re-sum would be partition-order
+    dependent at the ulp, and the threshold compare sits right on
+    it), broadcast as a one-row literal crossJoin. value and
+    threshold are then identical doubles in both engines, so the
+    > compare can never flip cross-engine."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .transform(checkpoint)
+    )
+    tot = pv.agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") * F.lit(0.001)).alias("_thr")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("_thr"))
+        .select(F.col("l_partkey").cast("long").alias("l_partkey"), "value")
+    )
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH s AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+pv AS (
+  SELECT l_partkey, {_sql_dsum('l_extendedprice * l_quantity')} AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM s)
+  GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 AS thr FROM pv)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, value
+FROM pv CROSS JOIN tot
+WHERE value > thr
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority,
+    `12_shipping_modes_and_order_priority.sql`): fact-fact join +
+    conditional two-way count. The schema has no l_shipmode, so the
+    mode dimension is the ship QUARTER (same cardinality class: a
+    handful of buckets); the CASE-on-priority aggregation is
+    verbatim. Both counts come out of ONE pass — the classic
+    conditional-aggregation rewrite that avoids scanning the join
+    twice; the ship-year filter pushes to the lineitem scan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", F.quarter("l_shipdate").cast("int").alias("ship_quarter"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("ship_quarter")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY quarter(l_shipdate)
+"""
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship,
+    `16_parts_supplier_relationship.sql`): how many DISTINCT suppliers
+    can deliver each (brand, type, size) combination, excluding one
+    brand, one type and the complaint suppliers. The part-supplier
+    relation derives from lineitem (no partsupp in the schema) via a
+    distinct on the two 8-byte keys; "customer complaints" maps to
+    negative account balance. The NOT IN subquery is a left-anti join
+    (never materializes matches); part attributes attach AFTER the
+    distinct so the dedup shuffles 16 bytes per row, not part strings;
+    count(DISTINCT) then runs on already-distinct pairs — Spark
+    plans the two-level expand without a second dedup pass."""
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        rel.join(bad, rel.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, rel.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_PART_SUPPLIER_VARIETY = """
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion,
+    `20_potential_part_promotion.sql`): suppliers from one nation who
+    shipped MORE THAN HALF of a widget-class part's 1997 volume — the
+    nested IN (parts) / correlated availqty-vs-half-of-shipped
+    subqueries become a semi-join chain: part-name filter semi-joins
+    the fact rollup, per-(part, supplier) quantity vs half the
+    per-part total replaces availqty (no partsupp in the schema),
+    and the winning pairs semi-join supplier before the broadcast
+    nation filter. Quantities are integral doubles, so sq > 0.5 * tq
+    is exact binary arithmetic — no cross-engine boundary. One
+    lineitem scan feeds both rollup levels via the checkpoint."""
+    widget = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qty = (
+        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .transform(checkpoint)
+    )
+    tot = qty.groupBy("l_partkey").agg(F.sum("_sq").alias("_tq"))
+    dom = (
+        qty.join(tot, "l_partkey")
+        .filter(F.col("_sq") > F.lit(0.5) * F.col("_tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+    )
+
+
+SQL_DOMINANT_SUPPLIER = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget')
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, sum(sq) AS tq FROM qty GROUP BY l_partkey),
+dom AS (
+  SELECT DISTINCT l_suppkey FROM qty JOIN tot USING (l_partkey) WHERE sq > 0.5 * tq
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
@@ -7133,4 +7500,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "laggard_supplier": (q_laggard_supplier, SQL_LAGGARD_SUPPLIER),
     "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
+    # round-11 completion of the TPC-H shape set (all 22 now gated):
+    # Q6 scan-agg, Q10 top-k returns, Q11 value-vs-global-fraction,
+    # Q12 conditional two-way count, Q16 distinct-supplier variety,
+    # Q20 nested-semi-join dominance
+    "revenue_forecast": (q_revenue_forecast, SQL_REVENUE_FORECAST),
+    "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+    "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
+    "part_supplier_variety": (q_part_supplier_variety, SQL_PART_SUPPLIER_VARIETY),
+    "dominant_supplier": (q_dominant_supplier, SQL_DOMINANT_SUPPLIER),
+    # SemDeDup (Abbas et al. 2023): the cluster-then-pairwise semantic
+    # dedup tier — complements the exact/minhash/simhash/ngram/LSH tiers
+    "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
 }

@@ -703,3 +703,48 @@ def test_cross_dedup_collapse_paths_identical(spark):
     assert got[1] == (10, 1.0)  # exact copy: best ref match, min ref id on tie
     assert got[2] == (10, 1.0)
     assert 4 not in got  # unrelated doc survives
+
+
+def test_semantic_dedup_keeps_cluster_fringe(spark):
+    """SemDeDup dominance: of a near-dup pair the member with LOWER
+    centroid similarity survives (the paper's diversity rule)."""
+    from dcafs_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.0]),      # c_sim 10.0 — closer to centroid
+        (2, [9.99, 0.3, 0.0, 0.0]),      # near-dup of 1, c_sim 9.99 — fringe
+        (3, [0.0, 5.0, 0.0, 0.0]),       # other cluster, alone
+        (4, [0.0, 0.0, 0.0, 0.0]),       # zero vector: no direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert len(out) == 4
+    assert out[1]["kept"] is False and out[2]["kept"] is True
+    assert out[1]["cluster"] == 0 and out[3]["cluster"] == 1
+    assert out[3]["kept"] is True
+    assert out[4]["kept"] is True and out[4]["cluster"] == 0  # all-tie argmax → index 0
+
+
+def test_semantic_dedup_tie_breaks_on_id(spark):
+    """Equal micro-quantized centroid similarity: the LOWER id wins."""
+    from dcafs_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0]]
+    rows = [(7, [5.0, 0.1]), (9, [5.0, -0.1])]  # same dot with centroid
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert out == {7: True, 9: False}
+
+
+def test_semantic_dedup_clusters_isolate_pairs(spark):
+    """Identical vectors in DIFFERENT clusters are never compared —
+    the within-cluster join is the whole candidate set."""
+    from dcafs_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = [(1, [3.0, 1.0]), (2, [-3.0, -1.0])]  # antipodal → clusters 0/1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert out[1]["cluster"] != out[2]["cluster"]
+    assert out[1]["kept"] and out[2]["kept"]

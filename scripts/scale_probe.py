@@ -614,9 +614,47 @@ def main() -> None:
             lines.append("| " + " | ".join(row) + " |")
             print(lines[-1])
 
+    def run_semantic_dedup():
+        """SemDeDup under perturbed inflation, two parameterizations:
+        the gate's FIXED 6 centroids (within-cluster pairs grow
+        O(N²/6) — small-SF shape, expected to diverge, same story as
+        dedup_embedding_8plane) vs centroid count scaled with the
+        corpus (k = N/2000 → constant expected occupancy, the
+        production rule the operator docstring prescribes)."""
+        from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
+
+        for label, k_of_n in (
+            ("semantic_dedup_k6 (fixed)", lambda _n_rows: 6),
+            ("semantic_dedup_kN/2000", lambda n_rows: max(6, n_rows // 2000)),
+        ):
+            row = [label]
+            prev = None
+            for n in factors:
+                d = inflate_emb_perturbed(n).localCheckpoint(eager=True)
+                cents = hyperplanes(64, k_of_n(emb_n * n), seed=21)
+                _gc()
+                best = float("inf")
+                reps = 2
+                for r in range(4):
+                    if r >= reps:
+                        if prev is None or best <= 2.5 * prev:
+                            break
+                        _gc()
+                    t0 = time.time()
+                    semantic_dedup(d, cents, 0.995, id_col="vec_id", vec_col="v").agg(
+                        F.sum(F.col("kept").cast("long"))
+                    ).collect()
+                    best = min(best, time.time() - t0)
+                prev = best
+                row.append(f"{best:.2f}")
+                d.unpersist()
+            lines.append("| " + " | ".join(row) + " |")
+            print(lines[-1])
+
     emb_n = emb.count()
     run_emb_dedup()
     run_emb_operator()
+    run_semantic_dedup()
 
     # --- dedup growth modes: the two shuffle-heaviest text ops, probed
     # under BOTH inflation modes and one extra doubling (64×) past the

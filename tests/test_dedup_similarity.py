@@ -748,3 +748,86 @@ def test_semantic_dedup_clusters_isolate_pairs(spark):
     out = {r["vec_id"]: r.asDict() for r in semantic_dedup(emb, cents, threshold=0.99).collect()}
     assert out[1]["cluster"] != out[2]["cluster"]
     assert out[1]["kept"] and out[2]["kept"]
+
+
+def test_semantic_dedup_chain_keeps_local_minima(spark):
+    """A~B~C chain (A,C not mutual dups): dominance is pairwise, so
+    every vector beaten by SOME near-dup neighbor drops — B loses to
+    its fringe-ward neighbor even though A also loses to B's other
+    side. Only the per-neighborhood minimum survives."""
+    from dcafs_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0]]
+    # c_sim order: a > b > c; cos(a,b), cos(b,c) >= thr; cos(a,c) < thr
+    rows = [
+        (1, [10.2, 0.0, 0.0]),
+        (2, [10.0, 0.8, 0.0]),
+        (3, [9.8, 1.6, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, cents, threshold=0.995)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    import math as m
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(x * x for x in b)))
+
+    assert cos(rows[0][1], rows[1][1]) >= 0.995 and cos(rows[1][1], rows[2][1]) >= 0.995
+    assert cos(rows[0][1], rows[2][1]) < 0.995
+    assert kept == {1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """Differential oracle: seeded random corpus with planted near-dups
+    vs a direct python implementation of assignment + dominance."""
+    import math as m
+    import random as _random
+
+    from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
+
+    rng = _random.Random(99)
+    dim, n = 16, 80
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+    rows = [(i, base[i]) for i in range(n)]
+    # plant near-dups of the first 10 vectors
+    rows += [
+        (1000 + i, [x * 1.001 + 0.003 for x in base[i]]) for i in range(10)
+    ]
+    cents = hyperplanes(dim, 4, seed=5)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["c_sim_micro"], r["kept"])
+        for r in semantic_dedup(emb, cents, threshold=0.995).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # python reference (centroids already unit-norm from hyperplanes)
+    scores = {
+        vid: [round(dot(v, c) * 1e6) for c in cents] for vid, v in rows
+    }
+    ref_cluster = {vid: s.index(max(s)) for vid, s in scores.items()}
+    ref_csim = {vid: max(s) for vid, s in scores.items()}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        return round(dot(a, b) / (m.sqrt(dot(a, a)) * m.sqrt(dot(b, b))), 6)
+
+    dropped = set()
+    ids = sorted(vecs)
+    for x in ids:
+        for y in ids:
+            if x == y or ref_cluster[x] != ref_cluster[y]:
+                continue
+            if cos(vecs[x], vecs[y]) < 0.995:
+                continue
+            if (ref_csim[y], 0) < (ref_csim[x], 0) or (
+                ref_csim[y] == ref_csim[x] and y < x
+            ):
+                dropped.add(x)
+    assert len(got) == len(rows)
+    for vid in vecs:
+        assert got[vid] == (ref_cluster[vid], ref_csim[vid], vid not in dropped), vid
+    assert any(not k for _, _, k in got.values())  # planted dups found

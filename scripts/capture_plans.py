@@ -105,6 +105,13 @@ HEADLINE = [
     ("temperature_mix", "one tiny lang rollup; integer DIV share/weight projection"),
     ("bm25_score", "BM25 vs fixed probe terms: narrow tf/dl map, broadcast stats row, no (doc,term) explode"),
     ("source_boilerplate", "per-source boilerplate: chunk-hash explode, (source,chash) distinct rollup, small marker join"),
+    ("revenue_forecast", "Q6: every predicate in PushedFilters, one-row exchange"),
+    ("returned_items", "Q10: both fact filters pushed pre-join; TakeOrderedAndProject top-20"),
+    ("important_parts", "Q11: per-part cent-sums checkpointed; exact-decimal total broadcast as 1-row crossJoin"),
+    ("shipmode_priority", "Q12: conditional two-way count, one join pass"),
+    ("part_supplier_variety", "Q16: 16-byte pair distinct before part attrs; complaints left-anti"),
+    ("dominant_supplier", "Q20: broadcast widget semi-join; two-level qty rollup off one scan"),
+    ("semantic_dedup", "SemDeDup: k-fold literal assignment map; only shuffle keys on cluster id"),
 ]
 
 

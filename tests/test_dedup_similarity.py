@@ -831,3 +831,39 @@ def test_semantic_dedup_matches_python_reference(spark):
     for vid in vecs:
         assert got[vid] == (ref_cluster[vid], ref_csim[vid], vid not in dropped), vid
     assert any(not k for _, _, k in got.values())  # planted dups found
+
+
+def test_semantic_dedup_with_trained_centroids(spark):
+    """Production path: kmeans_train_l2 centroids feed semantic_dedup.
+    Two well-separated gaussian blobs + planted near-dups: training
+    must put the blobs in different clusters, and each planted pair
+    resolves to exactly one dropped member regardless of which cluster
+    its blob landed in."""
+    import random as _random
+
+    from dcafs_spark.operators.similarity import kmeans_train_l2, semantic_dedup
+
+    rng = _random.Random(7)
+    dim = 8
+    rows = []
+    for i in range(30):  # blob A around +5 on dim0
+        rows.append((i, [5.0 + rng.gauss(0, 0.3) if d == 0 else rng.gauss(0, 0.3) for d in range(dim)]))
+    for i in range(30, 60):  # blob B around -5 on dim0
+        rows.append((i, [-5.0 + rng.gauss(0, 0.3) if d == 0 else rng.gauss(0, 0.3) for d in range(dim)]))
+    # planted near-dups: one per blob
+    rows.append((1000, [x * 1.0005 + 0.0005 for x in rows[3][1]]))
+    rows.append((1001, [x * 1.0005 + 0.0005 for x in rows[33][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_train_l2(emb, k=2, dim=dim, iters=8)
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(emb, cents, threshold=0.999).collect()}
+
+    assert out[0]["cluster"] != out[30]["cluster"]  # blobs separated
+    for src, copy in ((3, 1000), (33, 1001)):
+        assert out[src]["cluster"] == out[copy]["cluster"]
+        assert out[src]["kept"] != out[copy]["kept"]  # exactly one survives
+    # non-planted members of tight-but-not-duplicate blobs stay kept
+    # unless they genuinely clear the 0.999 bar against a fringe-ward
+    # neighbor; the planted pairs must be among the dropped
+    dropped = {vid for vid, r in out.items() if not r["kept"]}
+    assert dropped & {3, 1000} and dropped & {33, 1001}

@@ -107,19 +107,28 @@ def valmap(
     {key: {raw_value: stored_text}} — a raw value with no entry passes
     through unchanged. Compiled to a map literal + element_at, so the
     lookup stays in codegen (no join, no UDF) — at 100 TB this is a
-    per-row O(1) probe against a broadcast-free constant."""
+    per-row O(1) probe against a broadcast-free constant.
+
+    Record acceptance matches `processSingle` (`ValMap.java:49-60`)
+    exactly: a record produces a (key, value) row ONLY when it splits
+    into exactly two parts under Java semantics — trailing empty
+    strings removed first (``"t:"`` → one part), so ``"t:"``,
+    ``"bare"``, ``""`` and over-split records like ``"t:a:b"``
+    (reference logs *No proper delimited data* and returns) all DROP.
+    ``":v"`` is a legitimate empty-key record. The split matches as a
+    LITERAL (\\Q…\\E-quoted in the pattern — a split containing the
+    two-char sequence ``\\E`` is unsupported), per the round-11 review;
+    the reference's `Tools.fromEscapedStringToBytes` delimiters are
+    plain characters, where Java regex split is literal-equivalent."""
     col = F.col(column)
     if multi_delimiter:
         df = df.withColumn(column, F.explode(F.split(col, F.lit(multi_delimiter), -1)))
         col = F.col(column)
-    key = F.substring_index(col, split, 1)
-    # backtick-quote the column and escape the split literal: a column
-    # named a keyword / containing spaces, or a split containing a
-    # quote, must not break the expression (round-11 review)
-    qcol = "`" + column.replace("`", "``") + "`"
-    qsplit = split.replace("\\", "\\\\").replace("'", "\\'")
-    val = F.expr(f"substring({qcol}, instr({qcol}, '{qsplit}') + {len(split)})")
-    val = F.when(col.contains(split), val)
+    qpat = "\\Q" + split + "\\E"
+    stripped = F.regexp_replace(col, "(?:" + qpat + ")+$", "")
+    parts = F.split(stripped, qpat, -1)
+    key = F.element_at(parts, 1)
+    val = F.element_at(parts, 2)
     if remaps:
         flat = [
             x
@@ -129,8 +138,12 @@ def valmap(
         ]
         lut = F.create_map(*flat)
         val = F.coalesce(F.element_at(lut, F.concat_ws("\x00", key, val)), val)
-    return df.select(
-        *[c for c in df.columns if c != column],
-        key.alias("key"),
-        val.alias("value"),
+    return (
+        df.withColumn("_vm_parts", parts)
+        .filter(F.size("_vm_parts") == 2)
+        .select(
+            *[c for c in df.columns if c != column],
+            key.alias("key"),
+            val.alias("value"),
+        )
     )

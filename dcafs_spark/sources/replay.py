@@ -35,7 +35,15 @@ def read_lines(spark: SparkSession, path: str, origin: str | None = None) -> Dat
     ts_part = F.to_timestamp(F.substring_index("value", "\t", 1))
     rest = F.expr("substring(value, instr(value, '\t') + 1)")
     return (
-        df.withColumn("ts", F.when(has_ts, ts_part).otherwise(F.current_timestamp()))
+        # coalesce: a line can match the prefix regex yet fail the full
+        # to_timestamp parse (e.g. "2024-01-02T03:04:05garbage...") —
+        # that's a bare line with NO recorded time, not a NULL-ts row
+        df.withColumn(
+            "ts",
+            F.when(has_ts, F.coalesce(ts_part, F.current_timestamp())).otherwise(
+                F.current_timestamp()
+            ),
+        )
         .withColumn("value", F.when(has_ts & F.col("value").contains("\t"), rest).otherwise(F.col("value")))
         .withColumn("origin", F.lit(origin or os.path.basename(path)))
     )

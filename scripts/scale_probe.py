@@ -623,13 +623,19 @@ def main() -> None:
         production rule the operator docstring prescribes)."""
         from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
 
-        for label, k_of_n in (
-            ("semantic_dedup_k6 (fixed)", lambda _n_rows: 6),
-            ("semantic_dedup_kN/2000", lambda n_rows: max(6, n_rows // 2000)),
+        for label, k_of_n, fs in (
+            # fixed-k rungs stop at 4x: at 16x the dominant cluster's
+            # within-cluster join collapses to ONE straggler task
+            # (~N^2/2 cosine folds — observed >25 min at 32k vectors
+            # before being killed), which IS the divergence story; the
+            # 4x bend plus the DNF note carry it without burning the
+            # probe session
+            ("semantic_dedup_k6 (fixed)", lambda _n_rows: 6, [f for f in factors if f <= 4]),
+            ("semantic_dedup_kN/2000", lambda n_rows: max(6, n_rows // 2000), factors),
         ):
             row = [label]
             prev = None
-            for n in factors:
+            for n in fs:
                 d = inflate_emb_perturbed(n).localCheckpoint(eager=True)
                 cents = hyperplanes(64, k_of_n(emb_n * n), seed=21)
                 _gc()
@@ -648,6 +654,7 @@ def main() -> None:
                 prev = best
                 row.append(f"{best:.2f}")
                 d.unpersist()
+            row += ["DNF (1-task straggler)"] * (len(factors) - len(fs))
             lines.append("| " + " | ".join(row) + " |")
             print(lines[-1])
 

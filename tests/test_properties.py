@@ -402,14 +402,16 @@ class TestValMapFuzz:
             for r in valmap(df, split=":", multi_delimiter=";").select("i", "key", "value").collect()
         ]
 
+        # java String.split reference: trailing empty strings removed,
+        # exactly-2-part records accepted, everything else dropped
+        # (ValMap.java:49-60 — len>2 logs an error and returns, len==1
+        # only reaches the empty-key mapping, never emits a pair)
         want = []
         for i, ln in enumerate(lines):
             for rec in ln.split(";"):
-                if ":" in rec:
-                    k, _, v = rec.partition(":")
-                else:
-                    k, v = rec, None
-                want.append((i, k, v))
+                parts = rec.rstrip(":").split(":") if rec.rstrip(":") else []
+                if len(parts) == 2:
+                    want.append((i, parts[0], parts[1]))
         assert sorted(got, key=str) == sorted(want, key=str)
 
 

@@ -119,3 +119,40 @@ def streaming_minhash_bucket_dedup(
         banded_signature(F.col(text_col), shingle_n, num_hashes, bands),
     )
     return _first_wins(keyed, _SIGKEY, ts_col, watermark)
+
+
+def streaming_embedding_bucket_dedup(
+    stream_df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Keep the first document per sign-LSH embedding bucket — the
+    embedding-space sibling of the minhash tier, for ingest pipelines
+    that carry an encoder output alongside the text.
+
+    The bucket id is the SAME `similarity.lsh_bucket` expression the
+    batch operator uses (same plane literals → ingest and batch agree
+    on what a bucket is). Near-identical vectors (θ ≈ 0) share every
+    sign bit with probability (1-θ/π)^H, so re-encoded mirrors
+    collapse here while genuinely distinct vectors pass through to
+    the precise batch pair-verify tier — the same
+    coarse-prefilter/precise-batch split as the minhash tier.
+
+    State: one 8-byte bucket key per kept doc (the vector itself never
+    enters the state store); with a watermark the key expires at the
+    horizon. Plane-count note: use the production n_planes =
+    ceil(log2(expected docs per horizon)) + 3 rule — too few planes
+    over-collapses (false drops of similar-but-distinct docs), which
+    for a PREFILTER is a recall loss in the corpus, not just extra
+    work downstream. Anisotropic encoders: center the planes'
+    input upstream or pass mean-shifted planes; the streaming tier
+    deliberately does NOT compute a corpus mean (a stream has no
+    fixed corpus to average — see embedding_dedup_pairs' center
+    contract).
+    """
+    from dcafs_spark.operators.similarity import lsh_bucket
+
+    keyed = stream_df.withColumn(_SIGKEY, lsh_bucket(F.col(vec_col), planes))
+    return _first_wins(keyed, _SIGKEY, ts_col, watermark)

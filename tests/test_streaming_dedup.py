@@ -149,3 +149,63 @@ class TestStreamingMinhashBucketDedup:
         assert sigs[1] == sigs[2] != sigs[3]
         pairs = minhash_lsh_pairs(df).collect()
         assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+class TestStreamingEmbeddingBucketDedup:
+    def test_reencoded_mirrors_collapse_distinct_pass(self, spark, tmp_path):
+        """Near-identical vectors (re-encoded mirrors) share every sign
+        bit and collapse first-wins across micro-batches; a genuinely
+        different vector survives."""
+        import json
+
+        from dcafs_spark.operators.similarity import hyperplanes
+        from dcafs_spark.streaming.dedup import streaming_embedding_bucket_dedup
+
+        planes = hyperplanes(4, 8, 42)
+        v = [0.9, 0.2, -0.4, 0.1]
+        near = [x * 1.0005 + 0.0001 for x in v]
+        other = [-0.7, 0.6, 0.3, -0.5]
+        watch = tmp_path / "we"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(json.dumps(v) + "\n" + json.dumps(other) + "\n")
+        rows: list = []
+        q = _run_stream(
+            spark,
+            watch,
+            lambda df: streaming_embedding_bucket_dedup(
+                df.withColumn("embedding", F.from_json("value", "array<double>")),
+                planes,
+            ),
+            rows,
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+            (watch / "b2.txt").write_text(json.dumps(near) + "\n")  # later mirror
+            time.sleep(0.3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(r["value"] for r in rows) == sorted(
+            [json.dumps(v), json.dumps(other)]
+        )
+
+    def test_bucket_identity_matches_batch_operator(self, spark):
+        """Stream and batch agree on bucket identity: the stream tier
+        keys on the SAME lsh_bucket expression the batch pair operator
+        buckets with."""
+        from dcafs_spark.operators.similarity import hyperplanes, lsh_bucket
+
+        planes = hyperplanes(4, 8, 42)
+        v = [0.9, 0.2, -0.4, 0.1]
+        near = [x * 1.0005 + 0.0001 for x in v]
+        other = [-0.7, 0.6, 0.3, -0.5]
+        df = spark.createDataFrame(
+            [(1, v), (2, near), (3, other)], "vec_id long, embedding array<double>"
+        )
+        b = {
+            r["vec_id"]: r["b"]
+            for r in df.select(
+                "vec_id", lsh_bucket(F.col("embedding"), planes).alias("b")
+            ).collect()
+        }
+        assert b[1] == b[2] != b[3]

@@ -629,6 +629,7 @@ def semantic_dedup(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic duplicates WITHIN each cluster
@@ -665,6 +666,12 @@ def semantic_dedup(
     Zero-norm vectors have no direction: they assign to cluster 0
     (all scores tie at 0) and are excluded from pairing (cosine
     undefined), so they always come back kept=true.
+
+    `cluster_cap` (opt-in): clusters with more than this many vectors
+    skip the pair search — members return kept=true — bounding the
+    worst-case join fan-out when centroid quality can't be vouched
+    for (see the inline comment; trained centroids are the primary
+    occupancy control, the cap is the wedge guard).
     """
     k = len(centroids)
     dim = len(centroids[0])
@@ -705,6 +712,24 @@ def semantic_dedup(
     scored = checkpoint(scored)  # feeds both join sides + the output
 
     side = scored.filter(F.col("_norm") > 0.0)
+    if cluster_cap is not None:
+        # opt-in straggler guard, same contract as the band-join
+        # bucket_cap / containment_pairs occupancy cap: a cluster
+        # holding more than cluster_cap vectors skips the pair search
+        # entirely (its members come back kept=true). Use when the
+        # centroid set can't be trusted to bound occupancy — e.g.
+        # fixed/random centroids on anisotropic data, where one hub
+        # cluster turns the within-cluster join into a single
+        # straggler task (SCALE.md: the fixed-k6 16x rung DNF'd on
+        # exactly that). Trained centroids (kmeans_train_l2) are the
+        # primary fix; the cap is the backstop that keeps a bad
+        # parameterization from wedging a 100 TB job.
+        occ = side.groupBy("cluster").agg(F.count(F.lit(1)).alias("_occ"))
+        side = (
+            side.join(occ, "cluster")
+            .filter(F.col("_occ") <= cluster_cap)
+            .drop("_occ")
+        )
     left = side.select(
         F.col("cluster").alias("_cl"),
         F.col("_id").alias("_ida"),

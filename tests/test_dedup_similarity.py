@@ -867,3 +867,21 @@ def test_semantic_dedup_with_trained_centroids(spark):
     # neighbor; the planted pairs must be among the dropped
     dropped = {vid for vid, r in out.items() if not r["kept"]}
     assert dropped & {3, 1000} and dropped & {33, 1001}
+
+
+def test_semantic_dedup_cluster_cap_skips_hot_cluster(spark):
+    """Opt-in cluster_cap: an over-occupied cluster skips the pair
+    search (members stay kept); small clusters still dedup."""
+    from dcafs_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    hot = [(i, [5.0 + 0.001 * i, 0.2]) for i in range(4)]        # cluster 0, all near-dups
+    cold = [(10, [-5.0, 0.2]), (11, [-5.0, 0.21])]               # cluster 1, one dup pair
+    emb = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+
+    capped = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, cents, 0.995, cluster_cap=3).collect()}
+    assert all(capped[i] for i in range(4))          # hot cluster: pair search skipped
+    assert [capped[10], capped[11]].count(False) == 1  # cold cluster still dedups
+
+    uncapped = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, cents, 0.995).collect()}
+    assert sum(not k for i, k in uncapped.items() if i < 4) >= 3  # without cap the hot cluster collapses

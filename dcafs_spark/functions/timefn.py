@@ -3,25 +3,19 @@
 The reference formats/reformats date fields with Java patterns
 (`src/util/tools/TimeTools.java:52-99`, EditorForward redate/retime).
 Spark's datetime patterns (since 3.0) are *mostly* the same dialect but
-differ in a few letters; this table translates the divergent ones and
-`java_pattern_to_spark` is used by the editor `redate`/`retime`/
-`millisdate` steps. Exotic untranslatable patterns fall back to a
-pandas UDF (strftime) — the slow path, clearly isolated.
+differ in a few letters; `java_pattern_to_spark` translates the
+divergent ones (run-aware, skipping single-quoted literal text: a
+literal like 'min' survives untouched, and Java 'nnnnnnnnn'
+nano-of-second maps to one 'SSS', not 9 substitutions) and is used by
+the editor `redate`/`retime`/`millisdate` steps. A pattern letter
+Spark doesn't accept at all surfaces as Spark's own analysis error —
+deliberately not masked, the reference throws on bad patterns too.
 """
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-# Java DateTimeFormatter letters that Spark doesn't accept, mapped to
-# the closest Spark equivalent (spark.apache.org datetime-pattern).
-# Translation is run-aware and skips single-quoted literal text: a
-# literal like 'min' must survive untouched, and Java 'nnnnnnnnn'
-# (nano-of-second) maps to one 'SSS', not 9 substitutions.
-_UNSUPPORTED = re.compile(r"[NAnVzOXxZ]{3,}")
 
 
 def java_pattern_to_spark(pattern: str) -> str:

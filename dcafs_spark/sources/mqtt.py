@@ -78,8 +78,14 @@ def publish_packet(topic: str, payload: bytes) -> bytes:
     return packet(PUBLISH, 0, _str16(topic) + payload)
 
 
-def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
-    """(type, flags, body) of the next packet; raises OSError on EOF."""
+def read_packet(sock: socket.socket, first: bytes | None = None) -> tuple[int, int, bytes]:
+    """(type, flags, body) of the next packet; raises OSError on EOF.
+
+    `first` hands in an already-received fixed-header byte — the
+    poll-loop reads byte one under a short timeout and the REMAINDER
+    of the packet under the full timeout, so a timeout can only ever
+    fire on a packet boundary (a mid-packet timeout after consuming
+    bytes would silently desync the framing)."""
 
     def _read(n: int) -> bytes:
         buf = b""
@@ -90,9 +96,9 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
             buf += chunk
         return buf
 
-    (first,) = _read(1)
+    b0 = first[0] if first else _read(1)[0]
     length = decode_varint(_read)
-    return first >> 4, first & 0x0F, _read(length) if length else b""
+    return b0 >> 4, b0 & 0x0F, _read(length) if length else b""
 
 
 def parse_publish(body: bytes) -> tuple[str, bytes]:
@@ -172,14 +178,25 @@ class MqttBridge:
         last_flush = time.monotonic()
         last_ping = time.monotonic()
         # short poll so age-based flushes and keepalive pings happen even
-        # while the broker is idle (a recv timeout only fires between
-        # packets here, so it cannot desync the framing)
+        # while the broker is idle. ONLY the first header byte is read
+        # under the poll timeout; once a packet has begun, the rest is
+        # read under the full timeout — a 0.25 s timeout firing inside a
+        # half-received packet (slow/chunking broker) would otherwise
+        # discard the consumed bytes and desync the framing.
         sock.settimeout(0.25)
         while not self._stop.is_set():
             try:
-                ptype, _flags, body = read_packet(sock)
+                b0 = sock.recv(1)
             except TimeoutError:
                 ptype = None
+            else:
+                if not b0:
+                    break  # EOF
+                sock.settimeout(self.timeout_s)
+                try:
+                    ptype, _flags, body = read_packet(sock, first=b0)
+                finally:
+                    sock.settimeout(0.25)
             now = time.monotonic()
             if ptype == PUBLISH:
                 topic, payload = parse_publish(body)

@@ -274,3 +274,64 @@ def test_engine_mqtt_send_and_brokers(spark):
         broker.close()
     assert eng.command("mqtt:send,127.0.0.1:notaport,t,x") == "No valid port number: notaport"
     assert "Failed to reach broker" in eng.command("mqtt:send,127.0.0.1:1,t,x")
+
+
+class SlowChunkBroker(StubBroker):
+    """Broker that dribbles one PUBLISH byte-by-byte with a pause
+    LONGER than the bridge's 0.25 s poll timeout mid-packet — the
+    framing-desync regression: a timeout firing after the fixed
+    header byte was consumed must not lose the packet or shift the
+    stream."""
+
+    def _serve(self) -> None:  # noqa: D102 — same handshake as StubBroker
+        conn, _ = self.srv.accept()
+        with conn:
+            ptype, _, _body = read_packet(conn)
+            assert ptype == CONNECT
+            conn.sendall(packet(CONNACK, 0, b"\x00\x00"))
+            ptype, _, body = read_packet(conn)
+            assert ptype == SUBSCRIBE
+            pid = body[:2]
+            conn.sendall(packet(SUBACK, 0, pid + b"\x00"))
+            pkt = publish_packet("slow/topic", b"dribbled-payload")
+            conn.sendall(pkt[:1])          # fixed header byte only
+            time.sleep(0.6)                # > bridge poll timeout
+            conn.sendall(pkt[1:3])         # varint + first body byte
+            time.sleep(0.4)
+            conn.sendall(pkt[3:])          # rest
+            # immediately follow with a normal packet: desynced framing
+            # would misparse it
+            conn.sendall(publish_packet("fast/topic", b"after"))
+            conn.settimeout(60)
+            try:
+                while True:
+                    ptype, _, _ = read_packet(conn)
+                    if ptype == PINGREQ:
+                        conn.sendall(packet(PINGRESP, 0, b""))
+                    elif ptype == DISCONNECT:
+                        self.got_disconnect = True
+                        return
+            except OSError:
+                return
+
+
+def test_bridge_survives_mid_packet_stall(tmp_path):
+    broker = SlowChunkBroker([])
+    spool = tmp_path / "slowspool"
+    bridge = MqttBridge("127.0.0.1", broker.port, ["#"], str(spool), lines_per_file=1)
+    bridge.start()
+    try:
+        assert bridge.connected.wait(5)
+        deadline = time.monotonic() + 10
+        while bridge.n_messages < 2 and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert bridge.n_messages == 2
+        time.sleep(1.2)  # allow age-based flush
+        lines = []
+        for p in sorted(spool.glob("mqtt_*.txt")):
+            lines += p.read_text().splitlines()
+        assert "slow/topic\tdribbled-payload" in lines
+        assert "fast/topic\tafter" in lines
+    finally:
+        bridge.stop()
+        broker.close()

@@ -432,6 +432,86 @@ def streaming_dedup_sustained(spark, rps: int | None = None, seconds: float | No
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def streaming_embedding_dedup_sustained(spark, rps: int | None = None, seconds: float | None = None) -> dict:
+    """Sustained run of the embedding-bucket ingest dedup tier
+    (`streaming/dedup.py:streaming_embedding_bucket_dedup`): rate
+    source → synthesized 64-dim vectors from a bounded family (so
+    re-encoded mirror floods occur and first-wins does real work) →
+    sign-LSH bucket (12 planes ≈ ⌈log2 500⌉ + 3) + watermarked
+    dropDuplicatesWithinWatermark → noop. Per-row cost is the H×dim
+    bucket fold (~768 mults) — heavier than the minhash tier's
+    shingle fold, so the default offer is lower (800 docs/s/core vs
+    1400)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.similarity import hyperplanes
+    from dcafs_spark.streaming.dedup import streaming_embedding_bucket_dedup
+
+    cores = spark.sparkContext.defaultParallelism or 32
+    if rps is None:
+        rps = int(os.environ.get("SPARK_GRAFT_STREAM_EMBDEDUP_RPS", str(800 * cores)))
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
+    if rps <= 0:
+        return {}
+    ckpt = tempfile.mkdtemp(prefix="bench_embdedup_state_")
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", cores)
+            .load()
+        )
+        # 500 distinct base vectors → heavy mirror duplication within
+        # the horizon; per-row jitter stays far below a sign flip
+        vecs = src.select(
+            "timestamp",
+            F.expr(
+                "transform(sequence(0, 63),"
+                " i -> cos(double(value % 500) * 7.0 + double(i) * 1.3)"
+                "      + double(value % 7) * 1e-9)"
+            ).alias("embedding"),
+        )
+        dd = streaming_embedding_bucket_dedup(
+            vecs, hyperplanes(64, 12, 42), ts_col="timestamp", watermark="10 seconds"
+        )
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .queryName("bench_embdedup_tier")
+            .start()
+        )
+        try:
+            time.sleep(seconds)
+            entries, steady = _progress_stats(q)
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        if not steady:
+            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        _rows, _busy, rate = _steady_rate(steady)
+        state_rows = _last_state_rows(entries)
+        durs: dict[str, float] = {}
+        for e in steady:
+            for k, v in (e.get("durationMs") or {}).items():
+                durs[k] = durs.get(k, 0.0) + float(v)
+        durs = {k: round(v / len(steady), 1) for k, v in durs.items()}
+        return {
+            "sustained_rows_per_sec": round(rate, 1),
+            "offered_rows_per_sec": rps,
+            "kept_up": bool(rate >= 0.95 * rps),
+            "state_rows": int(state_rows),
+            "n_batches": len(steady),
+            "durations_ms": durs,
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def streaming_dedup_capacity(spark) -> dict:
     """Measured knee for the ingest-dedup tier (r10 verdict ask #7):
     sweep offered docs/s ABOVE the keep-up default until the tier
@@ -758,6 +838,7 @@ def main() -> None:
     # pressure and reads 28-48k docs/s run-to-run on identical code —
     # same retry-once rule as the capacity sweep
     dedup_tier = _retry_if_missed(lambda: streaming_dedup_sustained(spark))
+    emb_dedup_tier = _retry_if_missed(lambda: streaming_embedding_dedup_sustained(spark))
     dedup_capacity = run_dedup_capacity_subprocess()
 
     total = round(sum(timings.values()), 3)
@@ -823,6 +904,7 @@ def main() -> None:
         "streaming_capacity": capacity,
         "streaming_sustained_jvm": jvm_control,
         "streaming_dedup_tier": dedup_tier,
+        "streaming_embedding_dedup_tier": emb_dedup_tier,
         "streaming_dedup_capacity": dedup_capacity,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -651,10 +651,17 @@ def semantic_dedup(
     k×dim centroid matrix rides as one flat plan literal (broadcast
     implicitly), each row computes k folds, no shuffle. The only
     shuffle keys on the cluster id (pairing is a within-cluster
-    self-join), so cluster occupancy bounds the quadratic term — a
-    production run trains k ≈ N/5000 centroids (`kmeans_train_l2`,
-    or sphere k-means via `kmeans_train`) so the expected cluster
-    holds ~5k vectors; this gate pins a FIXED seeded centroid set so
+    self-join), so cluster occupancy bounds the quadratic term:
+    pairs ≈ occupancy × N, and K IS THE KNOB — a production run
+    sizes k ≈ N/5000 so the expected cluster holds ~5k vectors.
+    Centroid TRAINING (`kmeans_train_l2`, or sphere k-means via
+    `kmeans_train`) matters on anisotropic real-encoder corpora
+    where random directions collapse occupancy, but its balance
+    benefit must be MEASURED per corpus, not assumed — on the
+    near-isotropic synthetic fixture, 3 Lloyd iterations made
+    occupancy WORSE than random directions (SCALE.md, 16× rung:
+    max/mean 2.23× trained vs 1.57× random, dedup 160.8 vs
+    140.0 s); this gate pins a FIXED seeded centroid set so
     the DuckDB oracle can replay assignment verbatim (the trained
     path is numpy-differential-tested instead — data-dependent float
     reductions don't replicate bit-for-bit in portable SQL).
@@ -670,8 +677,8 @@ def semantic_dedup(
     `cluster_cap` (opt-in): clusters with more than this many vectors
     skip the pair search — members return kept=true — bounding the
     worst-case join fan-out when centroid quality can't be vouched
-    for (see the inline comment; trained centroids are the primary
-    occupancy control, the cap is the wedge guard).
+    for (see the inline comment; k sized to the occupancy target is
+    the primary control, the cap is the wedge guard).
     """
     k = len(centroids)
     dim = len(centroids[0])
@@ -721,8 +728,9 @@ def semantic_dedup(
         # fixed/random centroids on anisotropic data, where one hub
         # cluster turns the within-cluster join into a single
         # straggler task (SCALE.md: the fixed-k6 16x rung DNF'd on
-        # exactly that). Trained centroids (kmeans_train_l2) are the
-        # primary fix; the cap is the backstop that keeps a bad
+        # exactly that). Sizing k to the occupancy target is the
+        # primary fix (training helps only where measured to — see
+        # the docstring); the cap is the backstop that keeps a bad
         # parameterization from wedging a 100 TB job.
         occ = side.groupBy("cluster").agg(F.count(F.lit(1)).alias("_occ"))
         side = (

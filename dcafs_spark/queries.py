@@ -6956,9 +6956,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbed copies (vec_id ≥ 100000) are near-exact duplicates of
     their sources, so each such pair must resolve to exactly one
     kept=false row. Fixed centroids pin the MECHANICS for the oracle;
-    a production run trains k ≈ N/5000 centroids with
-    `kmeans_train_l2` so cluster occupancy (the only join key) stays
-    bounded — see the operator docstring for the 100 TB shape."""
+    a production run sizes k ≈ N/5000 so cluster occupancy (the only
+    join key) stays bounded — k is the scale knob, training helps
+    only where measured to (SCALE.md 16× decomposition) — see the
+    operator docstring for the 100 TB shape and `cluster_cap`."""
     from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
 
     cents = hyperplanes(64, 6, seed=21)

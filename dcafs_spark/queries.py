@@ -7006,6 +7006,152 @@ FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ acceptance eval, completing the tier the way `ann_recall`
+    does for LSH/IVF: 16 planted queries (corpus vectors rotated by
+    the same exact-rational offset ann_recall uses), ranked by (a)
+    exact squared L2 and (b) the 8-byte PQ code's asymmetric distance
+    — a method scores a hit when the KNOWN source lands in its top-5.
+    exact_l2 ≈ 1.0 by construction; pq_adc's gap IS the quantization
+    error a deployment gates m/k on (8 subspaces × 16 entries is a
+    64:1 compression — recall loss is expected and the metric).
+
+    Scale shape: codes are built once per corpus vector (narrow map);
+    the bounded query set broadcasts; ADC per (vector, query) touches
+    only the 8 codes + the 1024-double codebook literal — the
+    corpus-side vector reads drop out, which is PQ's point at 100 TB.
+    Distances micro-quantize before ranking (ties on vec_id), so no
+    float ulp can flip a rank cross-engine."""
+    from dcafs_spark.operators.similarity import (
+        dlit_array,
+        dot,
+        pq_code,
+        pq_codebooks_fixed,
+    )
+
+    m, kk, dsub = 8, 16, 8
+    books = pq_codebooks_fixed(64, m, kk, seed=7)
+    flat = dlit_array([x for s in books for c in s for x in c])
+    emb = (
+        _embs(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .transform(checkpoint)
+    )
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("query_id"),
+        F.expr(
+            "transform(v, (x, i) -> x + ((vec_id * 31 + i * 17) % 13 - 6) / 40.0)"
+        ).alias("qv"),
+    )
+    coded = emb.select(
+        "vec_id", "v", pq_code(F.col("v"), books, quantize_micro=True).alias("_codes")
+    )
+    pairs = coded.crossJoin(F.broadcast(queries))
+    qv, v = F.col("qv"), F.col("v")
+    d2 = F.round(
+        (dot(v, v) - 2.0 * dot(v, qv) + dot(qv, qv)) * 1e6
+    ).cast("long")
+
+    def sub_adc(s: Column) -> Column:
+        base = (s * kk + F.element_at(F.col("_codes"), s.cast("int") + 1)) * dsub
+
+        def term(acc: Column, i: Column) -> Column:
+            e = F.element_at(qv, (s * dsub + i + 1).cast("int")) - F.element_at(
+                flat, (base + i + 1).cast("int")
+            )
+            return acc + e * e
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0), term)
+
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, s: acc + sub_adc(s)
+        )
+        * 1e6
+    ).cast("long")
+    scored = pairs.select(
+        "query_id", "vec_id", d2.alias("_d_exact"), adc.alias("_d_adc")
+    ).transform(checkpoint)
+    n_q = 16
+    out = []
+    for method, dist in (("exact_l2", "_d_exact"), ("pq_adc", "_d_adc")):
+        w = Window.partitionBy("query_id").orderBy(F.col(dist).asc(), F.col("vec_id").asc())
+        hits = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") <= 5) & (F.col("vec_id") == F.col("query_id") - 100000))
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.col("hits").cast("long").alias("hits"),
+                (F.col("hits") / F.lit(float(n_q))).alias("recall5"),
+            )
+        )
+        out.append(hits)
+    return out[0].unionByName(out[1])
+
+
+def _sql_pq_recall() -> str:
+    from dcafs_spark.operators.similarity import pq_codebooks_fixed
+
+    m, kk, dsub = 8, 16, 8
+    books = pq_codebooks_fixed(64, m, kk, seed=7)
+    ds_cols = []
+    for s in range(m):
+        terms = []
+        for c in books[s]:
+            cn2 = sum(x * x for x in c)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            terms.append(
+                f"CAST(round(({cn2!r} - 2.0 * list_dot_product(v[{s * dsub + 1}:{(s + 1) * dsub}],"
+                f" {clit})) * 1000000.0) AS BIGINT)"
+            )
+        ds_cols.append(f"[{', '.join(terms)}] AS ds{s}")
+    code_cols = ", ".join(
+        f"list_position(ds{s}, list_min(ds{s})) - 1 AS code{s}" for s in range(m)
+    )
+    book_lits = [
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in bs) + "]"
+        for bs in books
+    ]
+    adc_terms = []
+    for s in range(m):
+        for i in range(1, dsub + 1):
+            adc_terms.append(
+                f"(qv[{s * dsub + i}] - list_extract(list_extract({book_lits[s]}, code{s} + 1), {i}))"
+                f" * (qv[{s * dsub + i}] - list_extract(list_extract({book_lits[s]}, code{s} + 1), {i}))"
+            )
+    adc = " + ".join(adc_terms)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id + 100000 AS query_id,
+             list_transform(generate_series(1, len(v)),
+                            i -> v[i] + ((vec_id * 31 + (i - 1) * 17) % 13 - 6) / 40.0) AS qv
+      FROM emb WHERE vec_id < 16),
+d AS (SELECT vec_id, v, {', '.join(ds_cols)} FROM emb),
+coded AS (SELECT vec_id, v, {code_cols} FROM d),
+pairs AS (
+  SELECT query_id, vec_id,
+         CAST(round((list_dot_product(v, v) - 2.0 * list_dot_product(v, qv)
+                     + list_dot_product(qv, qv)) * 1000000.0) AS BIGINT) AS d_exact,
+         CAST(round(({adc}) * 1000000.0) AS BIGINT) AS d_adc
+  FROM coded CROSS JOIN q
+),
+rk AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d_exact ASC, vec_id ASC) AS rk_exact,
+         row_number() OVER (PARTITION BY query_id ORDER BY d_adc ASC, vec_id ASC) AS rk_adc
+  FROM pairs
+),
+h AS (SELECT
+        sum(CASE WHEN rk_exact <= 5 AND vec_id = query_id - 100000 THEN 1 ELSE 0 END) AS he,
+        sum(CASE WHEN rk_adc <= 5 AND vec_id = query_id - 100000 THEN 1 ELSE 0 END) AS ha
+      FROM rk)
+SELECT 'exact_l2' AS method, CAST(he AS BIGINT) AS hits, he / 16.0 AS recall5 FROM h
+UNION ALL
+SELECT 'pq_adc' AS method, CAST(ha AS BIGINT) AS hits, ha / 16.0 AS recall5 FROM h
+"""
+
+
 def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape (forecasting revenue change,
     `6_forecast_revenue_change.sql`): the pure scan-side query — every
@@ -7413,6 +7559,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "lsh_bucket_profile": (q_lsh_bucket_profile, _sql_lsh_bucket_profile()),
+    # PQ acceptance eval (completes the PQ tier the way ann_recall
+    # audits LSH/IVF) — registered past the cap, replica-checked
+    "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "similarity_ivf": (q_similarity_ivf, SQL_IVF),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),

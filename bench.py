@@ -578,6 +578,71 @@ def streaming_dedup_capacity(spark) -> dict:
     return out
 
 
+def streaming_embedding_dedup_capacity(spark) -> dict:
+    """Measured knee for the embedding-bucket ingest tier, mirroring
+    streaming_dedup_capacity: sweep offered docs/s above the keep-up
+    default (800/core) until the tier stops keeping up and name the
+    dominant micro-batch component at the first failing offer. Run
+    via `bench.py --stream-embdedup` in a FRESH process (same
+    clean-JVM rationale as the minhash sweep). Rates override via
+    SPARK_GRAFT_STREAM_EMBDEDUP_SWEEP; empty disables."""
+    cores = spark.sparkContext.defaultParallelism or 32
+    default = (
+        f"{int(1600 * cores)},{int(3200 * cores)},{int(4800 * cores)},{int(6400 * cores)}"
+    )
+    sweep_env = os.environ.get("SPARK_GRAFT_STREAM_EMBDEDUP_SWEEP", default)
+    if not sweep_env.strip():
+        return {}
+    rates = [int(r) for r in sweep_env.split(",") if r.strip()]
+    per_rate_sec = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SWEEP_SECONDS", "45"))
+    out: dict = {"rates": {}}
+    max_kept = 0
+    knee = None
+    for rps in rates:
+        r = _retry_if_missed(
+            lambda rps=rps: streaming_embedding_dedup_sustained(spark, rps=rps, seconds=per_rate_sec)
+        )
+        out["rates"][str(rps)] = {
+            k: r.get(k)
+            for k in ("sustained_rows_per_sec", "kept_up", "state_rows", "n_batches", "durations_ms")
+        }
+        if r.get("kept_up"):
+            max_kept = max(max_kept, rps)
+        elif knee is None:
+            knee = rps
+            durs = {
+                k: v
+                for k, v in (r.get("durations_ms") or {}).items()
+                if k != "triggerExecution"
+            }
+            if durs:
+                top = max(durs, key=durs.get)
+                out["knee_bottleneck"] = f"{top} ({durs[top]:.0f} ms/batch avg)" + (
+                    " — sign-LSH bucket fold + state-store commit" if top == "addBatch" else ""
+                )
+    out["max_kept_up_rps"] = max_kept
+    if knee is not None:
+        out["first_failing_rps"] = knee
+    return out
+
+
+def stream_embdedup_isolated() -> dict:
+    """Fresh-process entry for the embedding-tier capacity sweep."""
+    from dcafs_spark import get_spark
+
+    spark = get_spark("dcafs_spark_bench_embdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = streaming_embedding_dedup_capacity(spark)
+    out["isolated"] = True
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.stop()
+    return out
+
+
 def stream_dedup_isolated() -> dict:
     """Fresh-process entry for the dedup capacity sweep (own JVM)."""
     from dcafs_spark import get_spark
@@ -972,5 +1037,7 @@ if __name__ == "__main__":
         print(json.dumps(isolated_remeasure(sys.argv[2:])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-dedup":
         print(json.dumps(stream_dedup_isolated()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream-embdedup":
+        print(json.dumps(stream_embdedup_isolated()))
     else:
         main()

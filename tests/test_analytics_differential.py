@@ -387,3 +387,58 @@ def test_prefilter_semi_join_exact_and_broadcast(spark, sf_dir):
         exp_rev = round(float((g["l_extendedprice"] * (1 - g["l_discount"])).sum()), 2)
         assert got[flag][0] == len(g)
         assert abs(got[flag][1] - exp_rev) < 0.02
+
+
+def test_pq_recall_matches_numpy(spark, sf_dir):
+    """Third oracle for the PQ acceptance eval: replicate encode (argmin
+    micro-quantized subspace distance, first-min tie), in-plan ADC and
+    both rankings in numpy and compare the hit counts exactly."""
+    import numpy as np
+
+    from dcafs_spark.operators.similarity import pq_codebooks_fixed
+    from dcafs_spark.queries import q_pq_recall
+
+    got = {r["method"]: (r["hits"], r["recall5"]) for r in q_pq_recall(spark, sf_dir).collect()}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    m, kk, dsub = 8, 16, 8
+    books = np.array(pq_codebooks_fixed(64, m, kk, seed=7))  # (m, k, dsub)
+
+    # queries: vec_id < 16 rotated by the exact-rational offset
+    qmask = ids < 16
+    qids = ids[qmask]
+    Q = X[qmask].copy()
+    for r, vid in enumerate(qids):
+        for i in range(64):
+            Q[r, i] += ((int(vid) * 31 + i * 17) % 13 - 6) / 40.0
+
+    # encode: per subspace argmin of micro-quantized (||c||^2 - 2 v.c)
+    codes = np.zeros((len(X), m), dtype=int)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cn2 = (books[s] ** 2).sum(axis=1)
+        d = np.round((cn2[None, :] - 2.0 * sub @ books[s].T) * 1e6)
+        codes[:, s] = d.argmin(axis=1)  # numpy argmin = first minimal
+
+    hits_e = hits_a = 0
+    for r, qid in enumerate(qids):
+        q = Q[r]
+        d_exact = np.round(((X - q) ** 2).sum(axis=1) * 1e6)
+        adc = np.zeros(len(X))
+        for s in range(m):
+            qs = q[s * dsub : (s + 1) * dsub]
+            adc += ((qs[None, :] - books[s][codes[:, s]]) ** 2).sum(axis=1)
+        d_adc = np.round(adc * 1e6)
+        for d, acc in ((d_exact, "e"), (d_adc, "a")):
+            order = np.lexsort((ids, d))  # ties on vec_id
+            top5 = set(ids[order[:5]].tolist())
+            if int(qid) in top5:
+                if acc == "e":
+                    hits_e += 1
+                else:
+                    hits_a += 1
+    assert got["exact_l2"] == (hits_e, hits_e / 16.0)
+    assert got["pq_adc"] == (hits_a, hits_a / 16.0)
+    assert hits_e >= hits_a  # quantization can only lose recall here

@@ -630,6 +630,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_cap: int | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic duplicates WITHIN each cluster
@@ -679,6 +680,15 @@ def semantic_dedup(
     worst-case join fan-out when centroid quality can't be vouched
     for (see the inline comment; k sized to the occupancy target is
     the primary control, the cap is the wedge guard).
+
+    `collapse` (see `dedup.approx_distinct_ratio`): bit-identical
+    vectors pre-collapse onto a 16-byte content hash before the pair
+    join — the copy-flood guard every other dedup tier carries (a
+    duplicate flood lands in ONE cluster and squares the join
+    otherwise). True = always, False = per-vector direct path,
+    None = auto density probe. Output rows identical across settings
+    (path-equivalence tested); the dominance rule factors exactly
+    through (c_sim, group-min-id) — see the inline derivation.
     """
     k = len(centroids)
     dim = len(centroids[0])
@@ -737,6 +747,81 @@ def semantic_dedup(
             side.join(occ, "cluster")
             .filter(F.col("_occ") <= cluster_cap)
             .drop("_occ")
+        )
+    # Copy-flood guard, same contract as embedding_dedup_pairs /
+    # minhash_lsh_pairs: bit-identical vectors (duplicate docs embed
+    # identically) land in ONE cluster with equal c_sim, so a 10^6-copy
+    # flood makes the within-cluster join quadratic no matter how k is
+    # sized. Collapsed path: vectors roll up on a 16-byte content hash
+    # (exact per-component decimal strings — distinct doubles never
+    # merge), the pair join runs one row per DISTINCT content, and the
+    # dominance rule factors exactly: every non-min member of a
+    # multi-member group is dropped by the in-group (equal-c_sim,
+    # lower-id) tie, and the min member g0 is dropped iff some OTHER
+    # content Y in the cluster clears the threshold with
+    # cs_Y < cs_X or (cs_Y == cs_X and min_id_Y < g0) — so rep-level
+    # pairs with (cs, group-min-id) reproduce the per-member rule
+    # row-identically. Auto mode probes duplicate density
+    # (dedup.approx_distinct_ratio, perf-only decision).
+    chash = F.md5(F.concat_ws(",", F.col("_v").cast("array<string>")))
+    if collapse is None:
+        from dcafs_spark.operators.dedup import COLLAPSE_RATIO, approx_distinct_ratio
+
+        collapse = approx_distinct_ratio(side, chash) < COLLAPSE_RATIO
+    if collapse and threshold <= 1.0:
+        hashed = side.withColumn("_ch", chash).transform(checkpoint)
+        grp = (
+            hashed.groupBy("cluster", "_ch")
+            .agg(
+                F.min("_id").alias("_gmin"),
+                F.count(F.lit(1)).alias("_gn"),
+                F.first("_v").alias("_v"),  # copies are bit-identical
+                F.first("c_sim_micro").alias("_cs"),
+            )
+            .transform(checkpoint)
+        )
+        ingroup = (
+            hashed.join(
+                grp.select("cluster", "_ch", "_gmin", "_gn"), ["cluster", "_ch"]
+            )
+            .filter((F.col("_gn") >= 2) & (F.col("_id") != F.col("_gmin")))
+            .select("_id")
+        )
+        gl = grp.select(
+            F.col("cluster").alias("_cl"),
+            F.col("_ch").alias("_cha"),
+            F.col("_v").alias("_va"),
+            F.col("_cs").alias("_csa"),
+            F.col("_gmin").alias("_gma"),
+        )
+        gr = grp.select(
+            F.col("cluster").alias("_cl"),
+            F.col("_ch").alias("_chb"),
+            F.col("_v").alias("_vb"),
+            F.col("_cs").alias("_csb"),
+            F.col("_gmin").alias("_gmb"),
+        )
+        crossdom = (
+            gl.join(gr, "_cl")
+            .filter(F.col("_cha") != F.col("_chb"))
+            .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+            .filter(
+                (F.col("_csb") < F.col("_csa"))
+                | ((F.col("_csb") == F.col("_csa")) & (F.col("_gmb") < F.col("_gma")))
+            )
+            .select(F.col("_cl").alias("cluster"), F.col("_cha").alias("_ch"))
+            .distinct()
+        )
+        crossdrop = hashed.join(crossdom, ["cluster", "_ch"], "left_semi").select("_id")
+        dropped = ingroup.unionByName(crossdrop).distinct()
+        return (
+            scored.join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
+            .select(
+                F.col("_id").alias("vec_id"),
+                "cluster",
+                "c_sim_micro",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+            )
         )
     left = side.select(
         F.col("cluster").alias("_cl"),

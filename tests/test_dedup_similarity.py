@@ -885,3 +885,43 @@ def test_semantic_dedup_cluster_cap_skips_hot_cluster(spark):
 
     uncapped = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, cents, 0.995).collect()}
     assert sum(not k for i, k in uncapped.items() if i < 4) >= 3  # without cap the hot cluster collapses
+
+
+def test_semantic_dedup_collapse_path_equivalence(spark):
+    """Copy-flood guard: the collapsed path (bit-identical vectors
+    roll up on a content hash before the pair join) must emit rows
+    IDENTICAL to the per-vector path on a corpus mixing exact copies,
+    near-dups, a cross-dominating fringe neighbor, singletons and a
+    zero vector."""
+    import random as _random
+
+    from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
+
+    rng = _random.Random(17)
+    dim = 8
+    cents = hyperplanes(dim, 3, seed=4)
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows += [(i, list(base)) for i in (5, 2, 9)]          # copy group, min id 2
+    rows.append((7, [x * 1.001 + 0.002 for x in base]))   # near-dup of the group
+    other = [rng.gauss(0, 1) for _ in range(dim)]
+    rows += [(20, list(other)), (21, list(other))]        # second copy group
+    rows.append((30, [rng.gauss(0, 1) for _ in range(dim)]))  # singleton
+    rows.append((40, [0.0] * dim))                        # zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    direct = sorted(
+        tuple(r) for r in semantic_dedup(emb, cents, 0.995, collapse=False).collect()
+    )
+    collapsed = sorted(
+        tuple(r) for r in semantic_dedup(emb, cents, 0.995, collapse=True).collect()
+    )
+    auto = sorted(tuple(r) for r in semantic_dedup(emb, cents, 0.995).collect())
+    assert direct == collapsed == auto
+    kept = {r[0]: r[3] for r in direct}
+    # copy group {2,5,9}: non-min members always drop; group fate vs 7
+    # (its near-dup) follows the fringe rule, but never both survive
+    assert kept[5] is False and kept[9] is False
+    assert kept[2] != kept[7] or (kept[2], kept[7]) == (False, False)
+    assert [kept[20], kept[21]].count(False) == 1  # isolated copy pair: one survives
+    assert kept[30] is True and kept[40] is True

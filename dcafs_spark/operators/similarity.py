@@ -701,6 +701,19 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
 
+    if collapse is None:
+        # probe the RAW vector frame, not the scored/checkpointed one:
+        # a localCheckpoint plan carries a fresh RDD id, so its
+        # semantic hash differs every invocation and the ratio memo
+        # would never hit — each call would then pay the k-fold
+        # scoring job twice (measured: 1.2 s → 3.2 s on the gate).
+        # The raw select's plan hash is stable, and duplicate density
+        # is a property of the vectors, not the scores.
+        from dcafs_spark.operators.dedup import COLLAPSE_RATIO, approx_distinct_ratio
+
+        probe_key = F.md5(F.concat_ws(",", F.col("_v").cast("array<string>")))
+        collapse = approx_distinct_ratio(v, probe_key) < COLLAPSE_RATIO
+
     def score(j: Column) -> Column:
         # dot(v, centroid_j / |centroid_j|): |v| is a common positive
         # factor across j, so it cancels out of the argmax.
@@ -764,10 +777,6 @@ def semantic_dedup(
     # row-identically. Auto mode probes duplicate density
     # (dedup.approx_distinct_ratio, perf-only decision).
     chash = F.md5(F.concat_ws(",", F.col("_v").cast("array<string>")))
-    if collapse is None:
-        from dcafs_spark.operators.dedup import COLLAPSE_RATIO, approx_distinct_ratio
-
-        collapse = approx_distinct_ratio(side, chash) < COLLAPSE_RATIO
     if collapse and threshold <= 1.0:
         hashed = side.withColumn("_ch", chash).transform(checkpoint)
         grp = (

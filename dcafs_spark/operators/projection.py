@@ -122,7 +122,13 @@ def valmap(
     plain characters, where Java regex split is literal-equivalent."""
     col = F.col(column)
     if multi_delimiter:
-        df = df.withColumn(column, F.explode(F.split(col, F.lit(multi_delimiter), -1)))
+        # same literal-split contract as `split` below: \Q…\E-quoted so
+        # a metachar delimiter like '|' or '.' splits on the delimiter,
+        # not on every character (same \E caveat applies)
+        df = df.withColumn(
+            column,
+            F.explode(F.split(col, F.lit("\\Q" + multi_delimiter + "\\E"), -1)),
+        )
         col = F.col(column)
     qpat = "\\Q" + split + "\\E"
     stripped = F.regexp_replace(col, "(?:" + qpat + ")+$", "")

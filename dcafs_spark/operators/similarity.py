@@ -98,6 +98,22 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     return planes
 
 
+def normalize_centroids(centroids: list[list[float]]) -> list[list[float]]:
+    """Unit-normalize centroids ONCE, driver-side, in pure python —
+    the single float list both `semantic_dedup`'s plan literal AND its
+    SQL oracle generator embed. Normalizing in one place (instead of
+    Spark re-normalizing while the SQL side consumed raw values) is
+    what makes the micro-quantized argmax genuinely ulp-proof
+    cross-engine: both engines round the SAME dot products
+    (round-11 review). Idempotent on already-unit vectors up to the
+    deterministic python arithmetic both callers share."""
+    out = []
+    for cen in centroids:
+        n = math.sqrt(sum(c * c for c in cen)) or 1.0
+        out.append([x / n for x in cen])
+    return out
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """H-bit bucket id: bit j = sign(dot(vec, plane_j)) ≥ 0.
 
@@ -692,7 +708,8 @@ def semantic_dedup(
     """
     k = len(centroids)
     dim = len(centroids[0])
-    flat = dlit_array([x / (math.sqrt(sum(c * c for c in cen)) or 1.0) for cen in centroids for x in cen])
+    # normalize_centroids: same driver-side floats the SQL oracle embeds
+    flat = dlit_array([x for cen in normalize_centroids(centroids) for x in cen])
     didx = F.sequence(F.lit(0), F.lit(dim - 1))
     kidx = F.sequence(F.lit(0), F.lit(k - 1))
 
@@ -711,7 +728,7 @@ def semantic_dedup(
         # is a property of the vectors, not the scores.
         from dcafs_spark.operators.dedup import COLLAPSE_RATIO, approx_distinct_ratio
 
-        probe_key = F.md5(F.concat_ws(",", F.col("_v").cast("array<string>")))
+        probe_key = F.md5(F.to_json(F.struct(F.col("_v"))))
         collapse = approx_distinct_ratio(v, probe_key) < COLLAPSE_RATIO
 
     def score(j: Column) -> Column:
@@ -776,7 +793,14 @@ def semantic_dedup(
     # pairs with (cs, group-min-id) reproduce the per-member rule
     # row-identically. Auto mode probes duplicate density
     # (dedup.approx_distinct_ratio, perf-only decision).
-    chash = F.md5(F.concat_ws(",", F.col("_v").cast("array<string>")))
+    # null-preserving encoding (round-11 review): concat_ws silently
+    # skips NULL array elements, so two vectors differing only in null
+    # placement would hash identically and the collapse path could drop
+    # one as a "bit-identical copy" while the direct path (cosine →
+    # null → filtered) keeps both. to_json keeps nulls and element
+    # boundaries unambiguous, so path-equivalence holds for
+    # null-containing vectors too.
+    chash = F.md5(F.to_json(F.struct(F.col("_v"))))
     if collapse and threshold <= 1.0:
         hashed = side.withColumn("_ch", chash).transform(checkpoint)
         grp = (

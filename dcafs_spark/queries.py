@@ -6968,9 +6968,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_semantic_dedup() -> str:
-    from dcafs_spark.operators.similarity import hyperplanes
+    from dcafs_spark.operators.similarity import hyperplanes, normalize_centroids
 
-    cents = hyperplanes(64, 6, seed=21)  # unit-norm already
+    # normalize_centroids: the IDENTICAL driver-side floats the Spark
+    # plan literal embeds (semantic_dedup normalizes through the same
+    # helper), so both engines round the same dot products — the
+    # micro-quantized argmax can't flip at .5 micro-unit boundaries
+    cents = normalize_centroids(hyperplanes(64, 6, seed=21))
     lits = [f"[{', '.join(repr(x) for x in c)}]::DOUBLE[]" for c in cents]
     scores = ", ".join(
         f"CAST(round(list_dot_product(v, {lits[j]}) * 1000000.0) AS BIGINT)"

@@ -32,19 +32,32 @@ def read_lines(spark: SparkSession, path: str, origin: str | None = None) -> Dat
     get ingest time."""
     df = spark.read.text(path)
     has_ts = F.col("value").rlike(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}")
-    ts_part = F.to_timestamp(F.substring_index("value", "\t", 1))
+    # try_to_timestamp, NOT to_timestamp: under ANSI mode (the Spark 4
+    # default) a malformed first field would otherwise ABORT the job
+    # instead of falling back — the regex prefix match alone doesn't
+    # guarantee the full field parses
+    ts_part = F.try_to_timestamp(F.substring_index("value", "\t", 1))
     rest = F.expr("substring(value, instr(value, '\t') + 1)")
     return (
         # coalesce: a line can match the prefix regex yet fail the full
-        # to_timestamp parse (e.g. "2024-01-02T03:04:05garbage...") —
-        # that's a bare line with NO recorded time, not a NULL-ts row
+        # timestamp parse (e.g. "2024-01-02T03:04:05garbage...") —
+        # that's a bare line with NO recorded time, not a NULL-ts row.
+        # A line treated as bare for ts is also bare for value: the
+        # payload truncation is gated on the SAME successful parse, so
+        # a malformed first field is never silently dropped from the
+        # replayed payload (round-11 review).
         df.withColumn(
             "ts",
             F.when(has_ts, F.coalesce(ts_part, F.current_timestamp())).otherwise(
                 F.current_timestamp()
             ),
         )
-        .withColumn("value", F.when(has_ts & F.col("value").contains("\t"), rest).otherwise(F.col("value")))
+        .withColumn(
+            "value",
+            F.when(
+                has_ts & F.col("value").contains("\t") & ts_part.isNotNull(), rest
+            ).otherwise(F.col("value")),
+        )
         .withColumn("origin", F.lit(origin or os.path.basename(path)))
     )
 

@@ -925,3 +925,32 @@ def test_semantic_dedup_collapse_path_equivalence(spark):
     assert kept[2] != kept[7] or (kept[2], kept[7]) == (False, False)
     assert [kept[20], kept[21]].count(False) == 1  # isolated copy pair: one survives
     assert kept[30] is True and kept[40] is True
+
+
+def test_semantic_dedup_null_placement_not_collapsed(spark):
+    """Vectors differing only in NULL placement must NOT merge as
+    bit-identical copies on the collapse path: the content hash is a
+    null-preserving encoding (round-11 review — concat_ws silently
+    skipped nulls, so [1,null,2] and [1,2,null] hashed identically and
+    the collapsed path could drop one while the direct path, where
+    cosine → null → filtered, kept both)."""
+    from dcafs_spark.operators.similarity import hyperplanes, semantic_dedup
+
+    cents = hyperplanes(3, 2, seed=4)
+    rows = [
+        (1, [1.0, None, 2.0]),
+        (2, [1.0, 2.0, None]),
+        (3, [1.0, 2.0, 2.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    direct = sorted(
+        tuple(r) for r in semantic_dedup(emb, cents, 0.995, collapse=False).collect()
+    )
+    collapsed = sorted(
+        tuple(r) for r in semantic_dedup(emb, cents, 0.995, collapse=True).collect()
+    )
+    assert direct == collapsed
+    kept = {r[0]: r[3] for r in direct}
+    # null-component vectors have undefined cosine: excluded from
+    # pairing on BOTH paths, so everyone survives
+    assert kept == {1: True, 2: True, 3: True}

@@ -174,6 +174,18 @@ def test_valmap_multi(spark):
     ]
 
 
+def test_valmap_multi_delimiter_metachar_is_literal(spark):
+    """multi_delimiter follows the same literal-split contract as
+    `split`: a regex metachar like '|' splits on the delimiter, not on
+    every character (round-11 review)."""
+    df = spark.createDataFrame([("bat:11.8|rssi:-67",)], "value string")
+    rows = valmap(df, split=":", multi_delimiter="|").collect()
+    assert [(r["key"], r["value"]) for r in rows] == [
+        ("bat", "11.8"),
+        ("rssi", "-67"),
+    ]
+
+
 def test_resplit_rtval_refs(spark):
     """Resplit fillers resolve {r:name} through the rtvals mapping;
     unknown refs become the error default (EditorForward.java:499-505)."""

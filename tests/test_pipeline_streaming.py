@@ -382,6 +382,17 @@ class TestReplaySource:
         assert rows["$CTD,1,2"]["ts"].isoformat().startswith("2026-08-13T10:00")
         assert "bare line" in rows
 
+    def test_read_lines_failed_parse_keeps_whole_payload(self, spark, tmp_path):
+        """A line matching the ts-prefix regex whose FULL to_timestamp
+        parse fails is bare for ts AND bare for value — the malformed
+        first field must not be truncated away (round-11 review)."""
+        p = tmp_path / "raw.log"
+        bad = "2024-01-02T03:04:05garbage\tpayload,1,2"
+        p.write_text(bad + "\n2026-08-13T10:00:00\tgood,3\n")
+        rows = {r["value"]: r for r in read_lines(spark, str(p)).collect()}
+        assert bad in rows  # whole line survives, tab and all
+        assert rows["good,3"]["ts"].isoformat().startswith("2026-08-13T10:00")
+
 
 class TestScheduler:
     def test_check_gates_and_retry(self):

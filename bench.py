@@ -817,10 +817,17 @@ def drift_recheck(
         return {}
     env = control_sec / prev["control_sec"] if prev["control_sec"] > 0 else 1.0
     prev_q = prev.get("queries") or {}
+    # the suite's first three slots absorb residual warmup that the
+    # priming passes may not fully cover (round-11 audit: 1.5-1.6x net
+    # readings on untouched code, all under the 2x bar — no isolated
+    # number existed to adjudicate with), so they re-measure at a
+    # tighter 1.4x threshold
+    front = set(list(timings)[:3])
     flagged: list[tuple[float, str]] = []
     for name, t in timings.items():
         p = prev_q.get(name)
-        if p and p > 0.05 and env > 0 and (t / p) / env > 2.0:
+        bar = 1.4 if name in front else 2.0
+        if p and p > 0.05 and env > 0 and (t / p) / env > bar:
             flagged.append(((t / p) / env, name))
     # worst offenders first; cap the fresh-JVM spend (~15 s startup + a
     # few sec per query) — anything beyond the cap is still visible via
@@ -871,15 +878,18 @@ def main() -> None:
         fn(spark, warm_dir if os.path.isdir(warm_dir) else SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-    # one untimed run of the FIRST registered query at the TIMED SF:
-    # round 8 showed the first timed measurement absorbing residual
+    # untimed runs of the first THREE registered queries at the TIMED
+    # SF: round 8 showed the first timed measurement absorbing residual
     # JVM/page-cache warmup that the sf0.001 pass doesn't cover
     # (pricing_summary read 1.51x its round-7 time with an optimal
-    # plan); this primes the sf0.1 parquet + codegen at full size so
-    # query #1 is measured steady-state like the rest
-    first_fn = next(iter(QUERIES.values()))[0]
-    for _ in range(2):
-        first_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # plan), and round 11 showed the blind spot extends across the
+    # first three slots (pricing_summary/math_forward/filter_fork read
+    # 1.5-1.6x net with untouched code — the suite's opening positions
+    # systematically absorb what's left of JVM/codegen ramp). Priming
+    # all three at full size measures them steady-state like the rest.
+    for fn, _sql in list(QUERIES.values())[:3]:
+        for _ in range(2):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -1031,6 +1031,85 @@ def chunk_dedup_stats(
     )
 
 
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Repetition-aware paragraph dedup (the MassiveText/RefinedWeb
+    "repetition" filter class, §2.1 of Rae et al. 2021): cut documents
+    into non-overlapping `chunk_words`-word paragraphs and distinguish
+    the two duplication regimes a curation pipeline treats differently:
+
+      * CORPUS repetition — a paragraph occurring in ≥ `min_docs`
+        distinct documents is boilerplate; every occurrence is removed
+        (unlike `chunk_dedup_stats`' first-owner-wins, which keeps one
+        copy: template headers/footers should survive in no document);
+      * INTRA-document repetition — a non-boilerplate paragraph
+        repeated within one document keeps its first occurrence only
+        (loops/spam-padding collapse, content survives once).
+
+    Returns per document (doc_id, n_paras, n_repeated_corpus,
+    n_repeated_intra, kept_words).
+
+    Scale shape: paragraphs hash to 60-bit longs before the explode —
+    bodies never shuffle. The per-(doc, paragraph) rollup is map-side
+    combined; because it already yields ONE row per (doc, chash), the
+    corpus-frequency pass is a plain count (no count-distinct
+    machinery), and the join back keys on the 8-byte hash. One
+    checkpointed frame feeds both sides, so the tokenize explode runs
+    once. No windows, no pairwise anything — O(corpus tokens)."""
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("chash"),
+            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
+        ),
+    )
+    occ = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c")).select(
+        "id", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw")
+    )
+    per = occ.groupBy("id", "chash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # occurrences of one chash are the same words → same length
+        F.min("nw").alias("nw"),
+    )
+    per = checkpoint(per)
+    glob = per.groupBy("chash").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.col("n_docs") >= min_docs
+    return (
+        per.join(glob, "chash")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_paras"),
+            F.sum(F.when(boiler, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeated_corpus"),
+            F.sum(F.when(~boiler, F.col("cnt") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeated_intra"),
+            F.sum(F.when(~boiler, F.col("nw")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_words"),
+        )
+        .select(F.col("id").alias(id_col), "n_paras", "n_repeated_corpus", "n_repeated_intra", "kept_words")
+    )
+
+
 def boilerplate_occurrences(
     df: DataFrame,
     text_col: str = "text",

@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dcafs_spark.runtime import checkpoint
@@ -57,6 +57,55 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def bounded_topk(scored: DataFrame, key_col: str, sort_struct: Column, k: int) -> DataFrame:
+    """Per-key top-k WITHOUT a full per-key sort — the 100×-safe rank
+    shape for the recall evals (round-11 review: `row_number()` over
+    `partitionBy(query_id)` funnels N×|queries| scored rows into
+    |queries| partitions and FULLY sorts each to keep 5).
+
+    Two-stage partial-agg prune:
+      1. group by (key, spark_partition_id) → each map partition's
+         local top-k (`slice(array_sort(collect_list(struct)))`) —
+         aggregation state is bounded by partition size, the sort is
+         over one partition's candidates for one key, and no group
+         ever spans partitions;
+      2. re-group the ≤ k×P survivors by key alone → global top-k of
+         the union of local top-ks (exact, since struct ordering is a
+         total order).
+    No Window node, no global sort; the only cross-partition traffic
+    past stage 1 is k rows per (key, input-partition).
+
+    `sort_struct` must be an ASCENDING-comparable struct whose field
+    order encodes the ranking (order key first, tie-break second,
+    payload after). Returns (key_col, _pos, _e) with `_pos` the
+    0-based rank and `_e` the struct."""
+    local = (
+        scored.groupBy(key_col, F.spark_partition_id().alias("_part"))
+        .agg(F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("_top"))
+        .drop("_part")
+    )
+    merged = (
+        local.select(key_col, F.explode("_top").alias("_e"))
+        .groupBy(key_col)
+        .agg(F.slice(F.array_sort(F.collect_list("_e")), 1, k).alias("_top"))
+    )
+    return merged.select(key_col, F.posexplode("_top").alias("_pos", "_e"))
+
+
+def _cos_rank_key(id_col: str) -> Column:
+    """Ascending sort key replicating `ORDER BY cos_sim DESC, id ASC`
+    with Spark's null/NaN placement (NaN first under DESC, NULL last):
+    NaN → -inf, NULL → +inf, else -cos_sim."""
+    neg = (
+        F.when(F.isnan("cos_sim"), F.lit(float("-inf")))
+        .when(F.col("cos_sim").isNull(), F.lit(float("inf")))
+        .otherwise(-F.col("cos_sim"))
+    )
+    return F.struct(
+        neg.alias("_o"), F.col(id_col).alias("_i"), F.col("cos_sim").alias("_s")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -78,11 +127,11 @@ def cosine_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
+    return bounded_topk(scored, query_id_col, _cos_rank_key(id_col), k).select(
+        query_id_col,
+        F.col("_e._i").alias(id_col),
+        F.col("_e._s").alias("cos_sim"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -406,11 +455,11 @@ def lsh_topk(
         )
         .dropDuplicates([query_id_col, id_col])
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
+    return bounded_topk(scored, query_id_col, _cos_rank_key(id_col), k).select(
+        query_id_col,
+        F.col("_e._i").alias(id_col),
+        F.col("_e._s").alias("cos_sim"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -539,21 +588,66 @@ def train_pq(
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (m × k × dim/m floats — a
     driver-side constant at any corpus size; 8×16×8 doubles = 8 KiB).
-    m separate k-means runs over sliced subvectors; the corpus is
-    scanned once per (subspace, iteration), each scan a narrow map +
-    k×dsub-cell aggregate."""
+
+    FUSED across subspaces: all m Lloyd's runs advance in ONE corpus
+    scan per iteration — the corpus explodes to (subspace, subvector)
+    rows (a narrow posexplode, m skinny rows per vector), each row
+    argmins against ITS subspace's k centroids (flat m×k×dsub literal,
+    first-min tie like `pq_code`), and one map-side-combined
+    groupBy(subspace, cid) carries all m×k×dsub mean cells. The
+    earlier per-subspace form scanned the corpus m times per iteration
+    (24 scans for the default 8×3) — at 100 TB that is 8× the I/O for
+    identical math; in the sandbox it was also 24 job submissions of
+    pure overhead. Only m×k rows reach the driver per iteration.
+
+    Init matches the per-subspace form: subspace s seeds from the
+    first k corpus vectors by id, sliced — so results line up with the
+    numpy differential the same way `kmeans_train_l2`'s do."""
     dsub = dim // m
     if dsub * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    books = []
-    for s in range(m):
-        sub = vectors.select(
-            F.col(id_col).alias("_id"),
-            F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("_sub"),
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    first_k = kmeans_seeds(v, k).collect()
+    seeds = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
+    books = [[vec[s * dsub : (s + 1) * dsub] for vec in seeds] for s in range(m)]
+    subs = v.select(
+        F.posexplode(
+            F.array(*[F.slice("_v", s * dsub + 1, dsub) for s in range(m)])
+        ).alias("_s", "_sub")
+    )
+    for _ in range(iters):
+        cn2_flat = dlit_array([sum(x * x for x in c) for bs in books for c in bs])
+        book_flat = dlit_array([x for bs in books for c in bs for x in c])
+
+        def _cand(j: Column) -> Column:
+            # d(s, j) = ||c||² − 2·sub·c, row-constant ||sub||² dropped
+            # (same compare as kmeans_train_l2 / pq_code)
+            slot = F.col("_s") * k + j
+            base = slot * dsub
+            d = F.element_at(cn2_flat, (slot + 1).cast("int")) - 2.0 * F.aggregate(
+                F.sequence(F.lit(0), F.lit(dsub - 1)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(F.col("_sub"), (i + 1).cast("int"))
+                * F.element_at(book_flat, (base + i + 1).cast("int")),
+            )
+            return F.struct(d.alias("d"), j.alias("j"))
+
+        best = F.array_min(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _cand))["j"]
+        rows = (
+            subs.select("_s", best.alias("_cid"), "_sub")
+            .groupBy("_s", "_cid")
+            .agg(*[F.avg(F.element_at("_sub", i + 1)).alias(f"d{i}") for i in range(dsub)])
+            .collect()
         )
-        books.append(
-            kmeans_train_l2(sub, k=k, dim=dsub, iters=iters, id_col="_id", vec_col="_sub")
-        )
+        new_books = [[list(c) for c in bs] for bs in books]
+        for r in rows:
+            new_books[r["_s"]][r["_cid"]] = [r[f"d{i}"] for i in range(dsub)]
+        if new_books == books:
+            break
+        books = new_books
     return books
 
 

@@ -388,6 +388,59 @@ def code_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hashed_token_features(col: Column, n_buckets: int = 16) -> list[Column]:
+    """Hashing-trick token frequencies as a NARROW MAP — the per-row
+    feature vector for `linear_quality_score`. Unlike
+    `text_hash_embedding`'s explode + pivot (which materializes the
+    feature matrix as a table), scoring needs the features only inside
+    the row, so the bucket ids come from one `transform` over the
+    token array and each frequency is a `filter`+`size` over that
+    small array: zero shuffle, zero explode, whole pipeline stays in
+    the scan stage. Frequencies are exact rationals count/n_tokens
+    (each a single correctly-rounded division — engine-portable)."""
+    toks = words(col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    bids = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % n_buckets,
+    )
+    return [
+        (F.size(F.filter(bids, lambda b: b == i)) / n_tok).alias(f"f{i}")
+        for i in range(n_buckets)
+    ]
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-classifier scoring with a BROADCAST linear model — the
+    fastText/DSIR-style pipeline stage that scores every document in a
+    corpus against a small trained model (here the model is the
+    literal weight vector riding the plan; at 100 TB that is the whole
+    point — no join, no UDF, no model server, one scan).
+
+    score = 0.5 * (1 + z / (1 + |z|)) with z = bias + Σ wᵢ·fᵢ over the
+    hashed token frequencies — the rational squash, NOT the logistic:
+    exp() is not correctly-rounded and may differ in the last ulp
+    between engines, while add/mul/div/abs are IEEE-exact, so the
+    score (rounded to 6 dp, the repo's similarity convention) is
+    bit-identical in the SQL oracle. `kept` compares the ROUNDED
+    score to the threshold, so no unrounded boundary exists."""
+    feats = hashed_token_features(F.col(text_col), len(weights))
+    z = F.lit(float(bias))
+    for w, f in zip(weights, feats):
+        z = z + F.lit(float(w)) * f
+    score = F.round(0.5 * (1.0 + z / (1.0 + F.abs(z))), 6)
+    return df.withColumn("score", score).withColumn(
+        "kept", F.col("score") >= threshold
+    )
+
+
 def clean_text(col: Column) -> Column:
     """Training-corpus text normalization (the C4/CCNet-style cleanup
     pass): strip markup tags, decode the common HTML entities, drop

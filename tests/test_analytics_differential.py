@@ -389,6 +389,112 @@ def test_prefilter_semi_join_exact_and_broadcast(spark, sf_dir):
         assert abs(got[flag][1] - exp_rev) < 0.02
 
 
+def test_train_pq_matches_numpy_lloyds(spark, sf_dir):
+    """The fused PQ trainer (all m subspace Lloyd's runs in one corpus
+    scan per iteration) equals a per-subspace numpy Lloyd's: same
+    first-k-by-id init, argmin by (||c||² − 2·v·c) with first-min
+    ties, mean update, empty cluster keeps its centroid."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.similarity import train_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m, k, dim, iters = 8, 16, 64, 3
+    dsub = dim // m
+    got = train_pq(emb, m=m, k=k, dim=dim, iters=iters, id_col="vec_id", vec_col="v")
+
+    rows = emb.collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            cn2 = (cents**2).sum(axis=1)
+            d = cn2[None, :] - 2.0 * sub @ cents.T
+            assign = d.argmin(axis=1)  # numpy argmin = first minimal
+            new = cents.copy()
+            for j in range(k):
+                sel = sub[assign == j]
+                if len(sel):
+                    new[j] = sel.mean(axis=0)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        assert np.allclose(np.array(got[s]), cents, atol=1e-9), f"subspace {s}"
+
+
+def test_pq_recall_trained_matches_numpy(spark, sf_dir):
+    """Third oracle for the TRAINED-codebook acceptance eval: take the
+    Spark-trained books (exact python floats), replicate encode, ADC
+    and all three rankings in numpy, and compare hit counts exactly.
+    Also pins the acceptance ordering the gate exists to show:
+    exact ≥ trained ≥ fixed recall@5."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.similarity import pq_codebooks_fixed, train_pq
+    from dcafs_spark.queries import q_pq_recall_trained
+
+    got = {
+        r["method"]: (r["hits"], r["recall5"])
+        for r in q_pq_recall_trained(spark, sf_dir).collect()
+    }
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m, kk, dsub = 8, 16, 8
+    fixed = np.array(pq_codebooks_fixed(64, m, kk, seed=7))
+    trained = np.array(
+        train_pq(emb, m=m, k=kk, dim=64, iters=3, id_col="vec_id", vec_col="v")
+    )
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    qmask = ids < 16
+    qids = ids[qmask]
+    Q = X[qmask].copy()
+    for r, vid in enumerate(qids):
+        for i in range(64):
+            Q[r, i] += ((int(vid) * 31 + i * 17) % 13 - 6) / 40.0
+
+    def encode(books):
+        codes = np.zeros((len(X), m), dtype=int)
+        for s in range(m):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            cn2 = (books[s] ** 2).sum(axis=1)
+            d = np.round((cn2[None, :] - 2.0 * sub @ books[s].T) * 1e6)
+            codes[:, s] = d.argmin(axis=1)
+        return codes
+
+    codes_f, codes_t = encode(fixed), encode(trained)
+    hits = {"exact_l2": 0, "pq_adc_fixed": 0, "pq_adc_trained": 0}
+    for r, qid in enumerate(qids):
+        q = Q[r]
+        ranked = {"exact_l2": np.round(((X - q) ** 2).sum(axis=1) * 1e6)}
+        for name, books, codes in (
+            ("pq_adc_fixed", fixed, codes_f),
+            ("pq_adc_trained", trained, codes_t),
+        ):
+            adc = np.zeros(len(X))
+            for s in range(m):
+                qs = q[s * dsub : (s + 1) * dsub]
+                adc += ((qs[None, :] - books[s][codes[:, s]]) ** 2).sum(axis=1)
+            ranked[name] = np.round(adc * 1e6)
+        for name, d in ranked.items():
+            order = np.lexsort((ids, d))
+            if int(qid) in set(ids[order[:5]].tolist()):
+                hits[name] += 1
+    for name, h in hits.items():
+        assert got[name] == (h, h / 16.0), name
+    assert got["exact_l2"][0] >= got["pq_adc_trained"][0] >= got["pq_adc_fixed"][0]
+
+
 def test_pq_recall_matches_numpy(spark, sf_dir):
     """Third oracle for the PQ acceptance eval: replicate encode (argmin
     micro-quantized subspace distance, first-min tie), in-plan ADC and

@@ -27,6 +27,9 @@ ALLOWED = {
     ("operators/similarity.py", "kmeans_train"),
     # euclidean variant (PQ codebooks): same bounded k×dim traffic
     ("operators/similarity.py", "kmeans_train_l2"),
+    # fused PQ trainer: k seed vectors + m×k mean rows per iteration —
+    # the whole codebook is an 8 KiB driver-side constant by design
+    ("operators/similarity.py", "train_pq"),
     # dominant-stratum prefilter statistics: one (value, count) row per
     # stratum — strata are languages/sources, a bounded domain; callers
     # with immutable inputs cache via the stratum_counts= seam

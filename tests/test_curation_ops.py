@@ -655,3 +655,126 @@ class TestContaminationAndContainment:
         assert direct[(0, 1)] == 1.0            # within-copy-group
         assert direct[(0, 10)] == 1.0           # quote contained in long doc
         assert all(20 not in pair for pair in direct)
+
+
+class TestUrlCanonicalization:
+    """Round-12 URL tier: canonicalization rules + first-seen dedup."""
+
+    CASES = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Site.COM:443/a/b/?utm_source=x#frag", "https://site.com/a/b"),
+        ("https://site.com/a/b", "https://site.com/a/b"),
+        ("http://www.site.com:80/a", "http://site.com/a"),
+        ("http://site.com:443/a", "http://site.com:443/a"),  # not http's default
+        ("https://site.com:80/a", "https://site.com:80/a"),  # not https' default
+        ("https://site.com/a?utm_medium=email", "https://site.com/a"),
+        ("https://site.com/a?b=2&utm_source=f&a=1", "https://site.com/a?b=2&a=1"),
+        ("https://site.com/", "https://site.com"),
+        ("https://site.com/a///", "https://site.com/a"),
+        ("https://wwwx.site.com/a", "https://wwwx.site.com/a"),  # only 'www.' strips
+    ]
+
+    def test_canonical_rules(self, spark):
+        from dcafs_spark.operators.urls import url_parts
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _c) in enumerate(self.CASES)], "i long, url string"
+        )
+        got = {
+            r["i"]: r["p"]["canon"]
+            for r in df.select("i", url_parts(F.col("url")).alias("p")).collect()
+        }
+        for i, (_raw, want) in enumerate(self.CASES):
+            assert got[i] == want, self.CASES[i]
+
+    def test_param_order_preserved_not_sorted(self, spark):
+        from dcafs_spark.operators.urls import url_parts
+
+        df = spark.createDataFrame(
+            [(1, "https://s.com/p?b=2&a=1"), (2, "https://s.com/p?a=1&b=2")],
+            "i long, url string",
+        )
+        got = {r["i"]: r["p"]["canon"] for r in df.select("i", url_parts(F.col("url")).alias("p")).collect()}
+        assert got[1] != got[2]  # conservatively distinct
+
+    def test_url_dedup_first_seen_wins(self, spark):
+        from dcafs_spark.operators.urls import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (5, "HTTPS://WWW.A.com/x/?utm_source=t"),
+                (2, "https://a.com/x"),
+                (9, "https://a.com/x#top"),
+                (7, "https://b.com/y"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {r["doc_id"]: r for r in url_dedup(df, "url", "doc_id").collect()}
+        assert rows[2]["kept"] and not rows[5]["kept"] and not rows[9]["kept"]
+        assert rows[2]["n_dupes"] == 3 and rows[7]["n_dupes"] == 1 and rows[7]["kept"]
+        assert rows[5]["domain"] == "a.com"
+
+
+class TestParagraphDedup:
+    def test_corpus_and_intra_regimes(self, spark):
+        from dcafs_spark.operators.dedup import paragraph_dedup_stats
+
+        para = " ".join(f"w{i}" for i in range(20))  # one exact 20-word paragraph
+        other = " ".join(f"x{i}" for i in range(20))
+        rows = [
+            (1, para),                         # boilerplate copy 1
+            (2, para),                         # copy 2
+            (3, para),                         # copy 3 → corpus-repeated (≥3 docs)
+            (4, other + " " + other),          # intra-doc repeat, only 1 doc
+            (5, " ".join(f"y{i}" for i in range(7))),  # short unique doc
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in paragraph_dedup_stats(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                chunk_words=20,
+                min_docs=3,
+            ).collect()
+        }
+        for d in (1, 2, 3):  # every copy removed — no first-owner survivor
+            assert got[d]["n_repeated_corpus"] == 1 and got[d]["kept_words"] == 0
+        assert got[4]["n_paras"] == 2
+        assert got[4]["n_repeated_intra"] == 1  # second occurrence collapses
+        assert got[4]["kept_words"] == 20       # one copy survives
+        assert got[5]["n_paras"] == 1 and got[5]["kept_words"] == 7
+
+
+class TestQualityClassifier:
+    def test_score_matches_python_replica(self, spark):
+        """Bit-exact replica of the broadcast linear scorer in pure
+        python (same md5 bucketing, same left-assoc float sum, same
+        rational squash) — the cross-engine determinism argument in
+        the operator docstring, verified against a third engine."""
+        import hashlib
+
+        from dcafs_spark.operators.textan import linear_quality_score
+
+        weights = [0.5, -1.0, 2.0, 0.25] * 4
+        rows = [(1, "the quick brown fox"), (2, "a a a"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["score"], r["kept"])
+            for r in linear_quality_score(df, weights, bias=0.1, threshold=0.5).collect()
+        }
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 16
+
+        for doc_id, text in rows:
+            toks = text.strip().lower().split() if text.strip() else [""]
+            # split('\\s+') on empty text yields [''] — a phantom token
+            # that still hashes into a bucket (matches words() exactly)
+            if text == "":
+                toks = [""]
+            n = max(len(toks), 1)
+            z = 0.1
+            for i, w in enumerate(weights):
+                z = z + w * (sum(1 for t in toks if bucket(t) == i) / n)
+            score = round(0.5 * (1.0 + z / (1.0 + abs(z))), 6)
+            assert got[doc_id][0] == score
+            assert got[doc_id][1] == (score >= 0.5)

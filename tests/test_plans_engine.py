@@ -220,6 +220,17 @@ class TestPlanQuality:
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan and "Sort [" not in plan.replace("TakeOrdered", "")
 
+    def test_recall_evals_rank_without_window_sort(self, spark, sf_dir):
+        """The recall evals' per-query rank must be the bounded
+        two-stage top-k aggregate, not a row_number() window that
+        funnels every scored row into |queries| partitions and fully
+        sorts each (round-11 review). No Window node, no global Sort
+        in either eval."""
+        for name in ("pq_recall", "ann_recall", "pq_recall_trained"):
+            plan = physical_plan(QUERIES[name][0](spark, sf_dir))
+            assert "Window" not in plan, name
+            assert "Sort [" not in plan.replace("TakeOrdered", ""), name
+
 
 class TestAsofRangeEdges:
     def test_asof_no_predecessor_is_null(self, spark):

@@ -441,7 +441,9 @@ def streaming_embedding_dedup_sustained(spark, rps: int | None = None, seconds: 
     dropDuplicatesWithinWatermark → noop. Per-row cost is the H×dim
     bucket fold (~768 mults) — heavier than the minhash tier's
     shingle fold, so the default offer is lower (800 docs/s/core vs
-    1400)."""
+    1400). Fresh-process knee since the r12 lsh_bucket rewrite:
+    keeps up through 153.6k docs/s (4.8k/core), breaks at 204.8k
+    (194.6k sustained)."""
     import shutil
     import tempfile
 

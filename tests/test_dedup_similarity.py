@@ -954,3 +954,40 @@ def test_semantic_dedup_null_placement_not_collapsed(spark):
     # null-component vectors have undefined cosine: excluded from
     # pairing on BOTH paths, so everyone survives
     assert kept == {1: True, 2: True, 3: True}
+
+
+def test_bounded_topk_equals_window_rank(spark):
+    """Differential: the two-stage partial-agg top-k (`bounded_topk`,
+    the recall evals' window-free rank shape) emits exactly the rows a
+    row_number() window would, on random scored data with ties,
+    uneven key sizes, and keys smaller than k — across a repartition
+    (the local stage keys on spark_partition_id, so the RESULT must
+    not depend on the physical layout)."""
+    import random as _random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.operators.similarity import bounded_topk
+
+    rng = _random.Random(99)
+    rows = []
+    for q in range(7):
+        for i in range(rng.randrange(1, 40)):
+            rows.append((q, i, rng.randrange(0, 12)))  # small range → ties
+    df = spark.createDataFrame(rows, "qid long, vid long, d long")
+
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vid").asc())
+    want = sorted(
+        (r["qid"], r["vid"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    for parts in (1, 3, 17):
+        s = F.struct(F.col("d").alias("_o"), F.col("vid").alias("_i"))
+        got = sorted(
+            (r["qid"], r["_e"]["_i"], r["_pos"] + 1)
+            for r in bounded_topk(df.repartition(parts), "qid", s, 5).collect()
+        )
+        assert got == want, f"parts={parts}"

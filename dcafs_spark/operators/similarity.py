@@ -80,9 +80,9 @@ def bounded_topk(scored: DataFrame, key_col: str, sort_struct: Column, k: int) -
     payload after). Returns (key_col, _pos, _e) with `_pos` the
     0-based rank and `_e` the struct."""
     local = (
-        scored.groupBy(key_col, F.spark_partition_id().alias("_part"))
+        scored.groupBy(key_col, F.spark_partition_id().alias("__btk_part"))
         .agg(F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("_top"))
-        .drop("_part")
+        .drop("__btk_part")
     )
     merged = (
         local.select(key_col, F.explode("_top").alias("_e"))
@@ -628,8 +628,9 @@ def train_pq(
     # Duplicate seeds stay duplicates under Lloyd's (first-min ties
     # route all mass to the first occurrence), which is fine: unused
     # codewords just never win the argmin.
+    n_real = len(seeds)
     while len(seeds) < k:
-        seeds.append(list(seeds[len(seeds) % max(len(seeds), 1)]) if seeds else [0.0] * dim)
+        seeds.append(list(seeds[(len(seeds) - n_real) % n_real]) if n_real else [0.0] * dim)
     books = [[vec[s * dsub : (s + 1) * dsub] for vec in seeds] for s in range(m)]
     subs = v.select(
         F.posexplode(

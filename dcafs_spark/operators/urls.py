@@ -15,7 +15,11 @@ RFC 3986 §6 syntax-based normalization plus the de-facto crawl rules:
   * tracking parameters (``utm_*``) removed from the query; an
     all-tracking query disappears entirely; remaining params keep
     their original order (sorting is NOT applied — ``?a=1&b=2`` and
-    ``?b=2&a=1`` are conservatively distinct)
+    ``?b=2&a=1`` are conservatively distinct). Param names match
+    case-SENSITIVELY (``UTM_SOURCE`` survives): query keys are
+    case-sensitive per RFC 3986, tracking emitters lowercase them in
+    practice, and the conservative direction for a dedup key is to
+    keep, not merge
 
 Scale shape (100 TB): canonicalization is a pure NARROW map — a chain
 of regexp extracts over one string column, no shuffle, no UDF, fully

@@ -991,3 +991,21 @@ def test_bounded_topk_equals_window_rank(spark):
             for r in bounded_topk(df.repartition(parts), "qid", s, 5).collect()
         )
         assert got == want, f"parts={parts}"
+
+
+def test_train_pq_pads_short_corpora_by_cycling(spark):
+    """Corpora with fewer than k vectors still yield k well-formed
+    codewords per subspace: missing seeds CYCLE the available ones
+    (seed 0, 1, 0, 1, ... for 2 real seeds) rather than repeating
+    seed 0, and an empty corpus yields all-zero codewords."""
+    from dcafs_spark.operators.similarity import train_pq
+
+    rows = [(0, [1.0] * 8), (1, [2.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq(emb, m=2, k=4, dim=8, iters=0)
+    for s in range(2):
+        assert len(books[s]) == 4
+        assert books[s][2] == books[s][0] and books[s][3] == books[s][1]  # cycled
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    books0 = train_pq(empty, m=2, k=3, dim=8, iters=1)
+    assert all(c == [0.0] * 4 for bs in books0 for c in bs)

@@ -58,6 +58,47 @@ def _steady_rate(steady: list[dict]) -> tuple[int, float, float]:
     return rows, busy, (rows / busy if busy > 0 else 0.0)
 
 
+# Every streaming verdict must rest on at least this many steady-state
+# batches (r12 verdict ask #1: the JVM control collapsed to 1 steady
+# batch in the builder's artifact and to 0 in the driver's — a 30 s
+# window minus 2 warmup batches leaves nothing when addBatch degrades
+# to 10-25 s, and a 1-batch "measurement" is noise).
+MIN_STEADY_BATCHES = 3
+
+
+def _run_until_steady(
+    q, seconds: float, min_steady: int = MIN_STEADY_BATCHES
+) -> tuple[list[dict], list[dict]]:
+    """Sleep the nominal window, then AUTO-EXTEND until the query has
+    produced >= min_steady steady-state batches or the hard cap
+    (factor x nominal, SPARK_GRAFT_STREAM_MAX_FACTOR, default 2.5) is
+    reached. Callers report `insufficient_batches` explicitly when the
+    cap fires first — never a rate derived from <min_steady batches."""
+    factor = float(os.environ.get("SPARK_GRAFT_STREAM_MAX_FACTOR", "2.5"))
+    max_seconds = max(seconds * factor, seconds + 20.0)
+    t0 = time.monotonic()
+    time.sleep(seconds)
+    while True:
+        entries, steady = _progress_stats(q)
+        if len(steady) >= min_steady or (time.monotonic() - t0) >= max_seconds:
+            return entries, steady
+        time.sleep(min(5.0, max(1.0, seconds / 6.0)))
+
+
+def _insufficient(entries: list[dict], steady: list[dict]) -> dict:
+    """Explicit sub-minimum-batch verdict: report what WAS observed
+    (best-effort rate over the partial window) but tagged so no
+    kept_up/knee claim is ever derived from it."""
+    rows, busy, rate = _steady_rate(steady)
+    return {
+        "err": "insufficient_batches",
+        "n_batches": len(steady),
+        "min_steady_batches": MIN_STEADY_BATCHES,
+        "partial_rows_per_sec": round(rate, 1),
+        "busy_sec": round(sum(e.get("batchDuration", 0) for e in entries) / 1000.0, 1),
+    }
+
+
 def _retry_if_missed(run):
     """Re-measure once before reporting a missed rate: a single 30 s
     window late in a long session reads a few percent low from a GC
@@ -216,13 +257,12 @@ def streaming_sustained(spark, rps: int | None = None, seconds: float | None = N
             .start()
         )
         try:
-            time.sleep(seconds)
-            entries, steady = _progress_stats(q)
+            entries, steady = _run_until_steady(q, seconds)
         finally:
             q.stop()
             q.awaitTermination(15)
-        if not steady:
-            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        if len(steady) < MIN_STEADY_BATCHES:
+            return _insufficient(entries, steady)
         _rows, _busy, rate = _steady_rate(steady)
         state_rows = _last_state_rows(entries)
         # micro-batch time breakdown (mean ms per steady batch) — names
@@ -325,13 +365,12 @@ def streaming_sustained_jvm(spark, rps: int | None = None, seconds: float | None
             .start()
         )
         try:
-            time.sleep(seconds)
-            entries, steady = _progress_stats(q)
+            entries, steady = _run_until_steady(q, seconds)
         finally:
             q.stop()
             q.awaitTermination(15)
-        if not steady:
-            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        if len(steady) < MIN_STEADY_BATCHES:
+            return _insufficient(entries, steady)
         _rows, _busy, rate = _steady_rate(steady)
         return {
             "sustained_rows_per_sec": round(rate, 1),
@@ -406,13 +445,12 @@ def streaming_dedup_sustained(spark, rps: int | None = None, seconds: float | No
             .start()
         )
         try:
-            time.sleep(seconds)
-            entries, steady = _progress_stats(q)
+            entries, steady = _run_until_steady(q, seconds)
         finally:
             q.stop()
             q.awaitTermination(15)
-        if not steady:
-            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        if len(steady) < MIN_STEADY_BATCHES:
+            return _insufficient(entries, steady)
         _rows, _busy, rate = _steady_rate(steady)
         state_rows = _last_state_rows(entries)
         durs: dict[str, float] = {}
@@ -488,13 +526,178 @@ def streaming_embedding_dedup_sustained(spark, rps: int | None = None, seconds: 
             .start()
         )
         try:
-            time.sleep(seconds)
-            entries, steady = _progress_stats(q)
+            entries, steady = _run_until_steady(q, seconds)
         finally:
             q.stop()
             q.awaitTermination(15)
-        if not steady:
-            return {"sustained_rows_per_sec": 0.0, "err": "no steady-state batches"}
+        if len(steady) < MIN_STEADY_BATCHES:
+            return _insufficient(entries, steady)
+        _rows, _busy, rate = _steady_rate(steady)
+        state_rows = _last_state_rows(entries)
+        durs: dict[str, float] = {}
+        for e in steady:
+            for k, v in (e.get("durationMs") or {}).items():
+                durs[k] = durs.get(k, 0.0) + float(v)
+        durs = {k: round(v / len(steady), 1) for k, v in durs.items()}
+        return {
+            "sustained_rows_per_sec": round(rate, 1),
+            "offered_rows_per_sec": rps,
+            "kept_up": bool(rate >= 0.95 * rps),
+            "state_rows": int(state_rows),
+            "n_batches": len(steady),
+            "durations_ms": durs,
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_url_dedup_sustained(spark, rps: int | None = None, seconds: float | None = None) -> dict:
+    """Sustained run of the canonical-URL ingest dedup tier
+    (`streaming/dedup.py:streaming_url_dedup`, r12 verdict ask #5):
+    rate source → synthesized raw URLs with the batch fixture's
+    variant structure (case/www/port/utm/fragment spellings of ~2000
+    page identities, so re-fetch floods actually occur) → watermarked
+    first-wins on the canonical md5 → noop. Per-row cost is the
+    canonicalization regexp chain — lighter than the minhash fold, so
+    the default offer sits higher (2000 docs/s/core)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.streaming.dedup import streaming_url_dedup
+
+    cores = spark.sparkContext.defaultParallelism or 32
+    if rps is None:
+        rps = int(os.environ.get("SPARK_GRAFT_STREAM_URLDEDUP_RPS", str(2000 * cores)))
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
+    if rps <= 0:
+        return {}
+    ckpt = tempfile.mkdtemp(prefix="bench_urldedup_state_")
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", cores)
+            .load()
+        )
+        # ~2000 page identities; spelling variants ride value % 4
+        urls = src.select(
+            "timestamp",
+            F.expr(
+                "concat("
+                " CASE WHEN value % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,"
+                " 'site', CAST(value % 50 AS STRING), '.example.com',"
+                " CASE WHEN value % 4 = 1 THEN ':443' ELSE '' END,"
+                " '/p/', CAST((value % 2000) DIV 50 AS STRING),"
+                " CASE WHEN value % 4 = 2 THEN '/?utm_source=feed' ELSE '' END,"
+                " CASE WHEN value % 4 = 3 THEN '#frag' ELSE '' END)"
+            ).alias("url"),
+        )
+        dd = streaming_url_dedup(
+            urls, url_col="url", ts_col="timestamp", watermark="10 seconds"
+        )
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .queryName("bench_urldedup_tier")
+            .start()
+        )
+        try:
+            entries, steady = _run_until_steady(q, seconds)
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        if len(steady) < MIN_STEADY_BATCHES:
+            return _insufficient(entries, steady)
+        _rows, _busy, rate = _steady_rate(steady)
+        state_rows = _last_state_rows(entries)
+        durs: dict[str, float] = {}
+        for e in steady:
+            for k, v in (e.get("durationMs") or {}).items():
+                durs[k] = durs.get(k, 0.0) + float(v)
+        durs = {k: round(v / len(steady), 1) for k, v in durs.items()}
+        return {
+            "sustained_rows_per_sec": round(rate, 1),
+            "offered_rows_per_sec": rps,
+            "kept_up": bool(rate >= 0.95 * rps),
+            "state_rows": int(state_rows),
+            "n_batches": len(steady),
+            "durations_ms": durs,
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_paragraph_dedup_sustained(spark, rps: int | None = None, seconds: float | None = None) -> dict:
+    """Sustained run of the paragraph ingest dedup tier
+    (`streaming/dedup.py:streaming_paragraph_dedup`, r12 verdict ask
+    #5): rate source → synthesized 3-paragraph docs from a bounded
+    phrase space (template floods occur, novel tails pass) → explode
+    to paragraphs + watermarked first-wins on the 60-bit chash → noop.
+    Per-row cost is normalize + split + 3 md5 chunk hashes and a 3x
+    row expansion — the heaviest of the ingest tiers, so the default
+    offer sits at 700 docs/s/core. Rates are DOCS offered/s; the
+    reported sustained rate is docs/s (input rows), not exploded
+    paragraph rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.streaming.dedup import streaming_paragraph_dedup
+
+    cores = spark.sparkContext.defaultParallelism or 32
+    if rps is None:
+        rps = int(os.environ.get("SPARK_GRAFT_STREAM_PARADEDUP_RPS", str(700 * cores)))
+    if seconds is None:
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SECONDS", "30"))
+    if rps <= 0:
+        return {}
+    ckpt = tempfile.mkdtemp(prefix="bench_paradedup_state_")
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", cores)
+            .load()
+        )
+        # 3 paragraphs x 20 words: one boilerplate paragraph shared by
+        # value%7==0 docs (the template flood), two from a ~3000-phrase
+        # space (dups within the horizon, novel content dominates)
+        docs = src.select(
+            "timestamp",
+            F.expr(
+                "concat_ws(' ',"
+                " CASE WHEN value % 7 = 0"
+                "   THEN concat_ws(' ', transform(sequence(0, 19), i -> concat('boil', i)))"
+                "   ELSE concat_ws(' ', transform(sequence(0, 19),"
+                "        i -> concat('tok', ((value % 3000) * 17 + i) % 1009))) END,"
+                " concat_ws(' ', transform(sequence(0, 19),"
+                "      i -> concat('mid', ((value % 3000) * 29 + i * i) % 1013))),"
+                " concat_ws(' ', transform(sequence(0, 19),"
+                "      i -> concat('end', ((value % 3000) * 31 + i * 7) % 1019))))"
+            ).alias("text"),
+        )
+        dd = streaming_paragraph_dedup(
+            docs, text_col="text", chunk_words=20, ts_col="timestamp", watermark="10 seconds"
+        )
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .queryName("bench_paradedup_tier")
+            .start()
+        )
+        try:
+            entries, steady = _run_until_steady(q, seconds)
+        finally:
+            q.stop()
+            q.awaitTermination(15)
+        if len(steady) < MIN_STEADY_BATCHES:
+            return _insufficient(entries, steady)
         _rows, _busy, rate = _steady_rate(steady)
         state_rows = _last_state_rows(entries)
         durs: dict[str, float] = {}
@@ -662,6 +865,58 @@ def stream_dedup_isolated() -> dict:
     return out
 
 
+def stream_main_isolated() -> dict:
+    """Fresh-process entry for the label-path streaming sections (r12
+    verdict ask #1): the official artifacts carried a broken JVM
+    control (1 steady batch in the builder's run, 0 in the driver's)
+    and a sustained section 4-5x below round 11, both measured after
+    ~15 min of accumulated suite JVM pressure. The sustained run, the
+    capacity sweep and the pure-JVM control now run in their own clean
+    JVM — the same treatment the dedup capacity sweeps got in r10/r11
+    — with the >=3-steady-batch auto-extend guaranteeing every
+    kept_up/knee verdict rests on a real window."""
+    from dcafs_spark import get_spark
+
+    spark = get_spark("dcafs_spark_bench_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {
+        "streaming_sustained": _retry_if_missed(lambda: streaming_sustained(spark)),
+        "streaming_capacity": streaming_capacity(spark),
+        "streaming_sustained_jvm": streaming_sustained_jvm(spark),
+        "isolated": True,
+    }
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.stop()
+    return out
+
+
+def run_stream_main_subprocess() -> dict:
+    """Spawn `bench.py --stream-main` and parse its one JSON line.
+    SPARK_GRAFT_STREAM_ISOLATED=0 falls back to in-suite execution
+    (used by the quick iteration loop, where a second JVM is slower
+    than the co-load noise it avoids)."""
+    import subprocess
+
+    try:
+        run = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stream-main"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=dict(os.environ),
+        )
+        for ln in reversed(run.stdout.splitlines()):
+            if ln.strip().startswith("{"):
+                return json.loads(ln)
+    except Exception:
+        pass
+    return {"err": "isolated stream-main run failed to report"}
+
+
 def run_dedup_capacity_subprocess() -> dict:
     """Spawn `bench.py --stream-dedup` and parse its one JSON line."""
     import subprocess
@@ -736,6 +991,69 @@ def streaming_capacity(spark) -> dict:
     if knee is not None:
         out["first_failing_rps"] = knee
     return out
+
+
+def quick_bench() -> dict:
+    """Cheap-mode mid-round bench (r12 verdict ask #7): the documented
+    <5-min iteration loop's perf leg. Full catalog timed at sf0.01
+    (min-of-2 after a sf0.001 codegen warmup) + the prior committed
+    round's 20 most expensive queries re-timed at sf0.1 — enough to
+    spot a real regression anywhere and size it where it matters,
+    without the 161-query sf0.1 suite + streaming sections (~25 min).
+
+    Writes NO artifacts: BENCH_DETAIL.json / BENCH_TAIL.json stay the
+    committed round record (the artifact-hygiene rule that previously
+    relied on remembering `git checkout --`). One JSON line on stdout.
+    """
+    from dcafs_spark import get_spark
+    from dcafs_spark.queries import QUERIES
+
+    spark = get_spark("dcafs_spark_bench_quick")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_dir = "/root/testdata/sf0.001"
+    small = os.environ.get("SPARK_GRAFT_QUICK_SMALL", "/root/testdata/sf0.01")
+    big = os.environ.get("SPARK_GRAFT_QUICK_BIG", "/root/testdata/sf0.1")
+    t_small: dict[str, float] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        fn(spark, warm_dir if os.path.isdir(warm_dir) else small).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, small).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        t_small[name] = round(best, 3)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev = _prev_round_detail(repo_dir, os.path.join(repo_dir, "BENCH_DETAIL.json"))
+    rank = (prev or {}).get("queries") or t_small
+    top = [n for n in sorted(rank, key=rank.get, reverse=True) if n in QUERIES][:20]
+    t_big: dict[str, float] = {}
+    for name in top:
+        fn = QUERIES[name][0]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, big).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        t_big[name] = round(best, 3)
+        spark.sparkContext._jvm.System.gc()
+    payload = {
+        "metric": "quick_bench",
+        "sf_small_total_sec": round(sum(t_small.values()), 3),
+        "sf_big_top20_sec": round(sum(t_big.values()), 3),
+        "n_queries": len(t_small),
+        "queries_small": t_small,
+        "queries_big_top20": t_big,
+    }
+    # prior committed round's sf0.1 numbers for the same top-20, so a
+    # regression reads directly off the one JSON line
+    if prev and prev.get("queries"):
+        payload["prev_big_top20_sec"] = round(
+            sum(prev["queries"].get(n, 0.0) for n in top), 3
+        )
+    spark.stop()
+    return payload
 
 
 def isolated_remeasure(names: list[str]) -> dict[str, float]:
@@ -908,14 +1226,30 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     streaming_rate = round(streaming_lines_per_sec(spark), 1)
-    sustained = streaming_sustained(spark)
-    capacity = streaming_capacity(spark)
-    jvm_control = streaming_sustained_jvm(spark)
-    # the dedup tier runs LAST after ~15 min of accumulated JVM
-    # pressure and reads 28-48k docs/s run-to-run on identical code —
-    # same retry-once rule as the capacity sweep
+    # sustained + capacity + JVM control run in a FRESH subprocess (r12
+    # verdict ask #1 — see stream_main_isolated); the in-suite fallback
+    # remains for the quick iteration loop
+    if os.environ.get("SPARK_GRAFT_STREAM_ISOLATED", "1") == "0":
+        sustained = _retry_if_missed(lambda: streaming_sustained(spark))
+        capacity = streaming_capacity(spark)
+        jvm_control = streaming_sustained_jvm(spark)
+    else:
+        sm = run_stream_main_subprocess()
+        sustained = sm.get("streaming_sustained", {"err": sm.get("err", "missing")})
+        capacity = sm.get("streaming_capacity", {})
+        jvm_control = sm.get("streaming_sustained_jvm", {})
+        for sec in (sustained, capacity, jvm_control):
+            if isinstance(sec, dict) and sec:
+                sec["isolated"] = True
+    # the dedup tiers run LAST after ~15 min of accumulated JVM
+    # pressure and read 28-48k docs/s run-to-run on identical code —
+    # same retry-once rule as the capacity sweep; these stay in-suite
+    # BY DESIGN (they measure keep-up under realistic co-load; their
+    # capability knees come from the fresh-process sweeps below)
     dedup_tier = _retry_if_missed(lambda: streaming_dedup_sustained(spark))
     emb_dedup_tier = _retry_if_missed(lambda: streaming_embedding_dedup_sustained(spark))
+    url_tier = _retry_if_missed(lambda: streaming_url_dedup_sustained(spark))
+    para_tier = _retry_if_missed(lambda: streaming_paragraph_dedup_sustained(spark))
     dedup_capacity = run_dedup_capacity_subprocess()
 
     total = round(sum(timings.values()), 3)
@@ -982,11 +1316,45 @@ def main() -> None:
         "streaming_sustained_jvm": jvm_control,
         "streaming_dedup_tier": dedup_tier,
         "streaming_embedding_dedup_tier": emb_dedup_tier,
+        "streaming_url_dedup_tier": url_tier,
+        "streaming_paragraph_dedup_tier": para_tier,
         "streaming_dedup_capacity": dedup_capacity,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if drift:
         payload["drift_recheck"] = drift
+    # once-per-round isolated sweep (r12 verdict ask #4): the 10 most
+    # expensive queries PLUS the three front slots, re-measured in a
+    # fresh JVM next to their in-suite numbers — the warm-suite-vs-
+    # isolated gap (1.4-1.8x on untouched sub-second queries) is the
+    # dominant cross-round noise term, and this gives every verdict a
+    # clean-JVM reference without re-litigating environment drift.
+    # (The front slots also close the r12 ADVICE one-round baseline
+    # gap: r12 primed them warm while r11 measured them cold; from r13
+    # on, both the warm in-suite number and an isolated number exist.)
+    if os.environ.get("SPARK_GRAFT_ISOLATED_TOP10", "1") != "0":
+        import subprocess as _sp
+
+        top = sorted(timings, key=timings.get, reverse=True)[:10]
+        names = list(dict.fromkeys(list(timings)[:3] + top))
+        try:
+            run = _sp.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated", *names],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            )
+            iso = {}
+            for ln in reversed(run.stdout.splitlines()):
+                if ln.strip().startswith("{"):
+                    iso = json.loads(ln)
+                    break
+            payload["isolated_top10"] = {
+                n: {"in_suite": timings[n], "isolated": iso.get(n)} for n in names
+            }
+        except Exception:
+            payload["isolated_top10"] = {"err": "isolated sweep failed to report"}
     if prev_control:
         payload["control_vs_prev"] = round(control_sec / prev_control, 3)
         payload["prev_control"] = {"round": prev_round, "control_sec": prev_control}
@@ -1027,7 +1395,14 @@ def main() -> None:
     # durationMs breakdowns are detail-file material — drop from the
     # size-bounded tail line so query timings get the space
     tail.get("streaming_sustained", {}).pop("durations_ms", None)
-    tail.get("streaming_dedup_tier", {}).pop("durations_ms", None)
+    for t in (
+        "streaming_dedup_tier",
+        "streaming_embedding_dedup_tier",
+        "streaming_url_dedup_tier",
+        "streaming_paragraph_dedup_tier",
+    ):
+        tail.get(t, {}).pop("durations_ms", None)
+    tail.pop("isolated_top10", None)  # detail-file material
     for sec in ("streaming_capacity", "streaming_dedup_capacity"):
         for r in (tail.get(sec, {}).get("rates") or {}).values():
             r.pop("durations_ms", None)
@@ -1047,6 +1422,10 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--isolated":
         print(json.dumps(isolated_remeasure(sys.argv[2:])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--quick":
+        print(json.dumps(quick_bench()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream-main":
+        print(json.dumps(stream_main_isolated()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-dedup":
         print(json.dumps(stream_dedup_isolated()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-embdedup":

@@ -1031,6 +1031,37 @@ def chunk_dedup_stats(
     )
 
 
+def paragraph_chunks(text: Column, chunk_words: int, with_text: bool = False) -> Column:
+    """Non-overlapping `chunk_words`-word paragraphs of a normalized
+    document as an array of structs (chash: 60-bit md5-prefix long,
+    nw: word count[, para: the joined words when `with_text`]).
+
+    THE single definition of what a paragraph hash is: the batch
+    operator (`paragraph_dedup_stats`) and the streaming ingest tier
+    (`streaming/dedup.py:streaming_paragraph_dedup`) both build on it,
+    so ingest and batch agree on paragraph identity byte-for-byte
+    (pinned by tests/test_streaming_dedup.py). Pure Catalyst transform
+    — no explode here, callers choose row shape."""
+
+    w = F.split(normalize_text(text), " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
+
+    def mk(i):
+        sl = F.slice(w, i * chunk_words + 1, chunk_words)
+        joined = F.array_join(sl, " ")
+        fields = [
+            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10)
+            .cast("long")
+            .alias("chash"),
+            F.size(sl).alias("nw"),
+        ]
+        if with_text:
+            fields.append(joined.alias("para"))
+        return F.struct(*fields)
+
+    return F.transform(F.sequence(F.lit(0), n_chunks - 1), mk)
+
+
 def paragraph_dedup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -1061,25 +1092,7 @@ def paragraph_dedup_stats(
     machinery), and the join back keys on the 8-byte hash. One
     checkpointed frame feeds both sides, so the tokenize explode runs
     once. No windows, no pairwise anything — O(corpus tokens)."""
-    w = F.split(normalize_text(F.col(text_col)), " ")
-    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("chash"),
-            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
-        ),
-    )
+    chunks = paragraph_chunks(F.col(text_col), chunk_words)
     occ = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c")).select(
         "id", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw")
     )
@@ -1122,25 +1135,7 @@ def boilerplate_occurrences(
     ``chunk_words``-word window, chash a 60-bit md5 prefix. Exposed
     separately so the scale probe can attribute stage cost (explode vs
     rollup vs marker join); production callers use the full stats op."""
-    w = F.split(normalize_text(F.col(text_col)), " ")
-    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)), F.lit(1)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " ")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("chash"),
-            F.size(F.slice(w, i * chunk_words + 1, chunk_words)).alias("nw"),
-        ),
-    )
+    chunks = paragraph_chunks(F.col(text_col), chunk_words)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),

@@ -120,6 +120,15 @@ def valmap(
     two-char sequence ``\\E`` is unsupported), per the round-11 review;
     the reference's `Tools.fromEscapedStringToBytes` delimiters are
     plain characters, where Java regex split is literal-equivalent."""
+    # \Q…\E quoting cannot express a delimiter CONTAINING the two-char
+    # sequence \E — reject loudly instead of silently mis-splitting
+    # (r12 ADVICE: the caveat was documented but unenforced)
+    for name, d in (("split", split), ("multi_delimiter", multi_delimiter)):
+        if d is not None and "\\E" in d:
+            raise ValueError(
+                f"valmap {name} may not contain the sequence \\\\E "
+                "(unrepresentable under \\\\Q…\\\\E literal quoting)"
+            )
     col = F.col(column)
     if multi_delimiter:
         # same literal-split contract as `split` below: \Q…\E-quoted so

@@ -78,7 +78,17 @@ def bounded_topk(scored: DataFrame, key_col: str, sort_struct: Column, k: int) -
     `sort_struct` must be an ASCENDING-comparable struct whose field
     order encodes the ranking (order key first, tie-break second,
     payload after). Returns (key_col, _pos, _e) with `_pos` the
-    0-based rank and `_e` the struct."""
+    0-based rank and `_e` the struct.
+
+    Caveat (r12 ADVICE): stage 1's `collect_list` buffers every row of
+    a (key, input-partition) group in the aggregation buffer before
+    slicing — unlike the Window sort it replaced, that buffer cannot
+    spill. The bound is the number of rows one key contributes to ONE
+    input partition; callers whose keys can dominate very large
+    partitions (≫10^7 rows per key per partition) should repartition
+    or salt upstream so the per-partition per-key row count stays
+    memory-sized. The recall evals satisfy this by construction
+    (|queries| keys spread over all scan partitions)."""
     local = (
         scored.groupBy(key_col, F.spark_partition_id().alias("__btk_part"))
         .agg(F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("_top"))

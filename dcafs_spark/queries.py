@@ -7136,10 +7136,15 @@ def _trained_pq_books(
     builds skip the training scans)."""
     from dcafs_spark.operators.similarity import train_pq
 
-    key = f"{sf_dir.rstrip('/')}|{m}x{kk}"
+    # memo key carries EVERY train_pq parameter (r12 ADVICE: m×kk alone
+    # would hand stale codebooks to a future caller with other iters/dim)
+    dim, iters = 64, 3
+    key = f"{sf_dir.rstrip('/')}|{m}x{kk}|{dim}|{iters}"
     books = _TRAINED_PQ_MEMO.get(key)
     if books is None:
-        books = train_pq(emb, m=m, k=kk, dim=64, iters=3, id_col="vec_id", vec_col="v")
+        books = train_pq(
+            emb, m=m, k=kk, dim=dim, iters=iters, id_col="vec_id", vec_col="v"
+        )
         _TRAINED_PQ_MEMO[key] = books
     return books
 
@@ -7708,6 +7713,123 @@ FROM canon c JOIN grp g USING (canon_url)
 """
 
 
+# round-13 sibling of the url_dedup fixture: subdomain'd hosts over
+# mixed 1- and 2-label public suffixes, so the eTLD+1 extraction (not
+# just host equality) decides the aggregation key. Pairs {2k, 2k+1}
+# share the page identity; sub/query variants exercise the
+# canonicalizer before the domain rollup.
+def _synth_url_domains_spark() -> Column:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k = F.expr("doc_id DIV 2")
+    sub = (
+        F.when(d % 7 == 0, F.lit(""))
+        .when(d % 7 == 1, F.lit("www."))
+        .when(d % 7 == 2, F.lit("blog."))
+        .when(d % 7 == 3, F.lit("shop."))
+        .when(d % 7 == 4, F.lit("docs."))
+        .when(d % 7 == 5, F.lit("cdn."))
+        .otherwise(F.lit("m."))
+    )
+    suffix = (
+        F.when(k % 5 == 0, F.lit("com"))
+        .when(k % 5 == 1, F.lit("co.uk"))
+        .when(k % 5 == 2, F.lit("org"))
+        .when(k % 5 == 3, F.lit("com.au"))
+        .otherwise(F.lit("net"))
+    )
+    host = F.concat(sub, F.lit("brand"), s(k % 11), F.lit("."), suffix)
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=mirror&page="), s(k % 6)))
+        .when(d % 3 == 1, F.concat(F.lit("?page="), s(k % 6)))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.lit("https://"), host, F.lit("/p/"), s(k % 4), query)
+
+
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl profile (docs, unique canonical
+    pages, duplicate share) — the quota/mirror-flood table every crawl
+    operator reads. eTLD+1 via `operators/urls.py:registered_domain`
+    (pure-Catalyst CASE chain over a public-suffix sample); the single
+    shuffle carries 16-byte canonical md5s, never bodies."""
+    from dcafs_spark.operators.urls import domain_profile
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_domains_spark().alias("url")
+    )
+    return domain_profile(docs, "url", "doc_id")
+
+
+_SQL_SYNTH_URL_DOMAINS = """
+'https://'
+|| (CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'blog.'
+         WHEN 3 THEN 'shop.' WHEN 4 THEN 'docs.' WHEN 5 THEN 'cdn.' ELSE 'm.' END)
+|| 'brand' || CAST((doc_id // 2) % 11 AS VARCHAR) || '.'
+|| (CASE (doc_id // 2) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+         WHEN 2 THEN 'org' WHEN 3 THEN 'com.au' ELSE 'net' END)
+|| '/p/' || CAST((doc_id // 2) % 4 AS VARCHAR)
+|| (CASE doc_id % 3
+         WHEN 0 THEN '?utm_source=mirror&page=' || CAST((doc_id // 2) % 6 AS VARCHAR)
+         WHEN 1 THEN '?page=' || CAST((doc_id // 2) % 6 AS VARCHAR)
+         ELSE '' END)
+"""
+
+_SQL_DOMAIN_PROFILE = f"""
+WITH raw AS (SELECT doc_id, {_SQL_SYNTH_URL_DOMAINS} AS url FROM documents),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM nf
+), hp AS (
+  SELECT doc_id, scheme, rest,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+  FROM parts
+), pq AS (
+  SELECT doc_id, scheme, host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+         CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS q
+  FROM hp
+), cq AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(list_filter(string_split(q, '&'),
+                                     p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS qq
+  FROM pq
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END) AS canon_url,
+         host AS domain
+  FROM cq
+), reg AS (
+  SELECT doc_id, canon_url,
+         CASE WHEN regexp_extract(domain, '([^.]+[.]co[.]uk)$', 1) <> ''
+                THEN regexp_extract(domain, '([^.]+[.]co[.]uk)$', 1)
+              WHEN regexp_extract(domain, '([^.]+[.]com[.]au)$', 1) <> ''
+                THEN regexp_extract(domain, '([^.]+[.]com[.]au)$', 1)
+              WHEN regexp_extract(domain, '([^.]+[.]com)$', 1) <> ''
+                THEN regexp_extract(domain, '([^.]+[.]com)$', 1)
+              WHEN regexp_extract(domain, '([^.]+[.]org)$', 1) <> ''
+                THEN regexp_extract(domain, '([^.]+[.]org)$', 1)
+              WHEN regexp_extract(domain, '([^.]+[.]net)$', 1) <> ''
+                THEN regexp_extract(domain, '([^.]+[.]net)$', 1)
+              ELSE domain END AS domain
+  FROM canon
+)
+SELECT domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT canon_url)::BIGINT AS n_pages,
+       round(1.0 - count(DISTINCT canon_url) / count(*), 6) AS dup_share
+FROM reg GROUP BY domain
+"""
+
+
 def _quality_weights(n: int = 16, seed: int = 5) -> list[float]:
     """Stand-in trained model: deterministic seeded weights, the same
     python floats embedded in the Spark plan and the SQL oracle."""
@@ -7802,57 +7924,54 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "filter_fork": (q_filter_fork, SQL_FILTER_FORK),
     "math_forward": (q_math_forward, SQL_MATH_FORWARD),
-    "bm25_score": (q_bm25_score, _sql_bm25()),
-    "source_boilerplate": (q_source_boilerplate, _sql_source_boilerplate()),
+    # ---- round-13 rotation (r12 verdict ask #2): the LAST 16
+    # never-driver-checked queries enter the cap — after this round the
+    # ENTIRE catalog has carried the hard driver signal at least once;
+    # the never-driver-checked backlog is EMPTY. 16 multiply-passed
+    # staples leave (list at the past-cap marker below) plus
+    # pq_recall_trained (r12 verdict ask #3: its rows-only slot spent a
+    # cap row the driver recorded as `err: no_oracle`; it keeps the
+    # adjudicated numpy-third-oracle + replica rows-only gate past the
+    # cap, and its slot goes to the new hash-gated `domain_profile`).
+    # Families all stay gated in-cap: TPC-H via the 7 r12 entrants;
+    # as-of via asof_tolerance + range_join; minhash via dedup_clusters;
+    # embedding dedup via semantic_dedup; LeftSemi-on-hash via
+    # contamination_fraction + chunk_dedup_apply; PQ/ANN via pq_recall;
+    # windows via sliding_window/grouping_sets + ntile/histogram
+    # entrants; sampling via lang_balanced_sample + quality_band_sample;
+    # text stats via lang_confusion/source_drift_js + the zipf/entropy/
+    # ngram/corpus/levenshtein/gini entrants; events via
+    # sales_opportunity + event_type_profile/event_transitions.
+    "ntile_deciles": (q_ntile_deciles, SQL_NTILE_DECILES),
+    "zipf_vocab": (q_zipf_vocab, SQL_ZIPF_VOCAB),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
+    "random_projection": (q_random_projection, _sql_random_projection()),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
+    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
+    "levenshtein_drift": (q_levenshtein_drift, SQL_LEVENSHTEIN),
+    "histogram_log_bins": (q_histogram_log_bins, SQL_HISTOGRAM_LOG),
+    "event_type_profile": (q_event_type_profile, SQL_EVENT_TYPE_PROFILE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
+    # new round-13 operator: eTLD+1 registered-domain crawl profile
+    "domain_profile": (q_domain_profile, _SQL_DOMAIN_PROFILE),
     "contamination_fraction": (q_contamination_fraction, _SQL_CONTAM_FRACTION),
-    "containment_pairs": (q_containment_pairs, _sql_containment_pairs()),
-    "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
-    "laggard_supplier": (q_laggard_supplier, SQL_LAGGARD_SUPPLIER),
-    "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
-    "revenue_forecast": (q_revenue_forecast, SQL_REVENUE_FORECAST),
-    "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
-    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
-    "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
-    "part_supplier_variety": (q_part_supplier_variety, SQL_PART_SUPPLIER_VARIETY),
-    "dominant_supplier": (q_dominant_supplier, SQL_DOMINANT_SUPPLIER),
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
-    "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
-    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW),
     "range_join": (q_range_join, _sql_range_join()),
     "pipeline_dsl": (q_pipeline_dsl, SQL_PIPELINE_DSL),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
-    "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
-    "dedup_embedding_multiprobe": (q_dedup_embedding_multiprobe, _sql_dedup_embedding_multiprobe()),
-    # ---- round-12 rotation (r11 verdict ask #1): burn down the
-    # never-driver-checked backlog. 17 backlog queries + the 3 new
-    # round-12 operators enter the cap; 20 multiply-passed staples
-    # leave (list at the past-cap marker below), every family still
-    # gated in-cap: TPC-H joins via the 7 entrants + cheapest/laggard/
-    # dominant_supplier et al; as-of via asof_tolerance + range_join;
-    # minhash dedup via dedup_clusters + cluster_representatives;
-    # embedding dedup via dedup_embedding_multiprobe + semantic_dedup;
-    # LeftSemi-on-hash via contamination_fraction + containment_pairs;
-    # sampling via lang_balanced_sample; text stats via lang_confusion/
-    # source_drift_js/bm25_score; windows via sliding_window +
-    # grouping_sets_revenue; time-series via hourly_lag_corr; events
-    # via sales_opportunity + session shapes in the entrants.
-    # REMAINING BACKLOG (rotate in round 13): ntile_deciles,
-    # zipf_vocab, token_entropy, embedding_dim_stats,
-    # quality_band_sample, random_projection, ngram_topk, corpus_stats,
-    # text_hash_embedding, packing_efficiency, json_props_extract,
-    # levenshtein_drift, histogram_log_bins, event_type_profile,
-    # event_transitions, gini_sources (16 — fits one rotation).
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
-    # trained-PQ acceptance (r11 ask #4a): no SQL oracle BY DESIGN —
-    # trained codebooks are data-dependent float reductions (rows-only
-    # driver check; numpy third oracle replicates the full pipeline)
-    "pq_recall_trained": (q_pq_recall_trained, None),
     "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
@@ -7872,14 +7991,37 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED),
     "hourly_lag_corr": (q_hourly_lag_corr, SQL_HOURLY_LAG_CORR),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
-    # round-12 rotation: out of the cap this round (each multiply
+    # trained-PQ acceptance (r11 ask #4a, moved past the cap r13 per
+    # r12 verdict ask #3): no SQL oracle BY DESIGN — trained codebooks
+    # are data-dependent float reductions (replica rows-only check;
+    # numpy third oracle in tests/test_similarity.py replicates the
+    # full pipeline)
+    "pq_recall_trained": (q_pq_recall_trained, None),
+    # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
-    # volume_shipping, nation_profit, order_priority, asof_join,
-    # dedup_minhash_lsh, dedup_embedding_logn, stratified_sample,
-    # text_quality, sessionize_native, decontaminate, cross_dedup,
-    # substring_dedup, resample_interp, session_funnel, track_sog_cog,
-    # tfidf_topk, dsir_importance, prefilter_semi_join,
-    # minhash_calibration, corpus_curation.
+    # bm25_score, source_boilerplate, containment_pairs,
+    # cheapest_supplier, laggard_supplier, similarity_pq,
+    # revenue_forecast, returned_items, important_parts,
+    # shipmode_priority, part_supplier_variety, dominant_supplier,
+    # cluster_representatives, ann_recall, dim_covariance,
+    # dedup_embedding_multiprobe.
+    "bm25_score": (q_bm25_score, _sql_bm25()),
+    "source_boilerplate": (q_source_boilerplate, _sql_source_boilerplate()),
+    "containment_pairs": (q_containment_pairs, _sql_containment_pairs()),
+    "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "laggard_supplier": (q_laggard_supplier, SQL_LAGGARD_SUPPLIER),
+    "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
+    "revenue_forecast": (q_revenue_forecast, SQL_REVENUE_FORECAST),
+    "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+    "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
+    "part_supplier_variety": (q_part_supplier_variety, SQL_PART_SUPPLIER_VARIETY),
+    "dominant_supplier": (q_dominant_supplier, SQL_DOMINANT_SUPPLIER),
+    "cluster_representatives": (q_cluster_representatives, _sql_cluster_representatives()),
+    "ann_recall": (q_ann_recall, _sql_ann_recall()),
+    "dim_covariance": (q_dim_covariance, SQL_DIM_COVARIANCE),
+    "dedup_embedding_multiprobe": (q_dedup_embedding_multiprobe, _sql_dedup_embedding_multiprobe()),
+    # round-12 rotation leavers:
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
@@ -7935,8 +8077,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
     "oov_rate": (q_oov_rate, SQL_OOV),
     "similarity_topk": (q_similarity_topk, SQL_SIM_TOPK),
-    "quality_band_sample": (q_quality_band_sample, _sql_quality_band()),
-    "random_projection": (q_random_projection, _sql_random_projection()),
     "editor_ops": (q_editor_ops, SQL_EDITOR_OPS),
     "crc16_frames": (q_crc16_frames, _sql_crc16()),
     "utm_projection": (q_utm_projection, _sql_utm()),
@@ -7958,32 +8098,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decimation": (q_decimation, SQL_DECIMATION),
     "xml_pipeline": (q_xml_pipeline, SQL_PIPELINE_DSL),
     "nmea_checksum": (q_nmea_checksum, SQL_NMEA),
-    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "listreplace": (q_listreplace, SQL_LISTREPLACE),
     "buffer_tail": (q_buffer_tail, SQL_BUFFER_TAIL),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT),
-    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
-    "text_hash_embedding": (q_text_hash_embedding, _sql_hash_embedding()),
-    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "zipf_vocab": (q_zipf_vocab, SQL_ZIPF_VOCAB),
-    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
-    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
-    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "history_window": (q_history_window, SQL_HISTORY),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_QUANTILES),
     "lang_mix_weights": (q_lang_mix_weights, SQL_LANG_MIX),
     "embedding_quantize": (q_embedding_quantize, SQL_EMB_QUANTIZE),
-    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
-    "ntile_deciles": (q_ntile_deciles, SQL_NTILE_DECILES),
-    "levenshtein_drift": (q_levenshtein_drift, SQL_LEVENSHTEIN),
-    "histogram_log_bins": (q_histogram_log_bins, SQL_HISTOGRAM_LOG),
-    "event_type_profile": (q_event_type_profile, SQL_EVENT_TYPE_PROFILE),
     # round-7 families: collocation mining, LM surprisal scoring,
     # map-side pairwise covariance, source-concentration audit,
     # as-of self-stream attribution, bloom-style prefiltered semi-join
-    "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
     # displaced by the round-7 in-cap swaps (families stay gated:
     # dedup via exact/minhash/clusters/embedding/cross/decontaminate,
     # CC via dedup_clusters)

@@ -10,7 +10,9 @@ watermark — state that EXPIRES, which is what makes it viable at
 100 TB/day ingest (unbounded dedup state is a slow OOM; the watermark
 bounds it to the late-data horizon).
 
-Two tiers, mirroring the batch API:
+Five tiers, mirroring the batch API (each tier's KEY expression is the
+same Catalyst expression its batch sibling uses, so ingest and batch
+agree on identity byte-for-byte):
   * `streaming_exact_dedup` — content-hash (md5 of normalized text)
     exact dedup. Hash computed map-side; only the 16-byte key enters
     the state store, bodies never shuffle for the membership test.
@@ -19,6 +21,13 @@ Two tiers, mirroring the batch API:
     horizon) by keeping one doc per (band, bucket-hash). Coarser than
     the batch pair-verify pipeline — a deliberate ingest-side
     pre-filter; the batch pass remains the precise tier.
+  * `streaming_embedding_bucket_dedup` — first-wins per sign-LSH
+    embedding bucket, for pipelines carrying encoder outputs.
+  * `streaming_url_dedup` — first-wins on the canonical URL
+    (crawl-frontier re-fetch collapse; r12 verdict ask #5).
+  * `streaming_paragraph_dedup` — first-wins at paragraph granularity
+    (template-flood absorption; the batch remove-all pass stays the
+    precise tier).
 
 Reference analogue: dcafs has no dedup surface (sensor streams do not
 repeat); this extends the streaming path for the LLM-data workload the
@@ -130,6 +139,78 @@ def streaming_minhash_bucket_dedup(
         banded_signature(F.col(text_col), shingle_n, num_hashes, bands),
     )
     return _first_wins(keyed, _SIGKEY, ts_col, watermark)
+
+
+def streaming_url_dedup(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """First-wins dedup on the CANONICAL URL — the ingest counterpart
+    of `operators/urls.py:url_dedup` (r12 verdict ask #5). A crawl
+    frontier sees the same page as `HTTP://WWW.Site.com:80/a/?utm_...`
+    and `https://site.com/a` within minutes of each other; keying the
+    state store on the canonical form collapses those re-fetches at
+    the door instead of in the nightly batch pass.
+
+    The canonical form is the SAME `url_parts` expression the batch
+    operator uses (one regexp chain, pure narrow map) — ingest and
+    batch agree on URL identity byte-for-byte (pinned by
+    tests/test_streaming_dedup.py). State per kept URL is the 16-byte
+    md5 of the canonical form; page bodies never enter the state
+    store, and a watermark bounds state to the re-fetch horizon."""
+    from dcafs_spark.operators.urls import url_parts
+
+    keyed = stream_df.withColumn(
+        _HKEY, F.md5(url_parts(F.col(url_col)).getField("canon"))
+    )
+    return _first_wins(keyed, _HKEY, ts_col, watermark)
+
+
+def streaming_paragraph_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    chunk_words: int = 20,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """First-wins PARAGRAPH-level ingest dedup — the streaming sibling
+    of `operators/dedup.py:paragraph_dedup_stats` (r12 verdict ask #5,
+    the CCNet/RefinedWeb line-dedup shape): each arriving document is
+    cut into non-overlapping `chunk_words`-word paragraphs and only
+    paragraphs whose hash has NOT streamed past within the watermark
+    horizon are emitted. Template headers/footers arriving in every
+    page of a template flood survive exactly once per horizon.
+
+    Contract difference from the batch operator, by design: batch sees
+    the whole corpus and removes EVERY copy of a corpus-frequent
+    paragraph (boilerplate should survive in no document); a stream
+    has no corpus-frequency oracle at arrival time, so this tier keeps
+    the FIRST copy and drops the rest — the precise remove-all pass
+    remains the batch tier, downstream. Paragraph identity (the 60-bit
+    chash) is the shared `paragraph_chunks` expression, so the two
+    tiers agree on WHAT a paragraph is byte-for-byte (pinned by
+    tests/test_streaming_dedup.py).
+
+    Emits one row per first-seen paragraph: every input column except
+    `text_col`, plus (para_idx, para, para_words). State per kept
+    paragraph is one long key; bodies beyond the kept paragraph text
+    never shuffle."""
+    from dcafs_spark.operators.dedup import paragraph_chunks
+
+    chunks = paragraph_chunks(F.col(text_col), chunk_words, with_text=True)
+    keep = [c for c in stream_df.columns if c != text_col]
+    rows = stream_df.select(
+        *keep, F.posexplode(chunks).alias("para_idx", "_c")
+    ).select(
+        *keep,
+        "para_idx",
+        F.col("_c.chash").alias(_HKEY),
+        F.col("_c.para").alias("para"),
+        F.col("_c.nw").alias("para_words"),
+    )
+    return _first_wins(rows, _HKEY, ts_col, watermark)
 
 
 def streaming_embedding_bucket_dedup(

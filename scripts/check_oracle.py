@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -63,7 +64,9 @@ def main():
     oracles = entrymod.oracle_sql()
     wanted = sys.argv[1:] or list(qs)
     failures = []
+    t_start = time.perf_counter()
     for name in wanted:
+        t_q = time.perf_counter()
         try:
             sdf = qs[name](spark, SF_DIR)
             srows = sdf.collect()
@@ -86,8 +89,9 @@ def main():
             ok_rows = len(srows) == len(drows)
             ok_hash = sh == dh
             status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
+            dt = time.perf_counter() - t_q
             print(
-                f"{name:24s} {status}  rows {len(srows)}/{len(drows)} cols={'=' if ok_cols else f'{scols} vs {dcols}'} hash={'=' if ok_hash else '≠'}"
+                f"{name:24s} {status}  rows {len(srows)}/{len(drows)} cols={'=' if ok_cols else f'{scols} vs {dcols}'} hash={'=' if ok_hash else '≠'}  {dt:6.2f}s"
             )
             if status == "FAIL":
                 failures.append(name)
@@ -101,7 +105,8 @@ def main():
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:24s} ERROR {type(e).__name__}: {str(e)[:300]}")
-    print(f"\n{len(wanted) - len(failures)}/{len(wanted)} matched")
+    total = time.perf_counter() - t_start
+    print(f"\n{len(wanted) - len(failures)}/{len(wanted)} matched  ({total:.1f}s)")
     return 1 if failures else 0
 
 

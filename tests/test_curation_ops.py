@@ -715,6 +715,55 @@ class TestUrlCanonicalization:
         assert rows[5]["domain"] == "a.com"
 
 
+class TestRegisteredDomain:
+    """Round-13 URL tier: eTLD+1 extraction + per-domain profile."""
+
+    def test_etld1_rules(self, spark):
+        from dcafs_spark.operators.urls import registered_domain
+
+        cases = [
+            ("blog.brand3.co.uk", "brand3.co.uk"),   # 2-label suffix wins
+            ("brand3.co.uk", "brand3.co.uk"),
+            ("cdn.a.b.brand1.com", "brand1.com"),    # deep subdomain chain
+            ("brand9.com.au", "brand9.com.au"),
+            ("shop.brand2.net", "brand2.net"),
+            ("com", "com"),                          # bare suffix falls through
+            ("localhost", "localhost"),              # no suffix match
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _w) in enumerate(cases)], "i long, host string"
+        )
+        got = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", registered_domain(F.col("host")).alias("d")
+            ).collect()
+        }
+        for i, (_h, want) in enumerate(cases):
+            assert got[i] == want, cases[i]
+
+    def test_domain_profile_counts(self, spark):
+        from dcafs_spark.operators.urls import domain_profile
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://www.a.co.uk/x"),
+                (2, "https://blog.a.co.uk/x"),   # same eTLD+1, distinct page
+                (3, "HTTPS://a.co.uk/x"),        # canonical dup of 3? no — of 1
+                (4, "https://b.com/y?utm_source=t"),
+                (5, "https://b.com/y"),          # canonical dup of 4
+            ],
+            "doc_id long, url string",
+        )
+        got = {r["domain"]: r for r in domain_profile(df, "url", "doc_id").collect()}
+        a, b = got["a.co.uk"], got["b.com"]
+        # doc 1 (www-stripped) and doc 3 share canon https://a.co.uk/x;
+        # doc 2 keeps its blog. host → distinct canonical page
+        assert a["n_docs"] == 3 and a["n_pages"] == 2
+        assert b["n_docs"] == 2 and b["n_pages"] == 1
+        assert b["dup_share"] == 0.5
+
+
 class TestParagraphDedup:
     def test_corpus_and_intra_regimes(self, spark):
         from dcafs_spark.operators.dedup import paragraph_dedup_stats

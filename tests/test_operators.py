@@ -186,6 +186,19 @@ def test_valmap_multi_delimiter_metachar_is_literal(spark):
     ]
 
 
+def test_valmap_rejects_backslash_e_delimiter(spark):
+    """A delimiter containing the two-char sequence \\E is
+    unrepresentable under \\Q…\\E quoting — valmap refuses it loudly
+    instead of silently mis-splitting (r12 ADVICE)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a:1",)], "value string")
+    with _pytest.raises(ValueError, match="may not contain"):
+        valmap(df, split="\\E")
+    with _pytest.raises(ValueError, match="may not contain"):
+        valmap(df, split=":", multi_delimiter="x\\Ey")
+
+
 def test_resplit_rtval_refs(spark):
     """Resplit fillers resolve {r:name} through the rtvals mapping;
     unknown refs become the error default (EditorForward.java:499-505)."""

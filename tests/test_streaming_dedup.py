@@ -209,3 +209,136 @@ class TestStreamingEmbeddingBucketDedup:
             ).collect()
         }
         assert b[1] == b[2] != b[3]
+
+
+class TestStreamingUrlDedup:
+    def test_refetch_variants_collapse_across_batches(self, spark, tmp_path):
+        """Re-fetches of one page under different raw spellings (case,
+        www, default port, utm params, fragment) collapse first-wins
+        across micro-batches; a different page passes."""
+        from dcafs_spark.streaming.dedup import streaming_url_dedup
+
+        watch = tmp_path / "wu"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(
+            "https://a.com/x?id=1\nhttps://b.com/y\n"
+        )
+        rows: list = []
+        q = _run_stream(
+            spark,
+            watch,
+            lambda df: streaming_url_dedup(df, url_col="value"),
+            rows,
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+            (watch / "b2.txt").write_text(
+                "HTTPS://WWW.A.com:443/x/?utm_source=t&id=1#frag\n"
+                "https://c.com/z\n"
+            )
+            assert _drain(q, lambda: len(rows) >= 3)
+            time.sleep(0.3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(r["value"] for r in rows) == [
+            "https://a.com/x?id=1",
+            "https://b.com/y",
+            "https://c.com/z",
+        ]
+
+    def test_url_identity_matches_batch_operator(self, spark):
+        """Stream and batch agree on URL identity: the stream tier keys
+        on md5 of the SAME url_parts canonical form the batch url_dedup
+        groups by."""
+        from dcafs_spark.operators.urls import url_dedup, url_parts
+
+        df = spark.createDataFrame(
+            [
+                (1, "HTTPS://WWW.A.com:443/x/?utm_source=t&id=1#frag"),
+                (2, "https://a.com/x?id=1"),
+                (3, "https://a.com/x?id=2"),
+            ],
+            "doc_id long, url string",
+        )
+        canon = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", url_parts(F.col("url")).getField("canon").alias("c")
+            ).collect()
+        }
+        assert canon[1] == canon[2] != canon[3]
+        batch = {r["doc_id"]: r for r in url_dedup(df, "url", "doc_id").collect()}
+        assert batch[1]["kept"] and not batch[2]["kept"] and batch[3]["kept"]
+
+
+class TestStreamingParagraphDedup:
+    def test_template_flood_survives_once(self, spark, tmp_path):
+        """A template paragraph arriving in every doc of a flood is
+        emitted exactly once; novel paragraphs all pass; a later
+        re-arrival of the template is suppressed by state."""
+        from dcafs_spark.streaming.dedup import streaming_paragraph_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(20))
+        uniq1 = " ".join(f"u{i}" for i in range(20))
+        uniq2 = " ".join(f"v{i}" for i in range(20))
+        watch = tmp_path / "wp"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(f"{boiler} {uniq1}\n")
+        rows: list = []
+        q = _run_stream(
+            spark,
+            watch,
+            lambda df: streaming_paragraph_dedup(
+                df, text_col="value", chunk_words=20
+            ),
+            rows,
+        )
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+            (watch / "b2.txt").write_text(f"{boiler} {uniq2}\n")
+            assert _drain(q, lambda: len(rows) >= 3)
+            time.sleep(0.3)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        paras = sorted(r["para"] for r in rows)
+        assert paras == sorted([boiler, uniq1, uniq2])
+        # the emitted row carries position + word count, body column gone
+        assert {r["para_words"] for r in rows} == {20}
+        assert "value" not in rows[0].asDict()
+
+    def test_paragraph_identity_matches_batch_operator(self, spark):
+        """Stream and batch agree on paragraph identity: both build on
+        paragraph_chunks, so the stream tier's state key equals the
+        batch operator's chash for the same text, chunk size, and
+        normalization."""
+        from dcafs_spark.operators.dedup import paragraph_chunks
+
+        boiler = " ".join(f"b{i}" for i in range(20))
+        uniq = " ".join(f"u{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, f"{boiler} {uniq}"), (2, f"{boiler.upper()}  extra words here")],
+            "doc_id long, text string",
+        )
+        plain = {
+            (r["doc_id"], r["i"]): r["c"]["chash"]
+            for r in df.select(
+                "doc_id",
+                F.posexplode(paragraph_chunks(F.col("text"), 20)).alias("i", "c"),
+            ).collect()
+        }
+        withtext = {
+            (r["doc_id"], r["i"]): r["c"]["chash"]
+            for r in df.select(
+                "doc_id",
+                F.posexplode(
+                    paragraph_chunks(F.col("text"), 20, with_text=True)
+                ).alias("i", "c"),
+            ).collect()
+        }
+        assert plain == withtext  # with_text never changes the hash
+        # normalization folds case/whitespace: doc 2's first chunk is
+        # the SAME boilerplate paragraph as doc 1's
+        assert plain[(1, 0)] == plain[(2, 0)]
+        assert plain[(1, 1)] != plain[(2, 1)]

@@ -144,6 +144,39 @@ def domain_profile(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     )
 
 
+def domain_capped_sample(
+    df: DataFrame, url_col: str, id_col: str, k: int = 100
+) -> DataFrame:
+    """Per-registered-domain quota cap — the diversity control every
+    crawl-derived training set applies (one mega-site must not drown
+    the mixture): keep at most `k` documents per eTLD+1, the k LOWEST
+    ids (deterministic under repartitioning; swap the sort struct for
+    a quality score upstream to keep the best-k instead).
+
+    Scale shape (100 TB): ranking uses `bounded_topk`'s two-stage
+    partial-agg prune — per-(domain, input-partition) local top-k,
+    then a k×P-row merge — NO Window node, no global sort, and no
+    single-reducer hot partition for mega-domains (the stage-1 bound
+    is rows-per-domain-per-partition; see bounded_topk's caveats).
+    Returns (domain, doc_id-named id col, rank) with rank 0-based."""
+    from dcafs_spark.operators.similarity import bounded_topk
+
+    parts = df.select(
+        F.col(id_col),
+        registered_domain(url_parts(F.col(url_col)).getField("domain")).alias(
+            "domain"
+        ),
+    )
+    ranked = bounded_topk(
+        parts, "domain", F.struct(F.col(id_col).alias("_i")), k
+    )
+    return ranked.select(
+        "domain",
+        F.col("_e._i").alias(id_col),
+        F.col("_pos").cast("int").alias("rank"),
+    )
+
+
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """First-seen-wins dedup on the canonical URL: one row per input
     row with (id, canon, domain, n_dupes, kept) — kept is true for the

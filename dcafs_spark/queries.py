@@ -7830,6 +7830,49 @@ FROM reg GROUP BY domain
 """
 
 
+def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain quota cap (k=5 lowest doc_ids per eTLD+1)
+    — the crawl-diversity control; ranking via `bounded_topk`'s
+    partial-agg prune, plan-asserted Window-free."""
+    from dcafs_spark.operators.urls import domain_capped_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_domains_spark().alias("url")
+    )
+    return domain_capped_sample(docs, "url", "doc_id", k=5)
+
+
+_SQL_DOMAIN_CAPPED = f"""
+WITH raw AS (SELECT doc_id, {_SQL_SYNTH_URL_DOMAINS} AS url FROM documents),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+hp AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                        '^www\\.', '') AS host
+  FROM nf
+), reg AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]org)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]org)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]net)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]net)$', 1)
+              ELSE host END AS domain
+  FROM hp
+)
+SELECT domain, doc_id, CAST(rn - 1 AS INTEGER) AS rank
+FROM (SELECT domain, doc_id,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      FROM reg)
+WHERE rn <= 5
+"""
+
+
 def _quality_weights(n: int = 16, seed: int = 5) -> list[float]:
     """Stand-in trained model: deterministic seeded weights, the same
     python floats embedded in the Spark plan and the SQL oracle."""
@@ -7997,6 +8040,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # numpy third oracle in tests/test_similarity.py replicates the
     # full pipeline)
     "pq_recall_trained": (q_pq_recall_trained, None),
+    # round-13 addition (past-cap, replica-gated): per-domain quota cap
+    "domain_capped_sample": (q_domain_capped_sample, _SQL_DOMAIN_CAPPED),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,

@@ -118,6 +118,7 @@ HEADLINE = [
     ("url_dedup", "URL canonicalization: narrow regexp chain; dedup shuffles 16-byte canon hashes only"),
     ("quality_classifier", "broadcast linear model over in-row hashed features: zero shuffle, score in the scan stage"),
     ("paragraph_dedup", "paragraph regimes: per-(doc,chash) rollup → plain-count corpus frequency; 8-byte hash joins, bodies never shuffle"),
+    ("domain_profile", "eTLD+1 CASE chain in the scan projection; one shuffle groups 16-byte canon md5s by domain"),
 ]
 
 

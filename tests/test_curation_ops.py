@@ -763,6 +763,21 @@ class TestRegisteredDomain:
         assert b["n_docs"] == 2 and b["n_pages"] == 1
         assert b["dup_share"] == 0.5
 
+    def test_domain_capped_sample_quota(self, spark):
+        from dcafs_spark.operators.urls import domain_capped_sample
+
+        rows = [
+            (i, f"https://sub{i % 3}.big.com/p/{i}") for i in range(10)
+        ] + [(100, "https://small.org/x")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = domain_capped_sample(df, "url", "doc_id", k=4).collect()
+        by_dom: dict = {}
+        for r in out:
+            by_dom.setdefault(r["domain"], []).append((r["rank"], r["doc_id"]))
+        # big.com capped at its 4 lowest ids, ranks 0..3; small.org whole
+        assert sorted(by_dom["big.com"]) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+        assert by_dom["small.org"] == [(0, 100)]
+
 
 class TestParagraphDedup:
     def test_corpus_and_intra_regimes(self, spark):

@@ -1091,7 +1091,16 @@ def paragraph_dedup_stats(
     corpus-frequency pass is a plain count (no count-distinct
     machinery), and the join back keys on the 8-byte hash. One
     checkpointed frame feeds both sides, so the tokenize explode runs
-    once. No windows, no pairwise anything — O(corpus tokens)."""
+    once. No windows, no pairwise anything — O(corpus tokens).
+
+    Boilerplate-flood contract (measured, SCALE.md round-13 rungs —
+    one paragraph in 50% of docs, flat ≤1.10× through 256×): the
+    frequency pass map-side-combines the hot chash to one partial row
+    per partition, and at probe scale the frequency table broadcasts,
+    so rollup rows never shuffle on chash. At 100 TB the join becomes
+    sort-merge and the hot key lands 0.5N already-collapsed 32-byte
+    rollup rows in one partition — AQE skew-join splits it; no
+    cap/pre-collapse tier is needed for this operator."""
     chunks = paragraph_chunks(F.col(text_col), chunk_words)
     occ = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c")).select(
         "id", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw")

@@ -997,13 +997,16 @@ def streaming_capacity(spark) -> dict:
     return out
 
 
-def quick_bench() -> dict:
+def quick_bench(names: list[str] | None = None) -> dict:
     """Cheap-mode mid-round bench (r12 verdict ask #7): the documented
-    <5-min iteration loop's perf leg. Full catalog timed at sf0.01
-    (min-of-2 after a sf0.001 codegen warmup) + the prior committed
-    round's 20 most expensive queries re-timed at sf0.1 — enough to
-    spot a real regression anywhere and size it where it matters,
-    without the 161-query sf0.1 suite + streaming sections (~25 min).
+    mid-round iteration loop's perf leg. Full catalog timed once at
+    sf0.01 (after a sf0.001 codegen warmup) + the prior committed
+    round's 20 most expensive queries re-timed at sf0.1 (min-of-2) —
+    enough to spot a real regression anywhere and size it where it
+    matters, without the full sf0.1 suite + streaming sections
+    (~25 min). With `names` (`bench.py --quick q1 q2 ...`), only those
+    queries run at both SFs — the sub-minute loop while iterating on
+    specific operators.
 
     Writes NO artifacts: BENCH_DETAIL.json / BENCH_TAIL.json stay the
     committed round record (the artifact-hygiene rule that previously
@@ -1017,21 +1020,22 @@ def quick_bench() -> dict:
     warm_dir = "/root/testdata/sf0.001"
     small = os.environ.get("SPARK_GRAFT_QUICK_SMALL", "/root/testdata/sf0.01")
     big = os.environ.get("SPARK_GRAFT_QUICK_BIG", "/root/testdata/sf0.1")
+    subset = [n for n in (names or []) if n in QUERIES]
     t_small: dict[str, float] = {}
-    for name, (fn, _sql) in QUERIES.items():
+    for name in subset or QUERIES:
+        fn = QUERIES[name][0]
         fn(spark, warm_dir if os.path.isdir(warm_dir) else small).write.format(
             "noop"
         ).mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, small).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        t_small[name] = round(best, 3)
+        t0 = time.perf_counter()
+        fn(spark, small).write.format("noop").mode("overwrite").save()
+        t_small[name] = round(time.perf_counter() - t0, 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev = _prev_round_detail(repo_dir, os.path.join(repo_dir, "BENCH_DETAIL.json"))
     rank = (prev or {}).get("queries") or t_small
-    top = [n for n in sorted(rank, key=rank.get, reverse=True) if n in QUERIES][:20]
+    top = subset or [
+        n for n in sorted(rank, key=rank.get, reverse=True) if n in QUERIES
+    ][:20]
     t_big: dict[str, float] = {}
     for name in top:
         fn = QUERIES[name][0]
@@ -1427,7 +1431,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--isolated":
         print(json.dumps(isolated_remeasure(sys.argv[2:])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--quick":
-        print(json.dumps(quick_bench()))
+        print(json.dumps(quick_bench(sys.argv[2:])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-main":
         print(json.dumps(stream_main_isolated()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-dedup":

@@ -9,10 +9,11 @@
 #   Spark-vs-DuckDB gate at sf0.01; prints per-query wall seconds, so
 #   gross perf regressions surface here too). Subset names are passed
 #   straight through while iterating on specific queries.
-# Leg 2 — performance: bench.py --quick (sf0.01 full catalog +
-#   sf0.1 re-timings of the prior committed round's top-20; writes NO
-#   artifacts — BENCH_DETAIL.json/BENCH_TAIL.json remain the committed
-#   round record).
+# Leg 2 — performance: bench.py --quick [q1 q2 ...] (sf0.01 catalog —
+#   or just the named queries — + sf0.1 re-timings of the prior
+#   committed round's top-20 / the named subset; writes NO artifacts —
+#   BENCH_DETAIL.json/BENCH_TAIL.json remain the committed round
+#   record).
 #
 # The full official bench (161 queries at sf0.1 + isolated streaming
 # sections + isolated top-10 sweep, ~25 min) remains `python bench.py`
@@ -20,4 +21,4 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python scripts/check_oracle.py "$@"
-python bench.py --quick
+python bench.py --quick "$@"

@@ -309,8 +309,13 @@ def streaming_sustained_jvm(spark, rps: int | None = None, seconds: float | None
 
     from dcafs_spark.plans.dsl import compile_path
 
+    # 60 s default (was 30): at 1 M offered the windowed-agg batches
+    # run 15-20 s each, so a 30 s window leaves exactly 3 part-ramping
+    # steady batches and reads ~20% low (measured r13: 600k@30s vs
+    # 736k@60s, same code, idle box). The fresh-subprocess design
+    # makes the longer window affordable.
     if seconds is None:
-        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_JVM_SECONDS", "30"))
+        seconds = float(os.environ.get("SPARK_GRAFT_STREAM_JVM_SECONDS", "60"))
     if rps is None:
         rps = int(os.environ.get("SPARK_GRAFT_STREAM_JVM_RPS", "1000000"))
     if rps <= 0:

@@ -144,6 +144,51 @@ def domain_profile(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     )
 
 
+def url_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: list[str] | None = None,
+    blocked_path_rules: list[str] | None = None,
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Crawl-frontier URL filtering — the stage between
+    canonicalization and dedup in every crawl pipeline: drop pages on
+    blocklisted sites (the eTLD+1 matches, so `spam.com` blocks
+    `cdn.spam.com` too) or with junk path shapes (login/search/calendar
+    traps, infinite facet spaces).
+
+    Returns every input row + (canon_url, domain, kept) — policy
+    pipelines want the verdict column, not a silent drop; chain
+    `.filter("kept")` for the drop.
+
+    Scale shape (100 TB): a pure NARROW map. Small blocklists (the
+    usual case: 10^2-10^4 entries) compile to an `isin` literal set /
+    regexp alternation inside the scan projection — no join, no
+    shuffle, no UDF. A blocklist past the ~10^5-literal codegen
+    hazard becomes a broadcast LeftAnti on the registered domain —
+    same verdict, one broadcast, still no shuffle of the corpus.
+    Path rules are each a Java regexp over the canonical path."""
+    blocked_domains = blocked_domains or []
+    blocked_path_rules = blocked_path_rules or []
+    parts = df.withColumn("_p", url_parts(F.col(url_col)))
+    reg = registered_domain(F.col("_p.domain"))
+    dom_bad = (
+        reg.isin(list(blocked_domains)) if blocked_domains else F.lit(False)
+    )
+    path = F.regexp_extract(
+        F.col("_p.canon"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path_bad = F.lit(False)
+    for rule in blocked_path_rules:
+        path_bad = path_bad | path.rlike(rule)
+    return parts.select(
+        *[c for c in df.columns],
+        F.col("_p.canon").alias("canon_url"),
+        reg.alias("domain"),
+        (~(dom_bad | path_bad)).alias(keep_col),
+    )
+
+
 def domain_capped_sample(
     df: DataFrame, url_col: str, id_col: str, k: int = 100
 ) -> DataFrame:

@@ -7873,6 +7873,78 @@ WHERE rn <= 5
 """
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL filtering verdicts: eTLD+1 blocklist (blocks every
+    subdomain) + junk-path rules, computed as a pure narrow map in the
+    scan projection (`operators/urls.py:url_filter`)."""
+    from dcafs_spark.operators.urls import url_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_domains_spark().alias("url")
+    )
+    return url_filter(
+        docs,
+        "url",
+        blocked_domains=["brand3.co.uk", "brand7.com", "brand1.net"],
+        blocked_path_rules=[r"^/p/3$"],
+    ).select("doc_id", "canon_url", "domain", "kept")
+
+
+_SQL_URL_FILTER = f"""
+WITH raw AS (SELECT doc_id, {_SQL_SYNTH_URL_DOMAINS} AS url FROM documents),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM nf
+), hp AS (
+  SELECT doc_id, scheme, rest,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+  FROM parts
+), pq AS (
+  SELECT doc_id, scheme, host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+         CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS q
+  FROM hp
+), cq AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(list_filter(string_split(q, '&'),
+                                     p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS qq
+  FROM pq
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END) AS canon_url,
+         host
+  FROM cq
+), reg AS (
+  SELECT doc_id, canon_url,
+         CASE WHEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]org)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]org)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]net)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]net)$', 1)
+              ELSE host END AS domain
+  FROM canon
+)
+SELECT doc_id, canon_url, domain,
+       NOT (domain IN ('brand3.co.uk', 'brand7.com', 'brand1.net')
+            OR regexp_matches(regexp_extract(canon_url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '^/p/3$')) AS kept
+FROM reg
+"""
+
+
 def _quality_weights(n: int = 16, seed: int = 5) -> list[float]:
     """Stand-in trained model: deterministic seeded weights, the same
     python floats embedded in the Spark plan and the SQL oracle."""
@@ -8040,8 +8112,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # numpy third oracle in tests/test_similarity.py replicates the
     # full pipeline)
     "pq_recall_trained": (q_pq_recall_trained, None),
-    # round-13 addition (past-cap, replica-gated): per-domain quota cap
+    # round-13 additions (past-cap, replica-gated): per-domain quota
+    # cap + crawl URL filtering
     "domain_capped_sample": (q_domain_capped_sample, _SQL_DOMAIN_CAPPED),
+    "url_filter": (q_url_filter, _SQL_URL_FILTER),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,

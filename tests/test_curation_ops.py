@@ -763,6 +763,35 @@ class TestRegisteredDomain:
         assert b["n_docs"] == 2 and b["n_pages"] == 1
         assert b["dup_share"] == 0.5
 
+    def test_url_filter_verdicts(self, spark):
+        from dcafs_spark.operators.urls import url_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ok.com/a"),
+                (2, "https://cdn.spam.com/x"),      # subdomain of blocked eTLD+1
+                (3, "https://spam.com/y"),          # blocked apex
+                (4, "https://ok.com/login"),        # junk path
+                (5, "HTTPS://WWW.OK.com/login/"),   # junk path via canonicalization
+                (6, "https://ok.com/loginzz"),      # anchored rule must NOT match
+            ],
+            "doc_id long, url string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in url_filter(
+                df, "url", blocked_domains=["spam.com"],
+                blocked_path_rules=[r"^/login$"],
+            ).collect()
+        }
+        assert out[1]["kept"] and out[6]["kept"]
+        assert not out[2]["kept"] and not out[3]["kept"]
+        assert not out[4]["kept"] and not out[5]["kept"]
+        assert out[2]["domain"] == "spam.com"  # eTLD+1, not the cdn host
+        # no rules → everything kept, verdict column still present
+        allkept = url_filter(df, "url").collect()
+        assert all(r["kept"] for r in allkept) and len(allkept) == 6
+
     def test_domain_capped_sample_quota(self, spark):
         from dcafs_spark.operators.urls import domain_capped_sample
 

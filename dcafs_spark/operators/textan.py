@@ -472,6 +472,48 @@ def linear_quality_score(
     )
 
 
+def term_blocklist_stats(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Term-blocklist filtering — the wordlist stage (NSFW/spam/banned
+    phrases, the C4 "bad words" filter class) every crawl curation
+    pipeline runs: per document, the number of blocklisted term
+    occurrences (case-insensitive, word-boundary, multi-word phrases
+    allowed), the number of DISTINCT blocked terms hit, and the
+    verdict `kept = n_hits <= max_hits` (the common policy grades on
+    hit count, not binary presence — one incidental hit in a long
+    document is not a porn page).
+
+    Scale shape (100 TB): one compiled regexp alternation evaluated in
+    the scan projection — no join, no shuffle, no UDF; a wordlist is
+    10^2-10^3 terms, far under the codegen hazard (it is ONE regexp
+    literal, not unrolled expressions). Terms are \\Q…\\E-quoted and
+    sorted longest-first so phrase entries win over their own
+    substrings identically in Spark (Java regex) and the DuckDB
+    oracle (RE2) — both use leftmost-first alternation."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    for t in terms:
+        if "\\E" in t:
+            raise ValueError("blocklist terms may not contain \\\\E")
+    pat = (
+        r"\b(?:"
+        + "|".join("\\Q" + t.lower() + "\\E" for t in sorted(terms, key=len, reverse=True))
+        + r")\b"
+    )
+    hits = F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(pat), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("bigint").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("bigint").alias("n_distinct_terms"),
+        (F.size(hits) <= max_hits).alias("kept"),
+    )
+
+
 def clean_text(col: Column) -> Column:
     """Training-corpus text normalization (the C4/CCNet-style cleanup
     pass): strip markup tags, decode the common HTML entities, drop

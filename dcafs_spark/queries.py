@@ -7945,6 +7945,31 @@ FROM reg
 """
 
 
+def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist filtering verdicts (the C4 bad-words stage): hit count,
+    distinct blocked terms, kept = n_hits <= 3 — one compiled regexp
+    alternation in the scan projection (`textan.term_blocklist_stats`)."""
+    from dcafs_spark.operators.textan import term_blocklist_stats
+
+    return term_blocklist_stats(
+        _docs(spark, sf_dir),
+        terms=["slow", "hash", "merge batch"],
+        max_hits=3,
+    )
+
+
+_SQL_TERM_BLOCKLIST = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(coalesce(text, '')),
+           '\b(?:\Qmerge batch\E|\Qslow\E|\Qhash\E)\b'))::BIGINT AS n_hits,
+       len(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+           '\b(?:\Qmerge batch\E|\Qslow\E|\Qhash\E)\b')))::BIGINT AS n_distinct_terms,
+       len(regexp_extract_all(lower(coalesce(text, '')),
+           '\b(?:\Qmerge batch\E|\Qslow\E|\Qhash\E)\b')) <= 3 AS kept
+FROM documents
+"""
+
+
 def _quality_weights(n: int = 16, seed: int = 5) -> list[float]:
     """Stand-in trained model: deterministic seeded weights, the same
     python floats embedded in the Spark plan and the SQL oracle."""
@@ -8116,6 +8141,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # cap + crawl URL filtering
     "domain_capped_sample": (q_domain_capped_sample, _SQL_DOMAIN_CAPPED),
     "url_filter": (q_url_filter, _SQL_URL_FILTER),
+    "term_blocklist": (q_term_blocklist, _SQL_TERM_BLOCKLIST),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,

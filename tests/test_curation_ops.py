@@ -763,6 +763,33 @@ class TestRegisteredDomain:
         assert b["n_docs"] == 2 and b["n_pages"] == 1
         assert b["dup_share"] == 0.5
 
+    def test_term_blocklist_stats(self, spark):
+        from dcafs_spark.operators.textan import term_blocklist_stats
+
+        rows = [
+            (1, "a SLOW merge batch here"),     # slow + phrase = 2 hits, 2 terms
+            (2, "slowly flashes"),              # word boundary: no hits
+            (3, "slow slow slow slow"),         # 4 hits of 1 term
+            (4, None),                          # null text → 0 hits, kept
+            (5, "merge batch merge"),           # phrase wins once; bare merge not listed
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in term_blocklist_stats(
+                df, ["slow", "merge batch"], max_hits=3
+            ).collect()
+        }
+        assert (got[1]["n_hits"], got[1]["n_distinct_terms"], got[1]["kept"]) == (2, 2, True)
+        assert (got[2]["n_hits"], got[2]["kept"]) == (0, True)
+        assert (got[3]["n_hits"], got[3]["n_distinct_terms"], got[3]["kept"]) == (4, 1, False)
+        assert (got[4]["n_hits"], got[4]["kept"]) == (0, True)
+        assert (got[5]["n_hits"], got[5]["n_distinct_terms"]) == (1, 1)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            term_blocklist_stats(df, [])
+
     def test_url_filter_verdicts(self, spark):
         from dcafs_spark.operators.urls import url_filter
 

@@ -514,6 +514,50 @@ def term_blocklist_stats(
     )
 
 
+def encoding_qc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ascii_ratio: float = 0.995,
+) -> DataFrame:
+    """Encoding/mojibake QC — the decode-sanity stage a crawl pipeline
+    runs right after charset detection: documents carrying U+FFFD
+    replacement characters (a botched transcode), C0 control bytes
+    (binary mis-sniffed as text), or a high non-ASCII-ratio anomaly
+    for an ASCII-expected source get flagged before they poison
+    tokenizer/LM stats downstream. Reports per doc: replacement-char
+    count, control-char count (C0 minus tab/newline/CR), the rounded
+    printable-ASCII ratio, and `kept`.
+
+    The ratio is ROUNDED to 6 dp and the threshold compares against
+    the rounded value (the repo's cross-engine float convention). For
+    multilingual corpora the ratio is a reporting column, not a drop
+    rule — gate on the replacement/control counts only (set
+    min_ascii_ratio=0.0).
+
+    Scale shape (100 TB): three regexp counts + one length, all in the
+    scan projection — no join, no shuffle, no UDF."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = F.size(F.regexp_extract_all(t, F.lit(r"\x{FFFD}"), 0)).cast("bigint")
+    n_ctrl = F.size(
+        F.regexp_extract_all(t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"), 0)
+    ).cast("bigint")
+    n_nonascii = F.size(F.regexp_extract_all(t, F.lit(r"[^\x09\x0A\x0D\x20-\x7E]"), 0))
+    ln = F.length(t)
+    ratio = F.when(ln == 0, F.lit(1.0)).otherwise(
+        F.round(F.lit(1.0) - n_nonascii / ln, 6)
+    )
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        ratio.alias("ascii_ratio"),
+        (
+            (n_repl == 0) & (n_ctrl == 0) & (ratio >= F.lit(min_ascii_ratio))
+        ).alias("kept"),
+    )
+
+
 def clean_text(col: Column) -> Column:
     """Training-corpus text normalization (the C4/CCNet-style cleanup
     pass): strip markup tags, decode the common HTML entities, drop

@@ -7970,6 +7970,48 @@ FROM documents
 """
 
 
+def q_encoding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/mojibake QC verdicts over a corpus with deterministic
+    damage woven in (the corpus is clean ASCII — every 7th doc gets a
+    U+FFFD, every 11th a C0 control byte; same convention as
+    `_inject_pii`); stats via `textan.encoding_qc`, pure scan-stage."""
+    from dcafs_spark.operators.textan import encoding_qc
+
+    d = F.col("doc_id")
+    damaged = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(" b�d")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" x\x01")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_qc(damaged, min_ascii_ratio=0.995)
+
+
+_SQL_ENCODING_QC = r"""
+WITH damaged AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' b' || chr(65533) || 'd' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ' x' || chr(1) ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '\x{FFFD}'))::BIGINT AS n_replacement,
+       len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]'))::BIGINT AS n_control,
+       CASE WHEN length(t) = 0 THEN 1.0
+            ELSE round(1.0 - len(regexp_extract_all(t, '[^\x09\x0A\x0D\x20-\x7E]')) / length(t), 6)
+       END AS ascii_ratio,
+       (len(regexp_extract_all(t, '\x{FFFD}')) = 0
+        AND len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) = 0
+        AND (CASE WHEN length(t) = 0 THEN 1.0
+                  ELSE round(1.0 - len(regexp_extract_all(t, '[^\x09\x0A\x0D\x20-\x7E]')) / length(t), 6)
+             END) >= 0.995) AS kept
+FROM damaged
+"""
+
+
 def _quality_weights(n: int = 16, seed: int = 5) -> list[float]:
     """Stand-in trained model: deterministic seeded weights, the same
     python floats embedded in the Spark plan and the SQL oracle."""
@@ -8142,6 +8184,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_capped_sample": (q_domain_capped_sample, _SQL_DOMAIN_CAPPED),
     "url_filter": (q_url_filter, _SQL_URL_FILTER),
     "term_blocklist": (q_term_blocklist, _SQL_TERM_BLOCKLIST),
+    "encoding_qc": (q_encoding_qc, _SQL_ENCODING_QC),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,

@@ -763,6 +763,29 @@ class TestRegisteredDomain:
         assert b["n_docs"] == 2 and b["n_pages"] == 1
         assert b["dup_share"] == 0.5
 
+    def test_encoding_qc(self, spark):
+        from dcafs_spark.operators.textan import encoding_qc
+
+        rows = [
+            (1, "clean ascii text"),
+            (2, "bro�ken transcode"),
+            (3, "binary\x01sniff\x02ed"),
+            (4, "tabs\tand\nnewlines are fine"),
+            (5, ""),                              # empty → ratio 1.0, kept
+            (6, "café naïve résumé"),  # non-ASCII ratio
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in encoding_qc(df, min_ascii_ratio=0.9).collect()}
+        assert got[1]["kept"] and got[1]["ascii_ratio"] == 1.0
+        assert got[2]["n_replacement"] == 1 and not got[2]["kept"]
+        assert got[3]["n_control"] == 2 and not got[3]["kept"]
+        assert got[4]["kept"] and got[4]["n_control"] == 0
+        assert got[5]["kept"] and got[5]["ascii_ratio"] == 1.0
+        assert not got[6]["kept"] and got[6]["ascii_ratio"] < 0.9
+        # multilingual setting: ratio reports, counts gate
+        ml = {r["doc_id"]: r for r in encoding_qc(df, min_ascii_ratio=0.0).collect()}
+        assert ml[6]["kept"] and not ml[2]["kept"]
+
     def test_term_blocklist_stats(self, spark):
         from dcafs_spark.operators.textan import term_blocklist_stats
 

@@ -342,3 +342,41 @@ class TestStreamingParagraphDedup:
         # the SAME boilerplate paragraph as doc 1's
         assert plain[(1, 0)] == plain[(2, 0)]
         assert plain[(1, 1)] != plain[(2, 1)]
+
+
+class TestIngestComposition:
+    def test_url_filter_then_streaming_dedup(self, spark, tmp_path):
+        """The realistic crawl ingest chain: url_filter verdicts stream
+        through (narrow map on a stream is legal), blocked rows drop,
+        survivors dedup first-wins on the canonical URL — all in ONE
+        streaming query."""
+        from dcafs_spark.operators.urls import url_filter
+        from dcafs_spark.streaming.dedup import streaming_url_dedup
+
+        watch = tmp_path / "wc"
+        watch.mkdir()
+        (watch / "b1.txt").write_text(
+            "https://ok.com/a\n"
+            "https://spam.com/x\n"            # blocked domain
+            "HTTPS://WWW.OK.com:443/a/\n"     # canonical dup of row 1
+            "https://ok.com/login\n"          # blocked path
+            "https://ok.com/b\n"
+        )
+        rows: list = []
+
+        def transform(df):
+            filtered = url_filter(
+                df, "value", blocked_domains=["spam.com"],
+                blocked_path_rules=[r"^/login$"],
+            ).filter("kept").drop("canon_url", "domain", "kept")
+            return streaming_url_dedup(filtered, url_col="value")
+
+        q = _run_stream(spark, watch, transform, rows)
+        try:
+            assert _drain(q, lambda: len(rows) >= 2)
+        finally:
+            q.stop()
+        assert sorted(r["value"] for r in rows) == [
+            "https://ok.com/a",
+            "https://ok.com/b",
+        ]

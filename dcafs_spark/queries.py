@@ -8012,6 +8012,100 @@ FROM damaged
 """
 
 
+def q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl URL pipeline END TO END as one composed DataFrame:
+    blocklist filter (`url_filter`) → first-wins canonical dedup
+    (`url_dedup`) → per-eTLD+1 quota (`bounded_topk`, k=8). One
+    checkpointed canonicalization feeds the dedup; everything else
+    stays narrow until the two tiny hash-keyed shuffles — the shape a
+    production frontier job has."""
+    from dcafs_spark.operators.similarity import bounded_topk
+    from dcafs_spark.operators.urls import registered_domain, url_dedup, url_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_domains_spark().alias("url")
+    )
+    filtered = url_filter(
+        docs,
+        "url",
+        blocked_domains=["brand3.co.uk", "brand7.com", "brand1.net"],
+        blocked_path_rules=[r"^/p/3$"],
+    ).filter("kept")
+    surv = url_dedup(filtered.select("doc_id", "url"), "url", "doc_id").filter(
+        "kept"
+    )
+    reg = surv.select(
+        "doc_id", registered_domain(F.col("domain")).alias("domain")
+    )
+    ranked = bounded_topk(reg, "domain", F.struct(F.col("doc_id").alias("_i")), 8)
+    return ranked.select(
+        "domain",
+        F.col("_e._i").alias("doc_id"),
+        F.col("_pos").cast("int").alias("rank"),
+    )
+
+
+_SQL_CRAWL_CURATION = f"""
+WITH raw AS (SELECT doc_id, {_SQL_SYNTH_URL_DOMAINS} AS url FROM documents),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM nf
+), hp AS (
+  SELECT doc_id, scheme, rest,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+  FROM parts
+), pq AS (
+  SELECT doc_id, scheme, host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+         CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS q
+  FROM hp
+), cq AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(list_filter(string_split(q, '&'),
+                                     p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS qq
+  FROM pq
+), canon AS (
+  SELECT doc_id, path,
+         scheme || '://' || host || path || (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END) AS canon_url,
+         host,
+         CASE WHEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]org)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]org)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]net)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]net)$', 1)
+              ELSE host END AS domain
+  FROM cq
+), filtered AS (
+  SELECT doc_id, canon_url, domain FROM canon
+  WHERE NOT (domain IN ('brand3.co.uk', 'brand7.com', 'brand1.net')
+             OR regexp_matches(path, '^/p/3$'))
+), surv AS (
+  SELECT doc_id, domain FROM (
+    SELECT doc_id, domain, min(doc_id) OVER (PARTITION BY canon_url) AS owner
+    FROM filtered)
+  WHERE doc_id = owner
+)
+SELECT domain, doc_id, CAST(rn - 1 AS INTEGER) AS rank
+FROM (SELECT domain, doc_id,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      FROM surv)
+WHERE rn <= 8
+"""
+
+
 def _quality_weights(n: int = 16, seed: int = 5) -> list[float]:
     """Stand-in trained model: deterministic seeded weights, the same
     python floats embedded in the Spark plan and the SQL oracle."""
@@ -8185,6 +8279,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_filter": (q_url_filter, _SQL_URL_FILTER),
     "term_blocklist": (q_term_blocklist, _SQL_TERM_BLOCKLIST),
     "encoding_qc": (q_encoding_qc, _SQL_ENCODING_QC),
+    "crawl_curation": (q_crawl_curation, _SQL_CRAWL_CURATION),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,

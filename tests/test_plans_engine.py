@@ -234,9 +234,10 @@ class TestPlanQuality:
     def test_domain_capped_sample_rank_without_window_sort(self, spark, sf_dir):
         """The per-domain quota cap ranks via bounded_topk's partial-agg
         prune — a mega-domain must not funnel into one Window partition."""
-        plan = physical_plan(QUERIES["domain_capped_sample"][0](spark, sf_dir))
-        assert "Window" not in plan
-        assert "Sort [" not in plan.replace("TakeOrdered", "")
+        for name in ("domain_capped_sample", "crawl_curation"):
+            plan = physical_plan(QUERIES[name][0](spark, sf_dir))
+            assert "Window" not in plan, name
+            assert "Sort [" not in plan.replace("TakeOrdered", ""), name
 
 
 class TestAsofRangeEdges:

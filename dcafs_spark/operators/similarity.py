@@ -763,6 +763,59 @@ def pq_adc_distance(
     return total
 
 
+def ivf_cells(
+    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """The `nprobe` nearest IVF cells for a vector as an array<long>
+    of cell ids — a PURE NARROW MAP against the centroid matrix as
+    literals (an IVF index is driver-side state, like `kmeans_train`'s
+    output; no crossJoin, no aggregate, no shuffle — at 100 TB the
+    corpus-side assignment must not cost a full-corpus shuffle).
+    Centroid cosine micro-quantizes before the sort so a float ulp
+    can never flip a cell choice cross-engine; ties break on the
+    lower cell id."""
+    cands = []
+    for cid, cv in centroids:
+        cvlit = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")")
+        nd = -F.round(cosine(vec, cvlit) * 1e6).cast("long")
+        cands.append(
+            F.struct(nd.alias("nd"), F.lit(int(cid)).cast("long").alias("cid"))
+        )
+    return F.slice(F.array_sort(F.array(*cands)), 1, nprobe)["cid"]
+
+
+def pq_adc_rel_distance(
+    codes: Column, qvec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """ADC ranking score when the query is a ROW (a column), not a
+    driver-side literal: Σ_s (||c_{s,code_s}||² − 2·q_s·c_{s,code_s})
+    — the true ADC minus the per-query constant Σ_s ||q_s||², so the
+    per-query ORDERING is identical to `pq_adc_distance` while the
+    codebook norms stay python-computed literals (cross-engine exact).
+    Cost per (query, candidate) pair is m lookups + m dsub-wide dots;
+    a production query SET precomputes per-query lookup tables instead
+    (the `pq_adc_distance` shape) — this form exists for query-as-data
+    pipelines like IVF-PQ where queries live in a DataFrame."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    total = None
+    for s in range(m):
+        book = codebooks[s]
+        book_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")" for c in book
+            )
+            + ")"
+        )
+        cn2_lit = dlit_array([sum(x * x for x in c) for c in book])
+        j1 = F.element_at(codes, s + 1) + 1
+        qs = F.slice(qvec, s * dsub + 1, dsub)
+        term = F.element_at(cn2_lit, j1) - 2.0 * dot(qs, F.element_at(book_lit, j1))
+        total = term if total is None else total + term
+    return total
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: list[list[float]],

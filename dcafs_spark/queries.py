@@ -1704,6 +1704,144 @@ WHERE rank <= 5
 """
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN composition (Jégou et al. 2011, the
+    FAISS default): coarse IVF cell prune (corpus rows touch only their
+    own cell; queries probe their 2 nearest) + PQ-compressed ADC
+    scoring inside the probed cells, ranked per query by
+    `bounded_topk` (Window-free). At 100 TB the corpus is partitioned
+    by cell id and stores ONLY the 8-byte codes — a query reads nprobe
+    partitions of codes, never a vector. Cell assignment micro-
+    quantizes the centroid cosine (argmax over identical ints — no
+    ulp flips cross-engine); fixed seeded codebooks pin the mechanics
+    for the oracle, the trained path being `train_pq` (numpy-tested)."""
+    from dcafs_spark.operators.similarity import (
+        bounded_topk,
+        ivf_cells,
+        pq_adc_rel_distance,
+        pq_code,
+        pq_codebooks_fixed,
+    )
+
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    emb = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # index build: 8 centroid rows collected driver-side (bounded, the
+    # kmeans_train/train_pq class) so BOTH assignments below are pure
+    # narrow maps — no crossJoin, no aggregate, no corpus shuffle
+    cents = sorted(
+        (
+            (r["vec_id"], list(r["v"]))
+            for r in emb.filter(F.col("vec_id") < 8).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    coded = corpus.select(
+        "vec_id",
+        F.element_at(ivf_cells(F.col("v"), cents, 1), 1).alias("cell"),
+        pq_code(F.col("v"), books, quantize_micro=True).alias("_codes"),
+    )
+    q_cells = queries.select(
+        "query_id", "qv", F.explode(ivf_cells(F.col("qv"), cents, 2)).alias("cell")
+    )
+    scored = coded.join(F.broadcast(q_cells), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(pq_adc_rel_distance(F.col("_codes"), F.col("qv"), books) * 1e6)
+        .cast("long")
+        .alias("adc_rel_micro"),
+    )
+    ranked = bounded_topk(
+        scored,
+        "query_id",
+        F.struct(F.col("adc_rel_micro").alias("_d"), F.col("vec_id").alias("_i")),
+        5,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("_e._i").alias("vec_id"),
+        F.col("_e._d").alias("adc_rel_micro"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def _sql_similarity_ivfpq() -> str:
+    from dcafs_spark.operators.similarity import pq_codebooks_fixed
+
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    m, dsub = 8, 8
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    ds_cols = []
+    for s in range(m):
+        terms = []
+        for c in books[s]:
+            cn2 = sum(x * x for x in c)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            terms.append(
+                f"CAST(round(({cn2!r} - 2.0 * list_dot_product(v[{s * dsub + 1}:{(s + 1) * dsub}],"
+                f" {clit})) * 1000000.0) AS BIGINT)"
+            )
+        ds_cols.append(f"[{', '.join(terms)}] AS ds{s}")
+    code_cols = ", ".join(
+        f"list_position(ds{s}, list_min(ds{s})) - 1 AS code{s}" for s in range(m)
+    )
+    adc_terms = []
+    for s in range(m):
+        book = books[s]
+        cn2lit = "[" + ", ".join(repr(sum(x * x for x in c)) for c in book) + "]::DOUBLE[]"
+        blit = (
+            "["
+            + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in book)
+            + "]::DOUBLE[][]"
+        )
+        adc_terms.append(
+            f"(list_extract({cn2lit}, c.code{s} + 1)"
+            f" - 2.0 * list_dot_product(q.qv[{s * dsub + 1}:{(s + 1) * dsub}],"
+            f" list_extract({blit}, c.code{s} + 1)))"
+        )
+    return f"""
+WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 16),
+queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id >= 8 AND vec_id < 16),
+cc AS (
+  SELECT c.vec_id, c.v, t.cid,
+         CAST(round(({cos.format(a="c.v", b="t.cv")}) * 1000000.0) AS BIGINT) AS cq
+  FROM corpus c CROSS JOIN cents t),
+c_cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
+    FROM cc) WHERE rn = 1),
+d AS (SELECT vec_id, cell, {', '.join(ds_cols)} FROM c_cells),
+coded AS (SELECT vec_id, cell, {code_cols} FROM d),
+qc AS (
+  SELECT q.query_id, q.qv, t.cid,
+         CAST(round(({cos.format(a="q.qv", b="t.cv")}) * 1000000.0) AS BIGINT) AS qq
+  FROM queries q CROSS JOIN cents t),
+q_cells AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id ORDER BY qq DESC, cid ASC) AS rn
+    FROM qc) WHERE rn <= 2),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(round(({' + '.join(adc_terms)}) * 1000000.0) AS BIGINT) AS adc_rel_micro
+  FROM coded c JOIN q_cells q USING (cell))
+SELECT query_id, vec_id, adc_rel_micro, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_rel_micro ASC, vec_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling of the corpus (portable
     md5 bucketing — reproducible across engines and repartitions; a
@@ -8280,6 +8418,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "term_blocklist": (q_term_blocklist, _SQL_TERM_BLOCKLIST),
     "encoding_qc": (q_encoding_qc, _SQL_ENCODING_QC),
     "crawl_curation": (q_crawl_curation, _SQL_CRAWL_CURATION),
+    "similarity_ivfpq": (q_similarity_ivfpq, _sql_similarity_ivfpq()),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,

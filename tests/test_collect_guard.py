@@ -41,6 +41,9 @@ ALLOWED = {
     ("telnet.py", "_push_batch"),
     # telnet DataFrame reply: limit(max_rows+1) before collect
     ("telnet.py", "_render"),
+    # IVF-PQ index build: 8 centroid rows — driver-side index state,
+    # same bounded class as kmeans_train/train_pq
+    ("queries.py", "q_similarity_ivfpq"),
     # admin:gc — Python's gc.collect(), not a DataFrame materialization
     ("engine.py", "_admin_command"),
     # pf:debug — runs ONE literal sample line through a sub-path and

@@ -231,6 +231,14 @@ class TestPlanQuality:
             assert "Window" not in plan, name
             assert "Sort [" not in plan.replace("TakeOrdered", ""), name
 
+    def test_ivfpq_window_free(self, spark, sf_dir):
+        """similarity_ivfpq ranks via bounded_topk AND assigns cells via
+        max_by / sliced array_sort — the whole plan is Window-free (the
+        plain IVF gate's per-row row_number stays as the contrast)."""
+        plan = physical_plan(QUERIES["similarity_ivfpq"][0](spark, sf_dir))
+        assert "Window" not in plan
+        assert "Sort [" not in plan.replace("TakeOrdered", "")
+
     def test_domain_capped_sample_rank_without_window_sort(self, spark, sf_dir):
         """The per-domain quota cap ranks via bounded_topk's partial-agg
         prune — a mega-domain must not funnel into one Window partition."""

@@ -526,6 +526,79 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall@5 collapsed: {recall}"
 
 
+def test_ivfpq_candidates_respect_cells_and_rank_exactly(spark, sf_dir):
+    """Acceptance for the composed IVF-PQ gate: every returned
+    candidate lies in one of its query's 2 probed cells (the prune is
+    real), ranks are a correct ascending ordering of the reported
+    relative-ADC scores, and a numpy replica of cell assignment + PQ
+    encode + relative ADC reproduces the top-5 sets exactly (the
+    third-oracle convention)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.queries import QUERIES, q_similarity_ivfpq
+    from dcafs_spark.operators.similarity import pq_codebooks_fixed
+
+    out = q_similarity_ivfpq(spark, sf_dir).collect()
+    emb = {
+        int(r["vec_id"]): np.array(r["v"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+    cents = {cid: emb[cid] for cid in range(8)}
+    books = np.array(pq_codebooks_fixed(64, 8, 16, seed=7))  # (8, 16, 8)
+
+    def cells(v, n):
+        q = sorted(
+            (
+                (-round(
+                    1e6
+                    * float(np.dot(v, cv) / (np.linalg.norm(v) * np.linalg.norm(cv)))
+                ), cid)
+                for cid, cv in cents.items()
+            ),
+        )
+        return [cid for _d, cid in q[:n]]
+
+    def code(v):
+        cs = []
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            d = (books[s] ** 2).sum(axis=1) - 2.0 * (books[s] @ sub)
+            cs.append(int(np.argmin(np.round(d * 1e6))))
+        return cs
+
+    def adc_rel(qv, cs):
+        t = 0.0
+        for s, j in enumerate(cs):
+            t += (books[s][j] ** 2).sum() - 2.0 * float(np.dot(qv[s * 8 : (s + 1) * 8], books[s][j]))
+        return round(t * 1e6)
+
+    corpus_cell = {vid: cells(v, 1)[0] for vid, v in emb.items() if vid >= 16}
+    corpus_code = {vid: code(v) for vid, v in emb.items() if vid >= 16}
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    assert set(by_q) == set(range(8, 16))
+    for qid, rows in by_q.items():
+        probed = set(cells(emb[qid], 2))
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["adc_rel_micro"] for r in rows]
+        assert scores == sorted(scores)
+        for r in rows:
+            assert corpus_cell[int(r["vec_id"])] in probed
+        # numpy replica of the full top-5
+        cands = [
+            (adc_rel(emb[qid], corpus_code[vid]), vid)
+            for vid, c in corpus_cell.items()
+            if c in probed
+        ]
+        want = [vid for _d, vid in sorted(cands)[:5]]
+        assert [int(r["vec_id"]) for r in rows] == want
+
+
 class TestIncrementalDedup:
     def test_across_batches_and_within_batch(self, spark, tmp_path):
         from dcafs_spark.operators.dedup import incremental_dedup

@@ -1738,6 +1738,10 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key=lambda t: t[0],
     )
+    if not cents:  # empty corpus → no index; typed empty result
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_rel_micro long, rank int"
+        )
     corpus = emb.filter(F.col("vec_id") >= 16)
     queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -478,6 +478,7 @@ def term_blocklist_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hits: int = 0,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Term-blocklist filtering — the wordlist stage (NSFW/spam/banned
     phrases, the C4 "bad words" filter class) every crawl curation
@@ -494,20 +495,40 @@ def term_blocklist_stats(
     literal, not unrolled expressions). Terms are \\Q…\\E-quoted and
     sorted longest-first so phrase entries win over their own
     substrings identically in Spark (Java regex) and the DuckDB
-    oracle (RE2) — both use leftmost-first alternation."""
+    oracle (RE2) — both use leftmost-first alternation.
+
+    ASCII-text assumption (r13 ADVICE): the ``\\b`` anchors are
+    Unicode-aware in Java but ASCII-only in RE2, so verdicts can
+    diverge when a blocked term abuts a non-ASCII word character —
+    run `encoding_qc`-class filtering (or ASCII-normalize) upstream
+    for multilingual corpora. Terms whose first or last character is
+    not an ASCII word char can never match inside the anchors and are
+    rejected here rather than silently never matching.
+
+    `passthrough=True` appends the three verdict columns to the input
+    columns instead of projecting down to (id, verdicts) — the
+    composed-pipeline form (`corpus_curation`), still one scan."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    import re as _re
+
     for t in terms:
         if "\\E" in t:
             raise ValueError("blocklist terms may not contain \\\\E")
+        if not _re.match(r"^\w.*\w$|^\w$", t, _re.ASCII):
+            raise ValueError(
+                "blocklist term %r must start and end with an ASCII word "
+                "character (\\b anchors can never match otherwise)" % t
+            )
     pat = (
         r"\b(?:"
         + "|".join("\\Q" + t.lower() + "\\E" for t in sorted(terms, key=len, reverse=True))
         + r")\b"
     )
     hits = F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(pat), 0)
+    head = list(df.columns) if passthrough else [id_col]
     return df.select(
-        F.col(id_col),
+        *head,
         F.size(hits).cast("bigint").alias("n_hits"),
         F.size(F.array_distinct(hits)).cast("bigint").alias("n_distinct_terms"),
         (F.size(hits) <= max_hits).alias("kept"),
@@ -519,6 +540,7 @@ def encoding_qc(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_ascii_ratio: float = 0.995,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Encoding/mojibake QC — the decode-sanity stage a crawl pipeline
     runs right after charset detection: documents carrying U+FFFD
@@ -536,7 +558,9 @@ def encoding_qc(
     min_ascii_ratio=0.0).
 
     Scale shape (100 TB): three regexp counts + one length, all in the
-    scan projection — no join, no shuffle, no UDF."""
+    scan projection — no join, no shuffle, no UDF. `passthrough=True`
+    appends the verdict columns to the input columns (the composed-
+    pipeline form, `corpus_curation`), still one scan."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_repl = F.size(F.regexp_extract_all(t, F.lit(r"\x{FFFD}"), 0)).cast("bigint")
     n_ctrl = F.size(
@@ -547,8 +571,9 @@ def encoding_qc(
     ratio = F.when(ln == 0, F.lit(1.0)).otherwise(
         F.round(F.lit(1.0) - n_nonascii / ln, 6)
     )
+    head = [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
     return df.select(
-        F.col(id_col),
+        *head,
         n_repl.alias("n_replacement"),
         n_ctrl.alias("n_control"),
         ratio.alias("ascii_ratio"),

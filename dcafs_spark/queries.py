@@ -984,63 +984,211 @@ FROM s
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship end-to-end training-corpus pipeline in ONE plan:
-    quality filter → language filter → exact dedup survivors →
-    deterministic 70% sample → token accounting. Every stage is a
-    narrow map or a 16-byte-key aggregation; document bodies are
-    scanned once and never shuffled (only hashes and ids move)."""
-    from dcafs_spark.operators.dedup import normalize_text
-    from dcafs_spark.operators.sampling import hash_bucket
-    from dcafs_spark.operators.textan import lang_id, quality_features, token_count_ws
+    """The full C4/RefinedWeb text-curation pipeline as ONE composed
+    frame (r13 verdict ask #4): encoding/mojibake QC → term blocklist →
+    quality classifier → repetition-aware paragraph dedup → per-eTLD+1
+    best-k quota. Supersedes the round-7 quality→lang→exact-dedup
+    composition (those stages stay individually gated via
+    `quality_classifier` / `lang_confusion` / `dedup_exact`).
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    # quality_features keeps its input columns, so the whole stage chain
-    # is ONE projection over a single scan — no self-join on doc_id
-    base = quality_features(docs).select(
+    Scan/shuffle shape (100 TB): the document body is scanned ONCE —
+    all three verdicts, the quality score, the registered domain, and
+    the paragraph chunk hashes compute in the scan-stage projection
+    chain; the checkpoint barrier then carries only narrow columns
+    (ids, verdicts, score, 12-byte chunk structs — no text; the
+    barrier also stops PushDownPredicate from inlining the verdict
+    expression trees into the filter and re-evaluating the stage chain
+    per predicate). Downstream, the only shuffles key on the 8-byte
+    paragraph hash (rollup + frequency join, `paragraph_dedup_stats`'
+    shape), the 8-byte doc_id (stats join-back), and the domain quota
+    runs through `bounded_topk`'s two-stage prune — no Window, no
+    global sort, bodies never move. The same deterministic damage
+    convention as `encoding_qc`'s gate (every 7th doc a U+FFFD, every
+    11th a C0 byte) keeps the first stage live on the clean-ASCII
+    fixture corpus."""
+    from dcafs_spark.operators.dedup import paragraph_chunks
+    from dcafs_spark.operators.similarity import bounded_topk
+    from dcafs_spark.operators.textan import (
+        encoding_qc,
+        linear_quality_score,
+        term_blocklist_stats,
+    )
+    from dcafs_spark.operators.urls import registered_domain, url_parts
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
-        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
-        F.md5(normalize_text(F.col("text"))).alias("h"),
-        hash_bucket(F.col("doc_id"), 3).alias("bucket"),
-        "quality_score",
+        _synth_url_domains_spark().alias("url"),
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(" b�d")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" x\x01")).otherwise(F.lit("")),
+        ).alias("text"),
     )
-    # Barrier before the filter: PushDownPredicate would substitute the
-    # quality_score/lang_pred aliases with their full regex expression
-    # trees inside the pushed filter, evaluating the heavy stage chain
-    # twice per row (measured 4×: 0.6→2.3 s at sf0.1). The checkpoint
-    # carries only the 6 narrow projected columns — at 100 TB that is
-    # 1-2% of the text it summarizes, far cheaper than double compute.
-    base = base.transform(checkpoint)
-    kept = base.filter((F.col("quality_score") >= 0.6) & (F.col("lang_pred") == "en"))
-    # dedup survivor = window-min over the content hash: one scan, one
-    # shuffle keyed by the 16-byte hash (a groupBy+self-join would scan
-    # and re-compute the quality/lang projection twice)
-    w = Window.partitionBy("h")
-    out = (
-        kept.withColumn("_min_id", F.min("doc_id").over(w))
-        .filter((F.col("doc_id") == F.col("_min_id")) & (F.col("bucket") < 700000))
+    staged = encoding_qc(docs, min_ascii_ratio=0.995, passthrough=True)
+    staged = staged.withColumnRenamed("kept", "enc_kept").drop(
+        "n_replacement", "n_control", "ascii_ratio"
     )
-    return out.select("doc_id", "n_tokens", "quality_score")
+    staged = term_blocklist_stats(
+        staged, terms=["slow", "hash", "merge batch"], max_hits=3, passthrough=True
+    )
+    staged = staged.withColumnRenamed("kept", "blk_kept").drop(
+        "n_hits", "n_distinct_terms"
+    )
+    staged = linear_quality_score(
+        staged, _quality_weights(), bias=0.25, threshold=0.7492
+    ).withColumnRenamed("kept", "q_kept")
+    narrow = staged.select(
+        "doc_id",
+        registered_domain(url_parts(F.col("url")).getField("domain")).alias("domain"),
+        "enc_kept",
+        "blk_kept",
+        "q_kept",
+        "score",
+        paragraph_chunks(F.col("text"), 20).alias("chunks"),
+    )
+    narrow = checkpoint(narrow)
+    kept = narrow.filter("enc_kept AND blk_kept AND q_kept")
+    # paragraph dedup over the SURVIVORS (curation order matters: a
+    # boilerplate paragraph is one that floods the *kept* corpus)
+    per = (
+        kept.select("doc_id", F.explode("chunks").alias("c"))
+        .select("doc_id", F.col("c.chash").alias("chash"), F.col("c.nw").alias("nw"))
+        .groupBy("doc_id", "chash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("nw").alias("nw"))
+    )
+    per = checkpoint(per)  # feeds the frequency pass AND the join back
+    glob = per.groupBy("chash").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.col("n_docs") >= 3
+    stats = (
+        per.join(glob, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_paras"),
+            F.sum(F.when(~boiler, F.col("nw")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_words"),
+        )
+    )
+    survivors = (
+        kept.select("doc_id", "domain", "score")
+        .join(stats, "doc_id")
+        .filter(F.col("kept_words") >= 40)
+    )
+    ranked = bounded_topk(
+        survivors,
+        "domain",
+        F.struct(
+            (-F.col("score")).alias("_ns"),
+            F.col("doc_id").alias("_i"),
+            F.col("kept_words").alias("_kw"),
+        ),
+        10,
+    )
+    return ranked.select(
+        "domain",
+        F.col("_e._i").alias("doc_id"),
+        F.col("_pos").cast("int").alias("rank"),
+        (-F.col("_e._ns")).alias("score"),
+        F.col("_e._kw").cast("long").alias("kept_words"),
+    )
 
 
 def _sql_corpus_curation() -> str:
+    ws = _quality_weights()
+    terms = " + ".join(
+        f"({w!r} * (len(list_filter(bids, b -> b = {i})) / nt))" for i, w in enumerate(ws)
+    )
     return f"""
-WITH q AS ({SQL_TEXT_QUALITY}),
-l AS ({SQL_LANG_ID}),
-base AS (
-  SELECT d.doc_id,
-         l.lang_pred,
-         CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS h,
-         {_sql_bucket('d.doc_id', 3)} AS bucket,
-         q.quality_score
-  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
-),
-kept AS (SELECT * FROM base WHERE quality_score >= 0.6 AND lang_pred = 'en'),
-survivors AS (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY h)
-SELECT k.doc_id, k.n_tokens, k.quality_score
-FROM kept k JOIN survivors s ON k.h = s.h AND k.doc_id = s.doc_id
-WHERE k.bucket < 700000
+WITH raw AS (
+  SELECT doc_id, {_SQL_SYNTH_URL_DOMAINS} AS url,
+         text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' b' || chr(65533) || 'd' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ' x' || chr(1) ELSE '' END) AS t
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         (len(regexp_extract_all(t, '\\x{{FFFD}}')) = 0
+          AND len(regexp_extract_all(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) = 0
+          AND (CASE WHEN length(t) = 0 THEN 1.0
+                    ELSE round(1.0 - len(regexp_extract_all(t, '[^\\x09\\x0A\\x0D\\x20-\\x7E]')) / length(t), 6)
+               END) >= 0.995) AS enc_kept
+  FROM raw
+), blk AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(t),
+             '\\b(?:\\Qmerge batch\\E|\\Qslow\\E|\\Qhash\\E)\\b')) <= 3 AS blk_kept
+  FROM raw
+), feats AS (
+  SELECT doc_id,
+         list_transform(string_split(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g'), ' '),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 16) AS bids
+  FROM raw
+), z AS (
+  SELECT doc_id,
+         0.25 + {terms} AS z
+  FROM (SELECT doc_id, bids, greatest(len(bids), 1) AS nt FROM feats)
+), qual AS (
+  SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score FROM z
+), hp AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS host
+  FROM raw
+), reg AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com[.]au)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]com)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]com)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]org)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]org)$', 1)
+              WHEN regexp_extract(host, '([^.]+[.]net)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+[.]net)$', 1)
+              ELSE host END AS domain
+  FROM hp
+), kept AS (
+  SELECT r.doc_id, reg.domain, qual.score, r.t
+  FROM raw r
+  JOIN enc USING (doc_id) JOIN blk USING (doc_id)
+  JOIN qual USING (doc_id) JOIN reg USING (doc_id)
+  WHERE enc.enc_kept AND blk.blk_kept AND qual.score >= 0.7492
+), w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM kept
+), i0 AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 20.0) AS INT), 1))) AS i
+  FROM w
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(ws[i*20+1 : i*20+20], ' ')), 1, 15))::BIGINT AS chash,
+         len(ws[i*20+1 : i*20+20]) AS nw
+  FROM i0
+), per AS (
+  SELECT doc_id, chash, count(*) AS cnt, min(nw) AS nw
+  FROM occ GROUP BY doc_id, chash
+), freq AS (
+  SELECT chash, count(*) AS n_docs FROM per GROUP BY chash
+), stats AS (
+  SELECT per.doc_id,
+         sum(cnt)::BIGINT AS n_paras,
+         sum(CASE WHEN n_docs < 3 THEN nw ELSE 0 END)::BIGINT AS kept_words
+  FROM per JOIN freq USING (chash)
+  GROUP BY per.doc_id
+), survivors AS (
+  SELECT k.domain, k.doc_id, k.score, s.kept_words
+  FROM kept k JOIN stats s USING (doc_id)
+  WHERE s.kept_words >= 40
+)
+SELECT domain, doc_id, CAST(rn - 1 AS INTEGER) AS rank, score, kept_words
+FROM (SELECT domain, doc_id, score, kept_words,
+             row_number() OVER (PARTITION BY domain ORDER BY -score, doc_id) AS rn
+      FROM survivors)
+WHERE rn <= 10
 """
 
 
@@ -8398,15 +8546,29 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
-    "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
-    "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
-    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
-    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
-    "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
-    "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
+    # ---- round-14 rotation (r13 verdict ask #1): the six round-13
+    # queries that registered past-cap enter the driver gate, plus the
+    # C4-shape `corpus_curation` (r13 ask #4, upgraded this round) —
+    # the never-driver-checked backlog is EMPTY again. Standing rule
+    # (adopted r14): new hash-gated queries register IN-CAP in the same
+    # commit; only adjudicated rows-only gates (pq_recall_trained,
+    # similarity_ivfpq_trained) live past the cap. Seven multiply-passed
+    # staples leave (each driver-green r12 AND r13): small_order_revenue,
+    # cust_order_distribution, promo_revenue, top_supplier,
+    # disjunctive_revenue, sales_opportunity, lang_balanced_sample.
+    # Families all stay gated in-cap: TPC-H via pricing_summary +
+    # shipping_priority (join shape); events via event_type_profile +
+    # event_transitions; sampling via quality_band_sample +
+    # random_projection + the quota stage inside corpus_curation.
+    "url_filter": (q_url_filter, _SQL_URL_FILTER),
+    "term_blocklist": (q_term_blocklist, _SQL_TERM_BLOCKLIST),
+    "encoding_qc": (q_encoding_qc, _SQL_ENCODING_QC),
+    "domain_capped_sample": (q_domain_capped_sample, _SQL_DOMAIN_CAPPED),
+    "crawl_curation": (q_crawl_curation, _SQL_CRAWL_CURATION),
+    "similarity_ivfpq": (q_similarity_ivfpq, _sql_similarity_ivfpq()),
+    "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS),
-    "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED),
     "hourly_lag_corr": (q_hourly_lag_corr, SQL_HOURLY_LAG_CORR),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
     # trained-PQ acceptance (r11 ask #4a, moved past the cap r13 per
@@ -8415,14 +8577,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # numpy third oracle in tests/test_similarity.py replicates the
     # full pipeline)
     "pq_recall_trained": (q_pq_recall_trained, None),
-    # round-13 additions (past-cap, replica-gated): per-domain quota
-    # cap + crawl URL filtering
-    "domain_capped_sample": (q_domain_capped_sample, _SQL_DOMAIN_CAPPED),
-    "url_filter": (q_url_filter, _SQL_URL_FILTER),
-    "term_blocklist": (q_term_blocklist, _SQL_TERM_BLOCKLIST),
-    "encoding_qc": (q_encoding_qc, _SQL_ENCODING_QC),
-    "crawl_curation": (q_crawl_curation, _SQL_CRAWL_CURATION),
-    "similarity_ivfpq": (q_similarity_ivfpq, _sql_similarity_ivfpq()),
+    # round-14 rotation leavers (each driver-green r12 AND r13; family
+    # coverage documented at the in-cap marker):
+    "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
+    "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+    "disjunctive_revenue": (q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
+    "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
+    "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED),
     # round-13 rotation: out of the cap this round (each multiply
     # driver-passed; family coverage documented at the in-cap marker):
     # bm25_score, source_boilerplate, containment_pairs,
@@ -8467,7 +8630,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dsir_importance": (q_dsir_importance, SQL_DSIR),
     "prefilter_semi_join": (q_prefilter_semi_join, SQL_PREFILTER_SEMI),
     "minhash_calibration": (q_minhash_calibration, _sql_minhash_calibration()),
-    "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
+    # corpus_curation moved IN-CAP round 14 (upgraded to the C4 chain)
     "ocean_functions": (q_ocean_functions, SQL_OCEAN),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "current_values": (q_current_values, SQL_CURRENT_VALUES),

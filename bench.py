@@ -1031,6 +1031,14 @@ def quick_bench(names: list[str] | None = None) -> dict:
     warm_dir = "/root/testdata/sf0.001"
     small = os.environ.get("SPARK_GRAFT_QUICK_SMALL", "/root/testdata/sf0.01")
     big = os.environ.get("SPARK_GRAFT_QUICK_BIG", "/root/testdata/sf0.1")
+    unknown = [n for n in (names or []) if n not in QUERIES]
+    if unknown:
+        # r13 ADVICE: a misspelled --quick name must not silently fall
+        # back to the ~6-min full-catalog sweep
+        raise SystemExit(
+            f"quick_bench: unknown query name(s) {unknown}; "
+            "valid names are the QUERIES registry keys"
+        )
     subset = [n for n in (names or []) if n in QUERIES]
     t_small: dict[str, float] = {}
     for name in subset or QUERIES:

@@ -773,7 +773,21 @@ def ivf_cells(
     corpus-side assignment must not cost a full-corpus shuffle).
     Centroid cosine micro-quantizes before the sort so a float ulp
     can never flip a cell choice cross-engine; ties break on the
-    lower cell id."""
+    lower cell id.
+
+    Centroid components must be finite (r13 ADVICE): they interpolate
+    as `repr(x)+'D'` literals into `F.expr`, so a NaN/Inf component
+    would either fail to parse ('nanD') or silently poison every
+    cosine it touches — rejected here with a clear error instead."""
+    import math
+
+    for cid, cv in centroids:
+        if not all(math.isfinite(float(x)) for x in cv):
+            raise ValueError(
+                f"ivf_cells: centroid {cid} has a non-finite component "
+                "(NaN/Inf cannot ride the plan as a literal and would "
+                "poison cell assignment)"
+            )
     cands = []
     for cid, cv in centroids:
         cvlit = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")")

@@ -1130,11 +1130,21 @@ WITH raw AS (
   FROM (SELECT doc_id, bids, greatest(len(bids), 1) AS nt FROM feats)
 ), qual AS (
   SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score FROM z
+), uparts AS (
+  SELECT doc_id,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+  FROM raw
 ), hp AS (
   SELECT doc_id,
-         regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS host
-  FROM raw
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+  FROM uparts
 ), reg AS (
   SELECT doc_id,
          CASE WHEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1) <> ''
@@ -8135,11 +8145,21 @@ def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOMAIN_CAPPED = f"""
 WITH raw AS (SELECT doc_id, {_SQL_SYNTH_URL_DOMAINS} AS url FROM documents),
 nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
-hp AS (
+parts AS (
   SELECT doc_id,
-         regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                        '^www\\.', '') AS host
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
   FROM nf
+), hp AS (
+  -- scheme-conditional default-port strip mirrors Spark url_parts
+  -- (r13 ADVICE: stays faithful if the fixture ever grows ported URLs)
+  SELECT doc_id,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+  FROM parts
 ), reg AS (
   SELECT doc_id,
          CASE WHEN regexp_extract(host, '([^.]+[.]co[.]uk)$', 1) <> ''

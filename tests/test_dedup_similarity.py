@@ -549,10 +549,21 @@ def test_ivfpq_candidates_respect_cells_and_rank_exactly(spark, sf_dir):
     cents = {cid: emb[cid] for cid in range(8)}
     books = np.array(pq_codebooks_fixed(64, 8, 16, seed=7))  # (8, 16, 8)
 
+    # half-AWAY-FROM-ZERO micro-rounding (r13 ADVICE): Spark F.round and
+    # DuckDB round are half-away, while python round()/np.round are
+    # banker's — an exact .5 micro-unit would silently diverge here
+    def _half(x):
+        import math
+
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def _half_vec(a):
+        return np.floor(np.abs(a) + 0.5) * np.sign(a)
+
     def cells(v, n):
         q = sorted(
             (
-                (-round(
+                (-_half(
                     1e6
                     * float(np.dot(v, cv) / (np.linalg.norm(v) * np.linalg.norm(cv)))
                 ), cid)
@@ -566,14 +577,14 @@ def test_ivfpq_candidates_respect_cells_and_rank_exactly(spark, sf_dir):
         for s in range(8):
             sub = v[s * 8 : (s + 1) * 8]
             d = (books[s] ** 2).sum(axis=1) - 2.0 * (books[s] @ sub)
-            cs.append(int(np.argmin(np.round(d * 1e6))))
+            cs.append(int(np.argmin(_half_vec(d * 1e6))))
         return cs
 
     def adc_rel(qv, cs):
         t = 0.0
         for s, j in enumerate(cs):
             t += (books[s][j] ** 2).sum() - 2.0 * float(np.dot(qv[s * 8 : (s + 1) * 8], books[s][j]))
-        return round(t * 1e6)
+        return _half(t * 1e6)
 
     corpus_cell = {vid: cells(v, 1)[0] for vid, v in emb.items() if vid >= 16}
     corpus_code = {vid: code(v) for vid, v in emb.items() if vid >= 16}

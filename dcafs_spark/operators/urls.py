@@ -91,11 +91,13 @@ def registered_domain(host: Column, suffixes: list[str] | None = None) -> Column
     single anchored `regexp_extract` — no UDF, no join, fully codegen.
     Suffixes are probed longest-label-count first (``co.uk`` must win
     over ``uk``-style single labels); a host matching no suffix, or
-    equal to a bare suffix, falls through unchanged. At 100 TB the
-    real public-suffix list (~9k rules) compiles the same way or — if
-    the CASE chain outgrows codegen (~1000 terms, the measured
-    unrolling hazard) — becomes a broadcast map keyed on the host's
-    last 1..4 labels."""
+    equal to a bare suffix, falls through unchanged. This literal form
+    is for SMALL lists only: the nested-When tree overflows the
+    analyzer stack at ≥384 rules (measured, StackOverflowError at plan
+    build — scripts/round14_psl_probe.py). The real public-suffix list
+    (~9k rules) takes `with_registered_domain(mode='broadcast')`, the
+    broadcast map keyed on the host's last 1..4 labels — identical
+    semantics, identity-pinned by tests/test_curation_ops.py."""
     sufs = sorted(
         suffixes if suffixes is not None else PUBLIC_SUFFIXES_SAMPLE,
         key=lambda s: (-s.count("."), -len(s)),
@@ -108,7 +110,94 @@ def registered_domain(host: Column, suffixes: list[str] | None = None) -> Column
     return out
 
 
-def domain_profile(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+# Past this rule count `with_registered_domain(mode="auto")` switches
+# from the literal CASE chain to the broadcast-join path. Measured
+# (scripts/round14_psl_probe.py, r14 SCALE.md): the chain is linear in
+# rules (0.17 s @5 → 1.21 s @128 → 2.64 s @256 for 8k rows) and the
+# nested-When tree OVERFLOWS THE ANALYZER STACK at ≥384 rules
+# (StackOverflowError at plan build — harder than the ~1000-term
+# codegen hazard); the broadcast path is flat ~0.9 s at 9,000 rules
+# regardless of rule count. Crossover ≈64 rules.
+PSL_BROADCAST_THRESHOLD = 64
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str,
+    out_col: str = "domain",
+    suffixes: list[str] | None = None,
+    mode: str = "auto",
+) -> DataFrame:
+    """eTLD+1 extraction as a DataFrame stage, with the rule-count knob
+    the r13 verdict asked for (ask #2): small suffix lists compile to
+    `registered_domain`'s pure-Catalyst CASE chain (zero join, fully
+    codegen — the gated default); PSL-scale lists (the real Mozilla
+    list is ~9k rules) take the broadcast-map path. ``mode`` is
+    ``'case'`` | ``'broadcast'`` | ``'auto'`` (auto = broadcast past
+    `PSL_BROADCAST_THRESHOLD` rules).
+
+    Broadcast path shape (100 TB): PSL rules are 1-4 labels, so the
+    host's ONLY possible suffix matches are its last 1..4 labels — per
+    label count k we derive `substring_index(host, '.', -k)` (narrow)
+    and broadcast-hash-left-join it against the ≤9k-row rule table for
+    that k. No corpus shuffle, no explode, no UDF; four broadcast
+    probes per row, each against a table of a few KB..hundreds of KB.
+    Longest-label match wins (``co.uk`` over ``uk``); a host equal to
+    a bare suffix or matching no rule passes through unchanged —
+    byte-identical semantics to the CASE chain on well-formed hosts
+    (no empty labels), pinned by tests/test_curation_ops.py's identity
+    test over both paths.
+
+    Wildcard/exception PSL rules (``*.ck`` / ``!www.ck``) are out of
+    scope here — they are <1% of the list and a production ingest
+    pre-expands them against observed TLDs; documented, not silently
+    mis-handled: rules containing ``*`` or ``!`` are rejected."""
+    sufs = list(dict.fromkeys(suffixes if suffixes is not None else PUBLIC_SUFFIXES_SAMPLE))
+    bad = [s for s in sufs if "*" in s or "!" in s]
+    if bad:
+        raise ValueError(
+            f"wildcard/exception PSL rules are not supported here: {bad[:3]}"
+        )
+    if mode == "auto":
+        mode = "broadcast" if len(sufs) > PSL_BROADCAST_THRESHOLD else "case"
+    if mode == "case":
+        return df.withColumn(out_col, registered_domain(F.col(host_col), sufs))
+    if mode != "broadcast":
+        raise ValueError(f"mode must be 'case' | 'broadcast' | 'auto', got {mode!r}")
+    spark = df.sparkSession
+    host = F.col(host_col)
+    nlab = F.size(F.split(host, r"[.]"))
+    by_k: dict[int, list[str]] = {}
+    for s in sufs:
+        by_k.setdefault(s.count(".") + 1, []).append(s)
+    out = df
+    expr = host
+    # ascending k so each When wraps the previous — the OUTERMOST (and
+    # therefore winning) branch is the largest label count
+    for k in sorted(by_k):
+        suf_col = f"__psl_suf_{k}"
+        tbl = spark.createDataFrame([(s,) for s in by_k[k]], f"{suf_col} string")
+        out = out.join(
+            F.broadcast(tbl),
+            F.substring_index(host, ".", -k) == F.col(suf_col),
+            "left",
+        )
+        expr = F.when(
+            F.col(suf_col).isNotNull() & (nlab > k),
+            F.substring_index(host, ".", -(k + 1)),
+        ).otherwise(expr)
+    return out.withColumn(out_col, expr).drop(
+        *[f"__psl_suf_{k}" for k in by_k]
+    )
+
+
+def domain_profile(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    suffixes: list[str] | None = None,
+    psl_mode: str = "auto",
+) -> DataFrame:
     """Per-registered-domain crawl curation profile: doc count, unique
     canonical pages, and the duplicate share — the table a crawl
     operator reads to set per-site quotas and spot mirror floods.
@@ -125,8 +214,11 @@ def domain_profile(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     ).select(
         id_col,
         F.md5("_p.canon").alias("_k"),
-        registered_domain(F.col("_p.domain")).alias("domain"),
+        F.col("_p.domain").alias("__host"),
     )
+    parts = with_registered_domain(
+        parts, "__host", "domain", suffixes, psl_mode
+    ).drop("__host")
     return (
         parts.groupBy("domain")
         .agg(
@@ -150,6 +242,8 @@ def url_filter(
     blocked_domains: list[str] | None = None,
     blocked_path_rules: list[str] | None = None,
     keep_col: str = "kept",
+    suffixes: list[str] | None = None,
+    psl_mode: str = "auto",
 ) -> DataFrame:
     """Crawl-frontier URL filtering — the stage between
     canonicalization and dedup in every crawl pipeline: drop pages on
@@ -170,8 +264,11 @@ def url_filter(
     Path rules are each a Java regexp over the canonical path."""
     blocked_domains = blocked_domains or []
     blocked_path_rules = blocked_path_rules or []
-    parts = df.withColumn("_p", url_parts(F.col(url_col)))
-    reg = registered_domain(F.col("_p.domain"))
+    parts = df.withColumn("_p", url_parts(F.col(url_col))).withColumn(
+        "__host", F.col("_p.domain")
+    )
+    parts = with_registered_domain(parts, "__host", "__reg", suffixes, psl_mode)
+    reg = F.col("__reg")
     dom_bad = (
         reg.isin(list(blocked_domains)) if blocked_domains else F.lit(False)
     )
@@ -190,7 +287,12 @@ def url_filter(
 
 
 def domain_capped_sample(
-    df: DataFrame, url_col: str, id_col: str, k: int = 100
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    k: int = 100,
+    suffixes: list[str] | None = None,
+    psl_mode: str = "auto",
 ) -> DataFrame:
     """Per-registered-domain quota cap — the diversity control every
     crawl-derived training set applies (one mega-site must not drown
@@ -208,10 +310,11 @@ def domain_capped_sample(
 
     parts = df.select(
         F.col(id_col),
-        registered_domain(url_parts(F.col(url_col)).getField("domain")).alias(
-            "domain"
-        ),
+        url_parts(F.col(url_col)).getField("domain").alias("__host"),
     )
+    parts = with_registered_domain(
+        parts, "__host", "domain", suffixes, psl_mode
+    ).select(id_col, "domain")
     ranked = bounded_topk(
         parts, "domain", F.struct(F.col(id_col).alias("_i")), k
     )

@@ -858,6 +858,120 @@ class TestRegisteredDomain:
         assert by_dom["small.org"] == [(0, 100)]
 
 
+class TestRegisteredDomainPSL:
+    """Round-14 (r13 verdict ask #2): PSL-scale eTLD+1 via the
+    broadcast-join path, identity-pinned against the CASE chain."""
+
+    HOSTS = [
+        "blog.brand3.co.uk", "brand3.co.uk", "cdn.a.b.brand1.com",
+        "brand9.com.au", "shop.brand2.net", "com", "co.uk",
+        "localhost", "deep.x.y.z.brand0.org", "m.brand4.com",
+    ]
+
+    def _hosts_df(self, spark, hosts=None):
+        hs = hosts if hosts is not None else self.HOSTS
+        return spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hs)], "i long, host string"
+        )
+
+    def test_broadcast_identity_with_case_chain(self, spark):
+        from dcafs_spark.operators.urls import (
+            PUBLIC_SUFFIXES_SAMPLE,
+            with_registered_domain,
+        )
+
+        df = self._hosts_df(spark)
+        case = {
+            r["i"]: r["domain"]
+            for r in with_registered_domain(
+                df, "host", suffixes=PUBLIC_SUFFIXES_SAMPLE, mode="case"
+            ).collect()
+        }
+        bcast = {
+            r["i"]: r["domain"]
+            for r in with_registered_domain(
+                df, "host", suffixes=PUBLIC_SUFFIXES_SAMPLE, mode="broadcast"
+            ).collect()
+        }
+        assert case == bcast
+        assert case[0] == "brand3.co.uk" and case[7] == "localhost"
+
+    def test_psl_scale_9k_rules(self, spark):
+        from dcafs_spark.operators.urls import with_registered_domain
+
+        # synthetic PSL shape: ~9k rules across 1..3 labels, like the
+        # real list (≈75% 2-label country suffixes)
+        rules = (
+            [f"tld{i}" for i in range(1500)]
+            + [f"co{i}.ztld{i % 40}" for i in range(6500)]
+            + [f"a{i}.b{i}.ztri{i % 10}" for i in range(1000)]
+        )
+        assert len(rules) == 9000
+        hosts = [
+            "site.tld7",                 # 1-label rule
+            "www2.site.co12.ztld12",     # 2-label rule, subdomain
+            "x.a9.b9.ztri9",             # 3-label rule
+            "a9.b9.ztri9",               # host == bare 3-label suffix
+            "deep.sub.site.co40.ztld0",  # 2-label rule, deep chain
+            "nomatch.example",           # no rule
+        ]
+        out = {
+            r["i"]: r["domain"]
+            for r in with_registered_domain(
+                self._hosts_df(spark, hosts), "host", suffixes=rules, mode="auto"
+            ).collect()
+        }
+        assert out[0] == "site.tld7"
+        assert out[1] == "site.co12.ztld12"
+        assert out[2] == "x.a9.b9.ztri9"
+        assert out[3] == "a9.b9.ztri9"        # bare suffix falls through
+        assert out[4] == "site.co40.ztld0"
+        assert out[5] == "nomatch.example"
+
+    def test_auto_picks_broadcast_and_plan_is_broadcast_join(self, spark):
+        from dcafs_spark.operators.urls import with_registered_domain
+
+        rules = [f"t{i}" for i in range(300)]  # past PSL_BROADCAST_THRESHOLD
+        plan = with_registered_domain(
+            self._hosts_df(spark), "host", suffixes=rules, mode="auto"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # the corpus never shuffles
+
+    def test_wildcard_rules_rejected_and_dupes_collapsed(self, spark):
+        from dcafs_spark.operators.urls import with_registered_domain
+
+        df = self._hosts_df(spark, ["a.co.uk"])
+        with pytest.raises(ValueError, match="wildcard"):
+            with_registered_domain(df, "host", suffixes=["*.ck"], mode="broadcast")
+        out = with_registered_domain(
+            df, "host", suffixes=["co.uk", "co.uk", "uk"], mode="broadcast"
+        ).collect()
+        assert len(out) == 1 and out[0]["domain"] == "a.co.uk"
+
+    def test_ops_equal_under_both_modes(self, spark):
+        from dcafs_spark.operators.urls import (
+            domain_capped_sample,
+            domain_profile,
+            url_filter,
+        )
+
+        rows = [
+            (i, f"https://sub{i % 3}.brand{i % 4}.co.uk/p/{i % 5}") for i in range(40)
+        ] + [(100 + j, f"https://brand{j}.net/x?utm_source=a&id={j}") for j in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        for op in (
+            lambda d, m: domain_profile(d, "url", "doc_id", psl_mode=m),
+            lambda d, m: url_filter(
+                d, "url", blocked_domains=["brand1.co.uk"], psl_mode=m
+            ),
+            lambda d, m: domain_capped_sample(d, "url", "doc_id", k=3, psl_mode=m),
+        ):
+            a = sorted(map(tuple, op(df, "case").collect()))
+            b = sorted(map(tuple, op(df, "broadcast").collect()))
+            assert a == b
+
+
 class TestParagraphDedup:
     def test_corpus_and_intra_regimes(self, spark):
         from dcafs_spark.operators.dedup import paragraph_dedup_stats

@@ -743,6 +743,86 @@ def pq_code(
     return F.array(*codes)
 
 
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "code",
+    quantize_micro: bool = False,
+    engine: str = "expr",
+) -> DataFrame:
+    """PQ-encode a vector column with an explicit ingest-vs-query
+    engine split (r13 verdict ask #3):
+
+    * ``engine='expr'`` — the `pq_code` Catalyst expression: right for
+      the QUERY side (codes for a handful of probe rows ride the plan;
+      nothing crosses the JVM boundary) and for the oracle gates (the
+      expression replays in SQL). It is, however, an interpreted-HOF
+      argmin — measured ~19k vectors/s on 32 threads (SCALE.md r13),
+      the one linear stage in the ivfpq rungs.
+    * ``engine='arrow'`` — Arrow-batched `mapInPandas` numpy encode:
+      the INGEST side (encoding a 100 TB corpus once at index build).
+      Still a pure narrow map — no shuffle, batch-at-a-time — and
+      BYTE-IDENTICAL to the expression path: the numpy kernel replays
+      the same left-associated accumulation order per dimension
+      (vectorized across rows, ordered across dims), the same
+      driver-side python-float ||c||² literals, and half-AWAY-from-zero
+      micro-rounding (Spark F.round, not numpy banker's). Identity is
+      pinned by tests/test_dedup_similarity.py over the fixture
+      embeddings and a tie-crafted codebook; throughput measured ≥5×
+      the expression path (scripts/round14_pq_encode_probe.py).
+    """
+    if engine == "expr":
+        return df.withColumn(
+            out_col, pq_code(F.col(vec_col), codebooks, quantize_micro=quantize_micro)
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'expr' | 'arrow', got {engine!r}")
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    books_py = [[[float(x) for x in c] for c in book] for book in codebooks]
+    # EXACTLY the literals the expression path embeds: python-float
+    # left-assoc sums, not np.sum (pairwise summation differs in ulps)
+    cn2_py = [[sum(x * x for x in c) for c in book] for book in books_py]
+    m = len(books_py)
+    dsub = len(books_py[0][0])
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        B = np.array(books_py)  # (m, k, dsub) float64 — exact
+        CN2 = np.array(cn2_py)  # (m, k)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(**{out_col: []})
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # float32→float64 widening is exact, same as the JVM promotion
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * dsub : (s + 1) * dsub]
+                # accumulate t-ascending: identical float sequence to
+                # aggregate(zip_with(...), 0.0, acc+x), vectorized over
+                # (row, centroid) only
+                acc = np.zeros((n, B.shape[1]))
+                for t in range(dsub):
+                    acc = acc + sub[:, t : t + 1] * B[s][:, t][None, :]
+                d = CN2[s][None, :] - 2.0 * acc
+                if quantize_micro:
+                    dm = d * 1e6
+                    d = np.floor(np.abs(dm) + 0.5) * np.sign(dm)
+                codes[:, s] = np.argmin(d, axis=1)  # first-min, like array_min
+            yield pdf.assign(**{out_col: list(codes)})
+
+    return df.mapInPandas(encode, out_schema)
+
+
 def pq_adc_distance(
     codes: Column, query: list[float], codebooks: list[list[list[float]]]
 ) -> Column:

@@ -1933,6 +1933,101 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAINED_IVF_MEMO: dict[str, list[list[float]]] = {}
+
+
+def _trained_ivf_cents(emb: DataFrame, sf_dir: str, k: int = 8) -> list[list[float]]:
+    """Per-sf_dir memo around `kmeans_train` for the IVF coarse
+    quantizer (same contract as `_trained_pq_books`: immutable parquet
+    snapshot → identical centroids every call; the key carries every
+    trainer parameter)."""
+    from dcafs_spark.operators.similarity import kmeans_train
+
+    dim, iters = 64, 3
+    key = f"{sf_dir.rstrip('/')}|ivf{k}|{dim}|{iters}"
+    cents = _TRAINED_IVF_MEMO.get(key)
+    if cents is None:
+        cents = kmeans_train(
+            emb, k=k, dim=dim, iters=iters, id_col="vec_id", vec_col="v"
+        )
+        _TRAINED_IVF_MEMO[key] = cents
+    return cents
+
+
+def q_similarity_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with BOTH stages trained (r13 verdict ask #6 — the true
+    FAISS default): coarse quantizer from `kmeans_train` (spherical
+    Lloyd's, centroids to the driver only) and codebooks from
+    `train_pq` (m fused per-subspace Lloyd's runs), then exactly
+    `similarity_ivfpq`'s composition — narrow cell assignment against
+    literal centroids, 8-byte codes, broadcast query probe (nprobe=2),
+    relative-ADC scoring, `bounded_topk` rank.
+
+    No SQL oracle BY DESIGN (the adjudicated trained-gate pattern,
+    same as `pq_recall_trained`): trained centroids/codebooks are
+    data-dependent parallel float reductions no portable SQL replays
+    bit-for-bit. The driver records the rows-only check; the numpy
+    third oracle (tests/test_dedup_similarity.py) replays cell
+    assignment + encode + ADC + rank from the Spark-returned floats
+    exactly, and asserts trained recall@5 ≥ the fixed-codebook gate's.
+
+    Scale shape: training is bounded-driver-traffic (k×dim per
+    iteration); the query path touches codes only, like the gated
+    composition. Both trainers memoize per sf_dir."""
+    from dcafs_spark.operators.similarity import (
+        bounded_topk,
+        ivf_cells,
+        pq_adc_rel_distance,
+        pq_code,
+    )
+
+    emb = (
+        _embs(spark, sf_dir)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .transform(checkpoint)  # feeds both trainers AND the query path
+    )
+    if emb.limit(1).count() == 0:  # empty corpus → no index; typed empty
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_rel_micro long, rank int"
+        )
+    cents = list(enumerate(_trained_ivf_cents(emb, sf_dir, k=8)))
+    books = _trained_pq_books(emb, sf_dir, m=8, kk=16)
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    coded = corpus.select(
+        "vec_id",
+        F.element_at(ivf_cells(F.col("v"), cents, 1), 1).alias("cell"),
+        pq_code(F.col("v"), books, quantize_micro=True).alias("_codes"),
+    )
+    q_cells = queries.select(
+        "query_id", "qv", F.explode(ivf_cells(F.col("qv"), cents, 2)).alias("cell")
+    )
+    scored = coded.join(F.broadcast(q_cells), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(pq_adc_rel_distance(F.col("_codes"), F.col("qv"), books) * 1e6)
+        .cast("long")
+        .alias("adc_rel_micro"),
+    )
+    ranked = bounded_topk(
+        scored,
+        "query_id",
+        F.struct(F.col("adc_rel_micro").alias("_d"), F.col("vec_id").alias("_i")),
+        5,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("_e._i").alias("vec_id"),
+        F.col("_e._d").alias("adc_rel_micro"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def _sql_similarity_ivfpq() -> str:
     from dcafs_spark.operators.similarity import pq_codebooks_fixed
 
@@ -8597,6 +8692,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # numpy third oracle in tests/test_similarity.py replicates the
     # full pipeline)
     "pq_recall_trained": (q_pq_recall_trained, None),
+    # round-14 (r13 verdict ask #6): fully-trained IVF-PQ — rows-only
+    # by the same adjudicated pattern (trained centroids AND codebooks
+    # are data-dependent float reductions; numpy third oracle +
+    # recall>=fixed acceptance in tests/test_dedup_similarity.py)
+    "similarity_ivfpq_trained": (q_similarity_ivfpq_trained, None),
     # round-14 rotation leavers (each driver-green r12 AND r13; family
     # coverage documented at the in-cap marker):
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),

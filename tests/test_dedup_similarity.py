@@ -610,6 +610,128 @@ def test_ivfpq_candidates_respect_cells_and_rank_exactly(spark, sf_dir):
         assert [int(r["vec_id"]) for r in rows] == want
 
 
+def test_ivfpq_trained_numpy_oracle_and_recall(spark, sf_dir):
+    """Acceptance for the fully-trained IVF-PQ gate (r13 verdict ask
+    #6, rows-only by design): a numpy replica built from the
+    Spark-returned trained centroids/codebooks reproduces the top-5
+    sets EXACTLY (cell assignment + encode + relative ADC + rank, all
+    with ordered accumulation and half-away micro-rounding), and
+    trained recall@5 against exact-L2 ground truth is >= the
+    fixed-codebook gate's."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dcafs_spark.queries import (
+        _trained_ivf_cents,
+        _trained_pq_books,
+        q_similarity_ivfpq,
+        q_similarity_ivfpq_trained,
+    )
+    from dcafs_spark.runtime import checkpoint
+
+    out = q_similarity_ivfpq_trained(spark, sf_dir).collect()
+    emb_df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .transform(checkpoint)
+    )
+    # the memos hand back the IDENTICAL python floats the gate used
+    cents = _trained_ivf_cents(emb_df, sf_dir, k=8)
+    books = np.array(_trained_pq_books(emb_df, sf_dir, m=8, kk=16))
+    cn2 = [[sum(x * x for x in c) for c in book] for book in books.tolist()]
+    emb = {
+        int(r["vec_id"]): np.array(r["v"], dtype=np.float64)
+        for r in emb_df.collect()
+    }
+
+    def _half(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def dot_seq(v, c):
+        acc = 0.0
+        for t in range(len(c)):
+            acc = acc + v[t] * c[t]
+        return acc
+
+    def norm_seq(v):
+        acc = 0.0
+        for t in range(len(v)):
+            acc = acc + v[t] * v[t]
+        return math.sqrt(acc)
+
+    def cells(v, n):
+        q = sorted(
+            (-_half(1e6 * (dot_seq(v, cv) / (norm_seq(v) * norm_seq(cv)))), cid)
+            for cid, cv in enumerate(cents)
+        )
+        return [cid for _d, cid in q[:n]]
+
+    def code(v):
+        cs = []
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            best = None
+            for j in range(16):
+                d = cn2[s][j] - 2.0 * dot_seq(sub, books[s][j])
+                dm = _half(d * 1e6)
+                if best is None or dm < best[0]:
+                    best = (dm, j)
+            cs.append(best[1])
+        return cs
+
+    def adc_rel(qv, cs):
+        t = None
+        for s, j in enumerate(cs):
+            term = cn2[s][j] - 2.0 * dot_seq(qv[s * 8 : (s + 1) * 8], books[s][j])
+            t = term if t is None else t + term
+        return _half(t * 1e6)
+
+    corpus_ids = [vid for vid in emb if vid >= 16]
+    corpus_cell = {vid: cells(emb[vid], 1)[0] for vid in corpus_ids}
+    corpus_code = {vid: code(emb[vid]) for vid in corpus_ids}
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    assert set(by_q) == set(range(8, 16))
+
+    def exact_top5(qid):
+        d = sorted(
+            (float(np.dot(emb[qid] - emb[vid], emb[qid] - emb[vid])), vid)
+            for vid in corpus_ids
+        )
+        return {vid for _d, vid in d[:5]}
+
+    hits_trained = 0
+    for qid, rows in by_q.items():
+        probed = set(cells(emb[qid], 2))
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert corpus_cell[int(r["vec_id"])] in probed
+        cands = sorted(
+            (adc_rel(emb[qid], corpus_code[vid]), vid)
+            for vid, c in corpus_cell.items()
+            if c in probed
+        )
+        want = [vid for _d, vid in cands[:5]]
+        assert [int(r["vec_id"]) for r in rows] == want  # exact replica
+        hits_trained += len({int(r["vec_id"]) for r in rows} & exact_top5(qid))
+
+    fixed_rows = q_similarity_ivfpq(spark, sf_dir).collect()
+    by_q_fixed: dict = {}
+    for r in fixed_rows:
+        by_q_fixed.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    hits_fixed = sum(
+        len(vids & exact_top5(qid)) for qid, vids in by_q_fixed.items()
+    )
+    assert hits_trained >= hits_fixed, (hits_trained, hits_fixed)
+
+
 class TestPqEncodeArrow:
     """r13 verdict ask #3: the Arrow/numpy ingest-side PQ encode must
     be byte-identical to the Catalyst expression path."""

@@ -8156,6 +8156,45 @@ def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_profile(docs, "url", "doc_id")
 
 
+def _psl_rules_129() -> list[str]:
+    """A PSL-shaped 129-rule list for the broadcast-path gate: the 5
+    sample suffixes, ONE private-domain-style rule that actually
+    rewrites fixture hosts (`brand7.net` — the PSL's private section
+    is full of exactly this shape, e.g. `*.github.io`-class entries),
+    and 123 synthetic never-matching rules (most PSL rules never match
+    a given corpus — the realistic case the join must stay cheap for).
+    129 > PSL_BROADCAST_THRESHOLD, so mode='auto' takes the broadcast
+    path."""
+    from dcafs_spark.operators.urls import PUBLIC_SUFFIXES_SAMPLE
+
+    return (
+        list(PUBLIC_SUFFIXES_SAMPLE)
+        + ["brand7.net"]
+        + [f"co{i}.zt{i % 8}" for i in range(96)]
+        + [f"ztld{i}" for i in range(27)]
+    )
+
+
+def q_domain_profile_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`domain_profile` through the PSL-scale BROADCAST path (r14:
+    the driver-gated proof of `with_registered_domain(mode=
+    'broadcast')` — the pytest identity test pins case≡broadcast, this
+    gate pins the broadcast path against DuckDB directly). 129 rules →
+    auto picks broadcast; the `brand7.net` rule actually rewrites the
+    brand7 hosts (its subdomains become distinct registered domains),
+    so a join bug cannot hide behind no-op rules. Plan shape: three
+    broadcast hash probes per row (one per label count present), no
+    corpus shuffle before the profile's own 16-byte-key groupBy."""
+    from dcafs_spark.operators.urls import domain_profile
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_domains_spark().alias("url")
+    )
+    return domain_profile(
+        docs, "url", "doc_id", suffixes=_psl_rules_129(), psl_mode="auto"
+    )
+
+
 _SQL_SYNTH_URL_DOMAINS = """
 'https://'
 || (CASE doc_id % 7 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'blog.'
@@ -8223,6 +8262,20 @@ SELECT domain,
        round(1.0 - count(DISTINCT canon_url) / count(*), 6) AS dup_share
 FROM reg GROUP BY domain
 """
+
+
+# the PSL-broadcast gate's oracle: the SAME profile SQL with the one
+# host-rewriting rule (brand7.net) probed at 2-label priority — the
+# 123 never-matching synthetic rules are no-ops in the expected output
+# by construction, which is exactly what the gate must prove the
+# broadcast join makes true
+_SQL_DOMAIN_PROFILE_PSL = _SQL_DOMAIN_PROFILE.replace(
+    "CASE WHEN regexp_extract(domain, '([^.]+[.]co[.]uk)$', 1) <> ''",
+    "CASE WHEN regexp_extract(domain, '([^.]+[.]brand7[.]net)$', 1) <> ''\n"
+    "                THEN regexp_extract(domain, '([^.]+[.]brand7[.]net)$', 1)\n"
+    "              WHEN regexp_extract(domain, '([^.]+[.]co[.]uk)$', 1) <> ''",
+)
+assert "brand7" in _SQL_DOMAIN_PROFILE_PSL  # the replace anchored
 
 
 def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8682,7 +8735,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "crawl_curation": (q_crawl_curation, _SQL_CRAWL_CURATION),
     "similarity_ivfpq": (q_similarity_ivfpq, _sql_similarity_ivfpq()),
     "corpus_curation": (q_corpus_curation, _sql_corpus_curation()),
-    "sliding_window": (q_sliding_window, SQL_SLIDING),
+    # r14 new query, in-cap per the standing rule: the PSL broadcast
+    # path itself under the driver's hash gate (129 rules → auto
+    # broadcast; sliding_window leaves — multiply passed, windows
+    # family stays via grouping_sets_revenue + tumbling/session
+    # replicas)
+    "domain_profile_psl": (q_domain_profile_psl, _SQL_DOMAIN_PROFILE_PSL),
     "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS),
     "hourly_lag_corr": (q_hourly_lag_corr, SQL_HOURLY_LAG_CORR),
     # ---- past the driver's 50-entry cap: in-cap-covered variants ----
@@ -8697,6 +8755,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # are data-dependent float reductions; numpy third oracle +
     # recall>=fixed acceptance in tests/test_dedup_similarity.py)
     "similarity_ivfpq_trained": (q_similarity_ivfpq_trained, None),
+    "sliding_window": (q_sliding_window, SQL_SLIDING),
     # round-14 rotation leavers (each driver-green r12 AND r13; family
     # coverage documented at the in-cap marker):
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),

@@ -1006,15 +1006,6 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention as `encoding_qc`'s gate (every 7th doc a U+FFFD, every
     11th a C0 byte) keeps the first stage live on the clean-ASCII
     fixture corpus."""
-    from dcafs_spark.operators.dedup import paragraph_chunks
-    from dcafs_spark.operators.similarity import bounded_topk
-    from dcafs_spark.operators.textan import (
-        encoding_qc,
-        linear_quality_score,
-        term_blocklist_stats,
-    )
-    from dcafs_spark.operators.urls import registered_domain, url_parts
-
     d = F.col("doc_id")
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -1025,6 +1016,21 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 11 == 0, F.lit(" x\x01")).otherwise(F.lit("")),
         ).alias("text"),
     )
+    return _corpus_curation_frame(docs)
+
+
+def _corpus_curation_frame(docs: DataFrame) -> DataFrame:
+    """The C4 chain over a (doc_id, url, text) frame — shared by the
+    gate above and scripts/round14_curation_probe.py's SCALE rungs."""
+    from dcafs_spark.operators.dedup import paragraph_chunks
+    from dcafs_spark.operators.similarity import bounded_topk
+    from dcafs_spark.operators.textan import (
+        encoding_qc,
+        linear_quality_score,
+        term_blocklist_stats,
+    )
+    from dcafs_spark.operators.urls import registered_domain, url_parts
+
     staged = encoding_qc(docs, min_ascii_ratio=0.995, passthrough=True)
     staged = staged.withColumnRenamed("kept", "enc_kept").drop(
         "n_replacement", "n_control", "ascii_ratio"

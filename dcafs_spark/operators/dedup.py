@@ -1132,6 +1132,123 @@ def paragraph_dedup_stats(
     )
 
 
+def substring_windows(text: Column, window_words: int) -> Column:
+    """Sliding `window_words`-word window hashes of the normalized
+    document, as an array of structs (pos: 1-based start index,
+    whash: 60-bit md5-prefix long — the `paragraph_chunks` hash
+    convention, so cross-engine replicas share identity exactly).
+
+    THE single definition of what a duplicated-substring window is:
+    `dup_span_stats` builds on it, and any future streaming
+    tier must too. Pure Catalyst transform — no explode here, callers
+    choose row shape. Documents shorter than the window emit an empty
+    array (guarded: `sequence(1, k)` with k <= 0 would count DOWN)."""
+    w = F.split(normalize_text(text), " ")
+    k = F.size(w) - F.lit(window_words) + F.lit(1)
+
+    def mk(i):
+        joined = F.array_join(F.slice(w, i, window_words), " ")
+        return F.struct(
+            i.cast("int").alias("pos"),
+            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10)
+            .cast("long")
+            .alias("whash"),
+        )
+
+    return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), mk)).otherwise(
+        F.array().cast("array<struct<pos:int,whash:bigint>>")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 50,
+) -> DataFrame:
+    """Exact duplicated-substring detection — the ExactSubstr dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", §4.1: any substring of >= 50 tokens that repeats
+    anywhere in the corpus is a duplicate) re-expressed for Spark:
+    instead of the paper's monolithic suffix array (which needs the
+    whole corpus addressable from one machine), every document emits
+    its sliding `window_words`-word window hashes; a window hash
+    occurring more than once corpus-wide (any document, including
+    repeats within the SAME document) marks a duplicated substring,
+    and per document the overlapping/adjacent duplicated windows
+    coalesce into maximal spans — windows at positions p < q belong to
+    one span iff q - p <= window_words (their token intervals touch).
+
+    A substring of L >= window_words duplicated tokens yields exactly
+    L - window_words + 1 duplicated windows coalescing back into one
+    span of L covered tokens, so span count and covered-token count
+    match the suffix-array answer for duplicates at or above the
+    threshold; shorter repeats are invisible (by design — that IS the
+    threshold semantics).
+
+    Returns one row per document that contains at least one duplicated
+    window: (id_col, n_words, dup_windows, dup_spans, dup_tokens,
+    dup_frac) where dup_tokens is the union length of the covered
+    token intervals and dup_frac = dup_tokens / n_words (6 dp).
+
+    Scale shape: windows hash to 60-bit longs in the scan projection —
+    document BODIES never shuffle; the exploded frame carries
+    (id, n_words, pos, whash) only. The corpus-frequency pass is a
+    map-side-combinable count on the 8-byte whash; the join back keys
+    on whash (AQE broadcasts the >1-occurrence frequency table when it
+    is small — boilerplate vocabularies usually are); span coalescing
+    is a lead/lag window partitioned BY DOCUMENT (no global sort), and
+    the final rollup reuses that doc partitioning. One checkpointed
+    explode feeds both sides, so tokenization runs once. O(corpus
+    tokens) rows end to end — the suffix array's O(corpus) memory on
+    one node is what this shape removes at 100 TB."""
+    from pyspark.sql import Window
+
+    wins = substring_windows(F.col(text_col), window_words)
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(w).alias("n_words"),
+            F.explode(wins).alias("s"),
+        )
+        .select("id", "n_words", F.col("s.pos").alias("pos"), F.col("s.whash").alias("whash"))
+        .transform(checkpoint)
+    )
+    freq = (
+        occ.groupBy("whash")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    dup = occ.join(freq, "whash")
+    byp = Window.partitionBy("id").orderBy("pos")
+    nxt = F.lead("pos").over(byp)
+    prv = F.lag("pos").over(byp)
+    covered = F.when(nxt.isNull(), F.lit(window_words)).otherwise(
+        F.least(F.lit(window_words), nxt - F.col("pos"))
+    )
+    new_span = F.when(
+        prv.isNull() | (F.col("pos") - prv > window_words), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        dup.select("id", "n_words", covered.alias("covered"), new_span.alias("new_span"))
+        .groupBy("id", "n_words")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_windows"),
+            F.sum("new_span").cast("long").alias("dup_spans"),
+            F.sum("covered").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            "dup_windows",
+            "dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_words"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def boilerplate_occurrences(
     df: DataFrame,
     text_col: str = "text",

@@ -8658,6 +8658,168 @@ GROUP BY per.doc_id
 """
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-SPAN stats (Lee et al. 2021) — the third
+    leg of the substring-dedup family: `substring_dedup` reports the
+    per-window-hash cross-doc census, `dup_span_fraction` the per-doc
+    duplicated-window fraction; this gate COALESCES overlapping
+    duplicated windows into maximal spans per document (span count +
+    union token coverage — what the trim/cut stage actually consumes)
+    and counts intra-document repeats too, per the paper's "any repeat
+    anywhere" rule (`operators/dedup.py:dup_span_stats`; production
+    threshold is ~50 tokens — 8 keeps the fixture's 10-99-word docs
+    live)."""
+    from dcafs_spark.operators.dedup import dup_span_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return dup_span_stats(docs, window_words=8)
+
+
+_SQL_DUP_SPAN_STATS = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), win AS (
+  SELECT doc_id, len(ws) AS n_words, i,
+         ('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')), 1, 15))::BIGINT AS whash
+  FROM w, unnest(range(1, greatest(len(ws) - 8 + 2, 1))) AS u(i)
+), freq AS (
+  SELECT whash FROM win GROUP BY whash HAVING count(*) > 1
+), sp AS (
+  SELECT doc_id, n_words, i,
+         CASE WHEN lead(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL THEN 8
+              ELSE least(8, lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i) END AS covered,
+         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8 THEN 1
+              ELSE 0 END AS new_span
+  FROM win JOIN freq USING (whash)
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS dup_windows,
+       CAST(sum(new_span) AS BIGINT) AS dup_spans,
+       CAST(sum(covered) AS BIGINT) AS dup_tokens,
+       round(sum(covered) / CAST(n_words AS DOUBLE), 6) AS dup_frac
+FROM sp GROUP BY doc_id, n_words
+"""
+
+
+def q_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020, §3.3):
+    train an additively-smoothed bigram LM on a held-out REFERENCE
+    slice (doc_id % 10 == 0 — the in-sandbox stand-in for CCNet's
+    Wikipedia KenLM), score EVERY document under it, and bucket the
+    corpus into head/middle/tail perplexity tertiles (CCNet keeps
+    head+middle, drops tail). Differs from `bigram_surprisal` exactly
+    where CCNet differs from a self-entropy score: held-out training
+    (a doc is never scored by its own statistics), additive smoothing
+    so unseen bigrams degrade to the 1/V floor instead of blowing up,
+    and the tertile bucketing that IS the filter verdict.
+
+    p(y|x) = (c_xy + 0.1) / (c_x + 0.1·V); c from reference pairs, V =
+    distinct tokens across reference pair slots. Determinism: −ln p
+    quantized to int64 micro-nats per pair BEFORE the per-doc sum (the
+    `bigram_surprisal` convention); tertiles are rank-based ntile over
+    (lm_xent, doc_id) — a total order on already-rounded values, no
+    float interpolation (the oracle casts its 0.1 literals to DOUBLE
+    so neither engine does decimal arithmetic).
+
+    Scale shape: reference counts are map-side-combinable groupBys
+    over the small reference slice; scoring joins are token-key
+    equi-joins (serving vocabularies too big to broadcast — in
+    production the trained LM usually broadcasts instead); V rides in
+    as a broadcast 1-row cross join. The ntile runs on the DOC-STATS
+    frame (one row per document, orders of magnitude smaller than the
+    corpus); at 100 TB bucket against percentile_approx thresholds
+    instead of a single-partition sort."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _toks_expr().alias("w"))
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                    " (t, i) -> struct(t AS x, w[i + 1] AS y))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.x", "p.y")
+        .transform(checkpoint)
+    )
+    train = pairs.filter(F.col("doc_id") % 10 == 0).transform(checkpoint)
+    cx = train.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c_x"))
+    cxy = train.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    voc = (
+        train.select(F.col("x").alias("t"))
+        .unionAll(train.select(F.col("y").alias("t")))
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    p = (F.coalesce(F.col("c_xy"), F.lit(0)).cast("double") + F.lit(0.1)) / (
+        F.coalesce(F.col("c_x"), F.lit(0)).cast("double")
+        + F.lit(0.1) * F.col("v").cast("double")
+    )
+    per = (
+        pairs.join(cxy, ["x", "y"], "left")
+        .join(cx, "x", "left")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", F.round(-F.log(p) * 1e6).cast("long").alias("q_nats"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum("q_nats") / (F.count(F.lit(1)) * 1e6), 6).alias("lm_xent"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tert = F.ntile(3).over(Window.orderBy("lm_xent", "doc_id"))
+    return per.select(
+        "doc_id",
+        "n_pairs",
+        "lm_xent",
+        F.when(tert == 1, F.lit("head"))
+        .when(tert == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+_SQL_LM_PPL_FILTER = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS x, w[i + 1] AS y
+  FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+train AS (SELECT * FROM pairs WHERE doc_id % 10 = 0),
+cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c_x FROM train GROUP BY x),
+cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM train GROUP BY x, y),
+voc AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+  FROM (SELECT x AS t FROM train UNION ALL SELECT y AS t FROM train)
+),
+sc AS (
+  SELECT pairs.doc_id,
+         CAST(round(-ln((CAST(coalesce(c_xy, 0) AS DOUBLE) + CAST(0.1 AS DOUBLE))
+                        / (CAST(coalesce(c_x, 0) AS DOUBLE)
+                           + CAST(0.1 AS DOUBLE) * CAST(v AS DOUBLE))) * 1000000) AS BIGINT) AS q_nats
+  FROM pairs
+  LEFT JOIN cxy ON cxy.x = pairs.x AND cxy.y = pairs.y
+  LEFT JOIN cx ON cx.x = pairs.x
+  CROSS JOIN voc
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(sum(q_nats) / (count(*) * 1000000.0), 6) AS lm_xent
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_pairs, lm_xent,
+       CASE ntile(3) OVER (ORDER BY lm_xent, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM per
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # The first three slots are also bench.py's untimed full-SF warmup
     # targets and part of the frozen drift control — keep them first.
@@ -8711,8 +8873,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "threshold_crossings": (q_threshold_crossings, SQL_CROSSINGS),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "sequence_packing": (q_sequence_packing, SQL_SEQ_PACKING),
-    "pq_recall": (q_pq_recall, _sql_pq_recall()),
-    "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),
+    # r14 new queries, in-cap per the standing rule: ExactSubstr SPAN
+    # coalescing (Lee et al. 2021 — completes the substring family's
+    # window-census + window-fraction gates) and the CCNet
+    # LM-perplexity filter.
+    # pq_recall and url_dedup leave (each driver-green r12 AND r13;
+    # ANN family stays in-cap via similarity_ivfpq, URL-canonical
+    # family via crawl_curation + url_filter + domain_profile).
+    "dup_span_stats": (q_dup_span_stats, _SQL_DUP_SPAN_STATS),
+    "lm_ppl_filter": (q_lm_ppl_filter, _SQL_LM_PPL_FILTER),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
@@ -8762,6 +8931,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # recall>=fixed acceptance in tests/test_dedup_similarity.py)
     "similarity_ivfpq_trained": (q_similarity_ivfpq_trained, None),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
+    "pq_recall": (q_pq_recall, _sql_pq_recall()),
+    "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),
     # round-14 rotation leavers (each driver-green r12 AND r13; family
     # coverage documented at the in-cap marker):
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),

@@ -89,6 +89,8 @@ HEADLINE = [
     ("mixture_sample", "mix weights broadcast back; keep decision stays scan-side"),
     ("substring_dedup", "window hashes move once: h-repartition feeds both rollups"),
     ("dup_span_fraction", "dup-set LeftSemi on h; per-doc rollup shuffles ids once"),
+    ("dup_span_stats", "span coalescing: whash count join + per-DOC lead/lag window, no global sort"),
+    ("lm_ppl_filter", "held-out LM counts via token equi-joins; ntile on the doc-stats frame only"),
     ("bigram_surprisal", "pair/vocab equi-joins (never broadcast); int micro-nat rollup"),
     ("embedding_outliers", "64-row stats broadcast onto the component stream"),
     ("lang_confusion", "share window over the bounded lang×pred rollup only"),

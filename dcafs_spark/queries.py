@@ -8733,7 +8733,13 @@ def q_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (one row per document, orders of magnitude smaller than the
     corpus); at 100 TB bucket against percentile_approx thresholds
     instead of a single-partition sort."""
-    docs = _docs(spark, sf_dir)
+    return _lm_ppl_frame(_docs(spark, sf_dir))
+
+
+def _lm_ppl_frame(docs: DataFrame) -> DataFrame:
+    """The held-out bigram-LM pipeline over a (doc_id, text) frame —
+    shared by the gate above and scripts/round14_spans_ppl_probe.py's
+    SCALE rungs."""
     toks = docs.select("doc_id", _toks_expr().alias("w"))
     pairs = (
         toks.select(

@@ -878,6 +878,34 @@ def ivf_cells(
     return F.slice(F.array_sort(F.array(*cands)), 1, nprobe)["cid"]
 
 
+def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-cell assignment WITH the winning similarity: a
+    struct(cell: long, cq_micro: long) per vector — `ivf_cells`'
+    narrow-map shape (centroid matrix as plan literals, no crossJoin,
+    no shuffle) for callers that also need the centrality score
+    (cluster-balanced sampling ranks members by it). Same
+    determinism contract: cosine micro-quantized before the argmax,
+    ties to the lower cell id, non-finite centroids rejected."""
+    import math
+
+    for cid, cv in centroids:
+        if not all(math.isfinite(float(x)) for x in cv):
+            raise ValueError(
+                f"ivf_assign: centroid {cid} has a non-finite component "
+                "(NaN/Inf cannot ride the plan as a literal and would "
+                "poison cell assignment)"
+            )
+    cands = []
+    for cid, cv in centroids:
+        cvlit = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")")
+        nd = -F.round(cosine(vec, cvlit) * 1e6).cast("long")
+        cands.append(
+            F.struct(nd.alias("nd"), F.lit(int(cid)).cast("long").alias("cid"))
+        )
+    best = F.array_sort(F.array(*cands))[0]
+    return F.struct(best["cid"].alias("cell"), (-best["nd"]).alias("cq_micro"))
+
+
 def pq_adc_rel_distance(
     codes: Column, qvec: Column, codebooks: list[list[list[float]]]
 ) -> Column:

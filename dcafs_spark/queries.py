@@ -2105,6 +2105,93 @@ WHERE rn <= 5
 """
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection — the SemDeDup/topic-balance
+    stage (Abbas et al. 2023; also the "cluster then cap" move in
+    DoReMi-style mixture work): partition the corpus into semantic
+    cells against a small centroid set, then keep an EQUAL quota of
+    the k most central members per cell, so over-represented topics
+    are capped and the long tail survives. Emits (cell, vec_id, rank,
+    cq, cell_size) for the 8×k keepers — bounded output regardless of
+    corpus size, exactly what a 100 TB selection stage must hand the
+    sink.
+
+    Scale shape: cell assignment + centrality come from ONE narrow
+    map against literal centroids (`ivf_assign` — no crossJoin, no
+    corpus shuffle; the 8-row centroid collect is the bounded
+    index-build class); the per-cell quota is `bounded_topk` (no
+    Window, no global sort) over 16-byte (cell, score) rows; cell
+    sizes are a map-side-combinable count whose 8-row result
+    broadcasts back onto the keepers. One embeddings scan
+    (checkpointed fan-out to quota + sizes). Determinism: centroid
+    cosine micro-quantizes before argmax and rank (ties: lower cell,
+    then lower vec_id)."""
+    from dcafs_spark.operators.similarity import bounded_topk, ivf_assign
+
+    emb = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # index build: 8 centroid rows collected driver-side (bounded, the
+    # kmeans_train/ivfpq class) so assignment is a pure narrow map
+    cents = sorted(
+        ((r["vec_id"], list(r["v"])) for r in emb.filter(F.col("vec_id") < 8).collect()),
+        key=lambda t: t[0],
+    )
+    assigned = (
+        emb.filter(F.col("vec_id") >= 8)
+        .select("vec_id", ivf_assign(F.col("v"), cents).alias("a"))
+        .select("vec_id", F.col("a.cell").alias("cell"), F.col("a.cq_micro").alias("cq_micro"))
+        .transform(checkpoint)
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("cell_size"))
+    sort_struct = F.struct(
+        (-F.col("cq_micro")).alias("_o"),
+        F.col("vec_id").alias("_i"),
+        F.col("cq_micro").alias("_s"),
+    )
+    kept = bounded_topk(assigned, "cell", sort_struct, 10)
+    return (
+        kept.select(
+            "cell",
+            F.col("_e._i").alias("vec_id"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+            F.round(F.col("_e._s") / 1e6, 6).alias("cq"),
+        )
+        .join(F.broadcast(sizes), "cell")
+        .select("cell", "vec_id", "rank", "cq", "cell_size")
+    )
+
+
+def _sql_cluster_balanced() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 8),
+cc AS (
+  SELECT c.vec_id, t.cid,
+         CAST(round(({cos.format(a="c.v", b="t.cv")}) * 1000000.0) AS BIGINT) AS cq
+  FROM corpus c CROSS JOIN cents t),
+assigned AS (
+  SELECT vec_id, cid AS cell, cq AS cq_micro FROM (
+    SELECT vec_id, cid, cq, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
+    FROM cc) WHERE rn = 1),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_size FROM assigned GROUP BY cell),
+ranked AS (
+  SELECT vec_id, cell, cq_micro,
+         row_number() OVER (PARTITION BY cell ORDER BY cq_micro DESC, vec_id ASC) AS rn
+  FROM assigned)
+SELECT r.cell, r.vec_id, CAST(r.rn AS INTEGER) AS rank,
+       round(r.cq_micro / 1000000.0, 6) AS cq, s.cell_size
+FROM ranked r JOIN sizes s USING (cell)
+WHERE r.rn <= 10
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling of the corpus (portable
     md5 bucketing — reproducible across engines and repartitions; a
@@ -8888,12 +8975,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # family via crawl_curation + url_filter + domain_profile).
     "dup_span_stats": (q_dup_span_stats, _SQL_DUP_SPAN_STATS),
     "lm_ppl_filter": (q_lm_ppl_filter, _SQL_LM_PPL_FILTER),
+    # r14: SemDeDup-style cluster-balanced selection (asof_tolerance
+    # leaves — driver-green r12 AND r13; as-of family stays in-cap via
+    # range_join, plus the asof_join replica)
+    "cluster_balanced_sample": (q_cluster_balanced_sample, _sql_cluster_balanced()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "chunk_dedup_apply": (q_chunk_dedup_apply, SQL_CHUNK_APPLY),
-    "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     # ---- round-14 rotation (r13 verdict ask #1): the six round-13
     # queries that registered past-cap enter the driver gate, plus the
@@ -8939,6 +9029,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),
+    "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     # round-14 rotation leavers (each driver-green r12 AND r13; family
     # coverage documented at the in-cap marker):
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),

@@ -44,6 +44,8 @@ ALLOWED = {
     # IVF-PQ index build: 8 centroid rows — driver-side index state,
     # same bounded class as kmeans_train/train_pq
     ("queries.py", "q_similarity_ivfpq"),
+    # same bounded 8-row centroid index build (cluster-balanced quota)
+    ("queries.py", "q_cluster_balanced_sample"),
     # admin:gc — Python's gc.collect(), not a DataFrame materialization
     ("engine.py", "_admin_command"),
     # pf:debug — runs ONE literal sample line through a sub-path and

@@ -227,3 +227,63 @@ class TestLmPplFilter:
         # so the comparison is non-strict)
         assert max(by_bucket["head"]) <= min(by_bucket["middle"])
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def _mk_emb_sf(tmp_path, vecs):
+    out = tmp_path / "sfe"
+    out.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def _cluster_fixture():
+    """8 one-hot centroids (ids 0-7); cluster 0 oversized (15 members,
+    quota 10), cluster 1 small (3), cluster 2 singleton; members get a
+    growing off-axis perturbation so centrality order is known."""
+    vecs = []
+    for i in range(8):
+        vecs.append((i, [1.0 if d == i else 0.0 for d in range(8)]))
+    sizes = {0: 15, 1: 3, 2: 1}
+    vid = 100
+    expect = {}
+    for c, n in sizes.items():
+        expect[c] = []
+        for j in range(n):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[(c + 1) % 8] = 0.02 * (j + 1)  # larger j → less central
+            vecs.append((vid, v))
+            expect[c].append(vid)
+            vid += 1
+    return vecs, sizes, expect
+
+
+class TestClusterBalancedSample:
+    def test_quota_centrality_and_sizes(self, spark, tmp_path):
+        vecs, sizes, expect = _cluster_fixture()
+        sf = _mk_emb_sf(tmp_path, vecs)
+        rows = QUERIES["cluster_balanced_sample"][0](spark, sf).collect()
+        by_cell: dict[int, list] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], []).append(r)
+        assert set(by_cell) == set(sizes)
+        for c, members in by_cell.items():
+            members.sort(key=lambda r: r["rank"])
+            assert len(members) == min(sizes[c], 10)  # quota cap
+            assert all(r["cell_size"] == sizes[c] for r in members)
+            # ranks are 1..k and centrality (cq) is non-increasing;
+            # lower perturbation index (earlier vec_id) ranks first
+            assert [r["rank"] for r in members] == list(
+                range(1, len(members) + 1)
+            )
+            assert all(
+                members[i]["cq"] >= members[i + 1]["cq"]
+                for i in range(len(members) - 1)
+            )
+            assert [r["vec_id"] for r in members] == expect[c][: len(members)]

@@ -2192,6 +2192,50 @@ WHERE r.rn <= 10
 """
 
 
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with the model actually TRAINED —
+    the GPT-3/LLaMA curation stage end to end (Brown et al. 2020
+    appendix A): logistic regression on 16 hashed token-frequency
+    features, positives = the doc_id%10==0 reference slice (the same
+    held-out convention as `lm_ppl_filter`), negatives = the rest,
+    trained by `train_quality_lr` (one map-side-combinable aggregation
+    per GD iteration, n_buckets+2 doubles of driver traffic each) and
+    scored with the weights riding the plan as literals — no join, no
+    UDF at inference, exactly `linear_quality_score`'s shape.
+
+    No SQL oracle BY DESIGN (the adjudicated trained-gate pattern):
+    trained weights are data-dependent float reductions. The driver
+    records the rows-only check; the numpy third oracle in
+    tests/test_round14_ops.py replays the full GD from the parquet and
+    the acceptance test asserts the trained model separates the
+    classes where the fixed-weight scorer cannot."""
+    from dcafs_spark.operators.textan import (
+        hashed_token_bids,
+        hashed_token_features,
+        train_quality_lr,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).cast("int").alias("y")
+    )
+    w, b = train_quality_lr(
+        docs, "y", memo_key=f"lr:{sf_dir}", iters=30, lr=0.5, l2=1e-3
+    )
+    bid_col = "__qct_bids"
+    staged = docs.withColumn(bid_col, hashed_token_bids(F.col("text"), len(w)))
+    feats = hashed_token_features(F.col(bid_col), len(w))
+    z = F.lit(float(b))
+    for wi, f in zip(w, feats):
+        z = z + F.lit(float(wi)) * f
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return staged.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        score.alias("score"),
+        (score >= 0.5).alias("kept"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling of the corpus (portable
     md5 bucketing — reproducible across engines and repartitions; a
@@ -9026,6 +9070,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # are data-dependent float reductions; numpy third oracle +
     # recall>=fixed acceptance in tests/test_dedup_similarity.py)
     "similarity_ivfpq_trained": (q_similarity_ivfpq_trained, None),
+    # round-14: trained LR quality filter — rows-only by the same
+    # adjudicated pattern (GD weights are data-dependent float
+    # reductions; numpy third oracle + class-separation acceptance in
+    # tests/test_round14_ops.py)
+    "quality_classifier_trained": (q_quality_classifier_trained, None),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),

@@ -46,6 +46,9 @@ ALLOWED = {
     ("queries.py", "q_similarity_ivfpq"),
     # same bounded 8-row centroid index build (cluster-balanced quota)
     ("queries.py", "q_cluster_balanced_sample"),
+    # LR trainer: one (n_buckets+2)-double gradient row per GD
+    # iteration + a 2-value class-count row — the treeAggregate class
+    ("operators/textan.py", "train_quality_lr"),
     # admin:gc — Python's gc.collect(), not a DataFrame materialization
     ("engine.py", "_admin_command"),
     # pf:debug — runs ONE literal sample line through a sub-path and

@@ -11,6 +11,7 @@ import math
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from dcafs_spark.queries import QUERIES
 
@@ -287,3 +288,84 @@ class TestClusterBalancedSample:
                 for i in range(len(members) - 1)
             )
             assert [r["vec_id"] for r in members] == expect[c][: len(members)]
+
+
+def _np_lr_replica(docs, n_buckets=16, iters=30, lr=0.5, l2=1e-3):
+    """Numpy replay of train_quality_lr from raw (doc_id, text) rows:
+    same md5 bucket hashing, same balanced-weight batch GD."""
+    import numpy as np
+
+    feats, ys = [], []
+    for doc_id, text in docs:
+        toks = _toks(text)
+        bids = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+            for t in toks
+        ]
+        nt = max(len(bids), 1)
+        feats.append([bids.count(i) / nt for i in range(n_buckets)])
+        ys.append(1.0 if doc_id % 10 == 0 else 0.0)
+    X = np.array(feats)
+    y = np.array(ys)
+    n, n_pos = len(y), y.sum()
+    pos_w = (n - n_pos) / n_pos
+    sw = np.where(y > 0, pos_w, 1.0)
+    w = np.zeros(n_buckets)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r = sw * (p - y)
+        denom = sw.sum()
+        b -= lr * r.sum() / denom
+        w = w - lr * ((X.T @ r) / denom + l2 * w)
+    return w, b
+
+
+class TestQualityClassifierTrained:
+    def test_numpy_third_oracle(self, spark, sf_dir):
+        import numpy as np
+
+        from dcafs_spark.operators.textan import train_quality_lr
+        from dcafs_spark.queries import _docs
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text", (F.col("doc_id") % 10 == 0).cast("int").alias("y")
+        )
+        w, b = train_quality_lr(docs, "y", memo_key=None)
+        raw = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+        wn, bn = _np_lr_replica(raw)
+        assert np.allclose(w, wn, rtol=1e-8, atol=1e-10)
+        assert math.isclose(b, bn, rel_tol=1e-8, abs_tol=1e-10)
+
+    def test_trained_separates_better_than_fixed(self, spark, sf_dir):
+        from dcafs_spark.queries import QUERIES, _quality_weights
+
+        rows = QUERIES["quality_classifier_trained"][0](spark, sf_dir).collect()
+        assert len(rows) == 500
+        pos = [r["score"] for r in rows if r["label"] == 1]
+        neg = [r["score"] for r in rows if r["label"] == 0]
+        assert pos and neg
+
+        def auc(p, n):
+            wins = sum(
+                (1.0 if a > b else 0.5 if a == b else 0.0) for a in p for b in n
+            )
+            return wins / (len(p) * len(n))
+
+        trained_auc = auc(pos, neg)
+        # fixed-weight scorer on the same docs/labels as the control
+        from dcafs_spark.operators.textan import linear_quality_score
+        from dcafs_spark.queries import _docs
+
+        fixed = linear_quality_score(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            _quality_weights(),
+            bias=0.25,
+        ).select("doc_id", "score").collect()
+        fs = {r["doc_id"]: r["score"] for r in fixed}
+        fpos = [fs[r["doc_id"]] for r in rows if r["label"] == 1]
+        fneg = [fs[r["doc_id"]] for r in rows if r["label"] == 0]
+        assert trained_auc >= auc(fpos, fneg)
+        # and the trained model genuinely ranks positives higher than
+        # chance on its training distribution
+        assert trained_auc > 0.5

@@ -1142,18 +1142,42 @@ def substring_windows(text: Column, window_words: int) -> Column:
     `dup_span_stats` builds on it, and any future streaming
     tier must too. Pure Catalyst transform — no explode here, callers
     choose row shape. Documents shorter than the window emit an empty
-    array (guarded: `sequence(1, k)` with k <= 0 would count DOWN)."""
-    w = F.split(normalize_text(text), " ")
-    k = F.size(w) - F.lit(window_words) + F.lit(1)
+    array (guarded: `sequence(1, k)` with k <= 0 would count DOWN).
+
+    Perf shape (r14): each TOKEN is md5-hashed exactly once to a
+    60-bit long (`token_hashes` — callers MUST materialize that array
+    in its own projection, the `hashed_token_bids` hazard: HOFs are
+    CodegenFallback with no cross-expression sharing, so referencing
+    the transform from every window would re-hash the document once
+    per window); a window's key is then xxhash64 over the sliced
+    hash array — one JVM-native hash of 8 longs per window, vs the
+    naive md5-per-window (array_join + 8× the hash bytes; a 31-radix
+    polynomial fold was rejected: it overflows int64 under ANSI
+    arithmetic). The window
+    key is INTERNAL (equality-only, never output), so the oracle's
+    md5-string grouping partitions windows identically — both keys
+    are injective on window text up to negligible collision odds."""
+    return substring_windows_from_hashes(token_hashes(text), window_words)
+
+
+def token_hashes(text: Column) -> Column:
+    """60-bit md5-prefix long per normalized token — the shared basis
+    for xxhash64 window keys. Materialize in its own projection."""
+    return F.transform(
+        F.split(normalize_text(text), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def substring_windows_from_hashes(toks: Column, window_words: int) -> Column:
+    """Window structs (pos, whash) from a MATERIALIZED token-hash
+    array (see `substring_windows` — the staged form callers use when
+    they also need the token count from the same projection)."""
+    k = F.size(toks) - F.lit(window_words) + F.lit(1)
 
     def mk(i):
-        joined = F.array_join(F.slice(w, i, window_words), " ")
-        return F.struct(
-            i.cast("int").alias("pos"),
-            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10)
-            .cast("long")
-            .alias("whash"),
-        )
+        whash = F.xxhash64(F.slice(toks, i, window_words))
+        return F.struct(i.cast("int").alias("pos"), whash.alias("whash"))
 
     return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), mk)).otherwise(
         F.array().cast("array<struct<pos:int,whash:bigint>>")
@@ -1204,13 +1228,19 @@ def dup_span_stats(
     one node is what this shape removes at 100 TB."""
     from pyspark.sql import Window
 
-    wins = substring_windows(F.col(text_col), window_words)
-    w = F.split(normalize_text(F.col(text_col)), " ")
+    # token-hash array in its OWN projection (hashed_token_bids
+    # hazard), then windows as integer folds over it
     occ = (
         df.select(
             F.col(id_col).alias("id"),
-            F.size(w).alias("n_words"),
-            F.explode(wins).alias("s"),
+            token_hashes(F.col(text_col)).alias("__th"),
+        )
+        .select(
+            "id",
+            F.size("__th").alias("n_words"),
+            F.explode(
+                substring_windows_from_hashes(F.col("__th"), window_words)
+            ).alias("s"),
         )
         .select("id", "n_words", F.col("s.pos").alias("pos"), F.col("s.whash").alias("whash"))
         .transform(checkpoint)

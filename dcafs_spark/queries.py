@@ -6450,7 +6450,13 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     h-keyed and typically corpus-⋘-sized; membership is tested with a
     LEFT SEMI-shaped flag join on `h` (hash-partitioned both sides, no
     pair materialization) and the per-doc rollup shuffles doc_id once.
-    The fraction is exact integer division at 6dp — deterministic."""
+    The fraction is exact integer division at 6dp — deterministic.
+
+    Window keys (r14, the `dup_span_stats` rewrite): tokens md5-hash
+    ONCE to 60-bit longs in their own projection, windows key on
+    xxhash64 over the sliced hash array — the key is equality-only and
+    never output, so the oracle's md5-string windows partition
+    identically, and the shuffle key shrinks 32-hex → 8 bytes."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", _toks_expr().alias("w"))
     # same single-h-shuffle trick as substring_dedup: the dup-set agg
@@ -6460,7 +6466,22 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc dup counts via sum(occ)) — without this the window explode
     # re-tokenized + re-hashed the corpus once per consumer (3 full
     # passes under a write, where AQE stage reuse does not fire).
-    wins = toks.select("doc_id", _win_expr(8).alias("h")).repartition(F.col("h"))
+    th = F.transform(
+        F.col("w"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    staged = toks.select("doc_id", th.alias("__th"))
+    k = F.size("__th") - F.lit(7)
+    win_keys = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.xxhash64(F.slice(F.col("__th"), i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = staged.select("doc_id", F.explode(win_keys).alias("h")).repartition(
+        F.col("h")
+    )
     per_doc = (
         wins.groupBy("h", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("occ"))

@@ -1939,6 +1939,197 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper — IVF-PQ with RESIDUAL quantization (Jégou et al.
+    2011 §III-C, what FAISS IndexIVFPQ actually stores): PQ encodes
+    v − centroid(cell), not v, so the codebooks only span the
+    within-cell displacement and quantization error drops; the ADC
+    score restores the cell term explicitly:
+    d(q, v) ≈ ||q'||² + Σ_s(||r_s||² − 2·q'_s·r_s) with q' = q −
+    centroid(cell). `similarity_ivfpq` (raw-vector codes) stays gated
+    for the relative-ADC mechanics; this gate is the higher-fidelity
+    composition — the acceptance test pins recall@5(residual) ≥
+    recall@5(raw) on the fixture.
+
+    Scale shape: identical to `similarity_ivfpq` — cell assignment AND
+    residual subtraction are narrow maps against literal centroids (the
+    residual materializes in its OWN projection so the 128 codeword
+    references don't re-evaluate it: the `hashed_token_bids`
+    no-sharing hazard), corpus side carries 8-byte codes, the 32-row
+    (query × probed cell) frame broadcasts, rank via `bounded_topk`.
+    Determinism: subtraction is IEEE-exact; per-codeword distances
+    micro-quantize before argmin; the final score quantizes once with
+    the SQL mirroring the Spark addition grouping exactly."""
+    from dcafs_spark.operators.similarity import (
+        bounded_topk,
+        dot,
+        ivf_cells,
+        pq_adc_rel_distance,
+        pq_code,
+        pq_codebooks_fixed,
+    )
+
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    emb = _embs(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cents = sorted(
+        (
+            (r["vec_id"], list(r["v"]))
+            for r in emb.filter(F.col("vec_id") < 8).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_res_micro long, rank int"
+        )
+
+    def cent_lit(cell_col: Column) -> Column:
+        expr = None
+        for cid, cv in cents:
+            lit = F.expr(
+                "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            )
+            expr = (
+                F.when(cell_col == int(cid), lit)
+                if expr is None
+                else expr.when(cell_col == int(cid), lit)
+            )
+        return expr
+
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    assigned = corpus.select(
+        "vec_id", "v", F.element_at(ivf_cells(F.col("v"), cents, 1), 1).alias("cell")
+    )
+    # residual in its own projection (referenced 128x by the encoder)
+    staged = assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with(F.col("v"), cent_lit(F.col("cell")), lambda a, b: a - b).alias("rv"),
+    )
+    coded = staged.select(
+        "vec_id", "cell", pq_code(F.col("rv"), books, quantize_micro=True).alias("_codes")
+    )
+    q_cells = queries.select(
+        "query_id", "qv", F.explode(ivf_cells(F.col("qv"), cents, 2)).alias("cell")
+    )
+    # q' = q − centroid(cell), materialized for the same reason
+    q_res = q_cells.select(
+        "query_id",
+        "cell",
+        F.zip_with(F.col("qv"), cent_lit(F.col("cell")), lambda a, b: a - b).alias("qp"),
+    )
+    scored = coded.join(F.broadcast(q_res), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            (
+                dot(F.col("qp"), F.col("qp"))
+                + pq_adc_rel_distance(F.col("_codes"), F.col("qp"), books)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("adc_res_micro"),
+    )
+    ranked = bounded_topk(
+        scored,
+        "query_id",
+        F.struct(F.col("adc_res_micro").alias("_d"), F.col("vec_id").alias("_i")),
+        5,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("_e._i").alias("vec_id"),
+        F.col("_e._d").alias("adc_res_micro"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def _sql_similarity_ivfpq_residual() -> str:
+    from dcafs_spark.operators.similarity import pq_codebooks_fixed
+
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    m, dsub = 8, 8
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    ds_cols = []
+    for s in range(m):
+        terms = []
+        for c in books[s]:
+            cn2 = sum(x * x for x in c)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            terms.append(
+                f"CAST(round(({cn2!r} - 2.0 * list_dot_product(rv[{s * dsub + 1}:{(s + 1) * dsub}],"
+                f" {clit})) * 1000000.0) AS BIGINT)"
+            )
+        ds_cols.append(f"[{', '.join(terms)}] AS ds{s}")
+    code_cols = ", ".join(
+        f"list_position(ds{s}, list_min(ds{s})) - 1 AS code{s}" for s in range(m)
+    )
+    adc_terms = []
+    for s in range(m):
+        book = books[s]
+        cn2lit = "[" + ", ".join(repr(sum(x * x for x in c)) for c in book) + "]::DOUBLE[]"
+        blit = (
+            "["
+            + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in book)
+            + "]::DOUBLE[][]"
+        )
+        adc_terms.append(
+            f"(list_extract({cn2lit}, c.code{s} + 1)"
+            f" - 2.0 * list_dot_product(q.qp[{s * dsub + 1}:{(s + 1) * dsub}],"
+            f" list_extract({blit}, c.code{s} + 1)))"
+        )
+    return f"""
+WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+corpus AS (SELECT * FROM emb WHERE vec_id >= 16),
+queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id >= 8 AND vec_id < 16),
+cc AS (
+  SELECT c.vec_id, c.v, t.cid,
+         CAST(round(({cos.format(a="c.v", b="t.cv")}) * 1000000.0) AS BIGINT) AS cq
+  FROM corpus c CROSS JOIN cents t),
+c_cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
+    FROM cc) WHERE rn = 1),
+c_res AS (
+  SELECT x.vec_id, x.cell,
+         list_transform(generate_series(1, 64), i -> x.v[i] - t.cv[i]) AS rv
+  FROM c_cells x JOIN cents t ON t.cid = x.cell),
+d AS (SELECT vec_id, cell, {', '.join(ds_cols)} FROM c_res),
+coded AS (SELECT vec_id, cell, {code_cols} FROM d),
+qc AS (
+  SELECT q.query_id, q.qv, t.cid,
+         CAST(round(({cos.format(a="q.qv", b="t.cv")}) * 1000000.0) AS BIGINT) AS qq
+  FROM queries q CROSS JOIN cents t),
+q_cells AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id ORDER BY qq DESC, cid ASC) AS rn
+    FROM qc) WHERE rn <= 2),
+q_res AS (
+  SELECT x.query_id, x.cell,
+         list_transform(generate_series(1, 64), i -> x.qv[i] - t.cv[i]) AS qp
+  FROM q_cells x JOIN cents t ON t.cid = x.cell),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(round((list_dot_product(q.qp, q.qp) + ({' + '.join(adc_terms)})) * 1000000.0) AS BIGINT) AS adc_res_micro
+  FROM coded c JOIN q_res q USING (cell))
+SELECT query_id, vec_id, adc_res_micro, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_res_micro ASC, vec_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
 _TRAINED_IVF_MEMO: dict[str, list[list[float]]] = {}
 
 
@@ -9020,7 +9211,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gini_sources": (q_gini_sources, SQL_GINI_SOURCES),
     # new round-13 operator: eTLD+1 registered-domain crawl profile
     "domain_profile": (q_domain_profile, _SQL_DOMAIN_PROFILE),
-    "contamination_fraction": (q_contamination_fraction, _SQL_CONTAM_FRACTION),
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "source_drift_js": (q_source_drift_js, SQL_SOURCE_DRIFT_JS),
@@ -9044,6 +9234,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # leaves — driver-green r12 AND r13; as-of family stays in-cap via
     # range_join, plus the asof_join replica)
     "cluster_balanced_sample": (q_cluster_balanced_sample, _sql_cluster_balanced()),
+    # r14: IVFADC with residual quantization (contamination_fraction
+    # leaves — driver-green r12 AND r13; LeftSemi-on-hash family stays
+    # in-cap via chunk_dedup_apply)
+    "similarity_ivfpq_residual": (q_similarity_ivfpq_residual, _sql_similarity_ivfpq_residual()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "paragraph_dedup": (q_paragraph_dedup, _SQL_PARAGRAPH_DEDUP),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
@@ -9100,6 +9294,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
+    "contamination_fraction": (q_contamination_fraction, _SQL_CONTAM_FRACTION),
     # round-14 rotation leavers (each driver-green r12 AND r13; family
     # coverage documented at the in-cap marker):
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),

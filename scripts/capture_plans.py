@@ -92,6 +92,7 @@ HEADLINE = [
     ("dup_span_stats", "span coalescing: whash count join + per-DOC lead/lag window, no global sort"),
     ("lm_ppl_filter", "held-out LM counts via token equi-joins; ntile on the doc-stats frame only"),
     ("cluster_balanced_sample", "narrow ivf_assign vs literal centroids; bounded_topk quota; 8-row sizes broadcast"),
+    ("similarity_ivfpq_residual", "IVFADC: residual materialized once (128-ref hazard); codes-only corpus; 32-row probe broadcast"),
     ("bigram_surprisal", "pair/vocab equi-joins (never broadcast); int micro-nat rollup"),
     ("embedding_outliers", "64-row stats broadcast onto the component stream"),
     ("lang_confusion", "share window over the bounded lang×pred rollup only"),

@@ -44,6 +44,8 @@ ALLOWED = {
     # IVF-PQ index build: 8 centroid rows — driver-side index state,
     # same bounded class as kmeans_train/train_pq
     ("queries.py", "q_similarity_ivfpq"),
+    # identical bounded 8-row centroid build (residual IVFADC)
+    ("queries.py", "q_similarity_ivfpq_residual"),
     # same bounded 8-row centroid index build (cluster-balanced quota)
     ("queries.py", "q_cluster_balanced_sample"),
     # LR trainer: one (n_buckets+2)-double gradient row per GD

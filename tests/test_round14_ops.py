@@ -369,3 +369,40 @@ class TestQualityClassifierTrained:
         # and the trained model genuinely ranks positives higher than
         # chance on its training distribution
         assert trained_auc > 0.5
+
+
+class TestIvfpqResidual:
+    def test_residual_recall_at_least_raw(self, spark, sf_dir):
+        """IVFADC fidelity: residual-quantized codes must retrieve at
+        least as well as raw-vector codes against the exact cosine
+        top-5 (same cells, same probe set, same codebooks)."""
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = np.array(t["vec_id"].to_pylist())
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        qm = (ids >= 8) & (ids < 16)
+        cm = ids >= 16
+        Q, qids = V[qm], ids[qm]
+        C, cids = V[cm], ids[cm]
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Qn @ Cn.T
+        exact = {}
+        for i, qid in enumerate(qids):
+            order = np.lexsort((cids, -sims[i]))[:5]
+            exact[int(qid)] = set(int(cids[j]) for j in order)
+
+        def recall(name):
+            rows = QUERIES[name][0](spark, sf_dir).collect()
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+            return hits / (5 * len(exact))
+
+        res = recall("similarity_ivfpq_residual")
+        raw = recall("similarity_ivfpq")
+        assert res >= raw
+        assert res > 0  # the gate actually retrieves true neighbors

@@ -520,7 +520,7 @@ def train_quality_lr(
     counts = frame.agg(
         F.sum("y").alias("np"), F.count(F.lit(1)).cast("double").alias("n")
     ).collect()[0]
-    n_pos, n = float(counts["np"]), float(counts["n"])
+    n_pos, n = float(counts["np"] or 0), float(counts["n"] or 0)
     if n_pos == 0 or n_pos == n:
         raise ValueError("train_quality_lr: need both classes present")
     pos_w = (n - n_pos) / n_pos

@@ -2329,6 +2329,10 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r["vec_id"], list(r["v"])) for r in emb.filter(F.col("vec_id") < 8).collect()),
         key=lambda t: t[0],
     )
+    if not cents:  # empty corpus -> no index; typed empty result
+        return spark.createDataFrame(
+            [], "cell long, vec_id long, rank int, cq double, cell_size long"
+        )
     assigned = (
         emb.filter(F.col("vec_id") >= 8)
         .select("vec_id", ivf_assign(F.col("v"), cents).alias("a"))
@@ -2409,9 +2413,14 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", "text", (F.col("doc_id") % 10 == 0).cast("int").alias("y")
     )
-    w, b = train_quality_lr(
-        docs, "y", memo_key=f"lr:{sf_dir}", iters=30, lr=0.5, l2=1e-3
-    )
+    try:
+        w, b = train_quality_lr(
+            docs, "y", memo_key=f"lr:{sf_dir}", iters=30, lr=0.5, l2=1e-3
+        )
+    except ValueError:  # degenerate corpus (empty / one class): no model
+        return spark.createDataFrame(
+            [], "doc_id long, label int, score double, kept boolean"
+        )
     bid_col = "__qct_bids"
     staged = docs.withColumn(bid_col, hashed_token_bids(F.col("text"), len(w)))
     feats = hashed_token_features(F.col(bid_col), len(w))

@@ -9299,13 +9299,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # reductions; numpy third oracle + class-separation acceptance in
     # tests/test_round14_ops.py)
     "quality_classifier_trained": (q_quality_classifier_trained, None),
+    # round-14 rotation leavers (each driver-green r12 AND r13; family
+    # coverage documented at the in-cap markers: windows via
+    # grouping_sets_revenue, ANN via similarity_ivfpq(+residual),
+    # URL-canonical via crawl_curation/url_filter/domain_profile,
+    # as-of via range_join, LeftSemi-on-hash via chunk_dedup_apply):
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "url_dedup": (q_url_dedup, _SQL_URL_DEDUP),
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
     "contamination_fraction": (q_contamination_fraction, _SQL_CONTAM_FRACTION),
-    # round-14 rotation leavers (each driver-green r12 AND r13; family
-    # coverage documented at the in-cap marker):
     "small_order_revenue": (q_small_order_revenue, SQL_SMALL_ORDER),
     "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_DIST),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),

@@ -1182,30 +1182,56 @@ def drift_recheck(
     names = [n for _r, n in sorted(flagged, reverse=True)][:8]
     if not names:
         return {}
-    iso: dict[str, float] = {}
-    try:
-        run = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--isolated", *names],
-            capture_output=True,
-            text=True,
-            timeout=600,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
-        )
-        for ln in reversed(run.stdout.splitlines()):
-            if ln.strip().startswith("{"):
-                iso = json.loads(ln)
-                break
-    except Exception:
-        pass
+    def _iso_run(run_names: list[str]) -> dict:
+        try:
+            run = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated", *run_names],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            )
+            for ln in reversed(run.stdout.splitlines()):
+                if ln.strip().startswith("{"):
+                    return json.loads(ln)
+        except Exception:
+            pass
+        return {}
+
+    iso = _iso_run(names)
+    # r14 root-cause (dedup_simhash bimodality): a per-JVM C2-compile
+    # lottery — roughly 1 in 8 fresh JVMs never lands the optimized
+    # compile of the deepest interpreted-HOF chain (~20x slower eval,
+    # sticky for that JVM's whole life; reproduced in bare fresh JVMs
+    # outside the bench, with suite state, GC, plan flips and machine
+    # co-load all eliminated). ONE isolated subprocess can therefore
+    # itself draw a slow JVM; names whose isolated reading still
+    # exceeds the net bar get a second fresh JVM, and BOTH draws are
+    # recorded — isolated_min is the adjudication number, the spread
+    # is the lottery evidence.
+    retry = [
+        n
+        for n in names
+        if iso.get(n)
+        and prev_q.get(n)
+        and env > 0
+        and (iso[n] / prev_q[n]) / env > (1.4 if n in front else 2.0)
+    ]
+    iso2 = _iso_run(retry) if retry else {}
     out = {}
     for name in names:
         p = prev_q[name]
-        out[name] = {
+        entry = {
             "in_suite": timings[name],
             "prev": p,
             "net_ratio": round((timings[name] / p) / env, 2),
             "isolated": iso.get(name),
         }
+        if name in retry:
+            entry["isolated_retry"] = iso2.get(name)
+            vals = [v for v in (iso.get(name), iso2.get(name)) if v]
+            entry["isolated_min"] = min(vals) if vals else None
+        out[name] = entry
     return out
 
 

@@ -38,7 +38,48 @@ def dlit_array(vals: list[float]) -> Column:
     and it dominated the LSH queries' wall time at bench scale. Python
     float repr is the shortest round-trip decimal and Double.parseDouble
     is correctly rounded, so the values are bit-exact."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+    return F.expr(_sql_dlit(vals))
+
+
+# --- SQL-text expression builders (round 14 optimization) ------------
+#
+# Building the big literal-matrix expressions through the Column DSL
+# costs a py4j roundtrip per node: profiling the ivfpq gates at sf0.1
+# showed 2.3-2.9 s of a ~3.5 s bench second spent INSIDE
+# `fn(spark, sf_dir)` — ivf_cells ~0.5 s per call (×3 calls),
+# pq_code ~0.45 s, pq_adc_rel_distance ~0.3 s — all driver-side,
+# serial, before a single task runs (and at 100 TB the same seconds of
+# driver latency per query submission). These helpers emit the SAME
+# expression as SQL text so the whole tree crosses py4j in ONE
+# `F.expr` call, exactly the `dlit_array` trick generalized. Arithmetic
+# shape, literal formatting (`repr(x)+'D'`), operation order and
+# rounding are replicated node for node — value parity with the Column
+# path is pinned by tests/test_dedup_similarity.py (identity test) and
+# by the untouched DuckDB oracle hashes of every gated caller.
+
+
+def _sql_dlit(vals: list[float]) -> str:
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def _sql_dlit2(book: list[list[float]]) -> str:
+    return "array(" + ",".join(_sql_dlit(c) for c in book) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL text of `dot(a, b)` — same zip_with+aggregate fold."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0D AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_l2(a: str) -> str:
+    return f"sqrt(aggregate({a}, CAST(0.0D AS DOUBLE), (acc, x) -> acc + x * x))"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_l2(a)} * {_sql_l2(b)}))"
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -695,7 +736,7 @@ def pq_codebooks_fixed(dim: int = 64, m: int = 8, k: int = 16, seed: int = 7) ->
 
 
 def pq_code(
-    vec: Column, codebooks: list[list[list[float]]], quantize_micro: bool = False
+    vec: Column | str, codebooks: list[list[list[float]]], quantize_micro: bool = False
 ) -> Column:
     """Encode a vector to its array<int> of m codebook indices — a pure
     narrow map (m × k dot products per row, no shuffle, no UDF). Ties
@@ -708,6 +749,27 @@ def pq_code(
     float ulp; the repo's standard quantization convention)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    if isinstance(vec, str):
+        # SQL-text fast path (one py4j call) — same expression tree:
+        # per subspace, argmin via array_min over (d, j) structs with
+        # the identical ||c||²−2·v_s·c fold and micro-rounding.
+        parts = []
+        for s in range(m):
+            book = codebooks[s]
+            book_sql = _sql_dlit2(book)
+            cn2_sql = _sql_dlit([sum(x * x for x in c) for c in book])
+            sub_sql = f"slice({vec}, {s * dsub + 1}, {dsub})"
+            d_sql = (
+                f"element_at({cn2_sql}, j + 1) - 2.0D * "
+                f"{_sql_dot(sub_sql, f'element_at({book_sql}, j + 1)')}"
+            )
+            if quantize_micro:
+                d_sql = f"CAST(round(({d_sql}) * 1000000.0D, 0) AS BIGINT)"
+            parts.append(
+                f"CAST(array_min(transform(sequence(0, {len(book) - 1}), "
+                f"j -> named_struct('d', {d_sql}, 'j', j))).j AS INT)"
+            )
+        return F.expr("array(" + ", ".join(parts) + ")")
     codes = []
     for s in range(m):
         sub = F.slice(vec, s * dsub + 1, dsub)
@@ -774,7 +836,7 @@ def pq_encode(
     """
     if engine == "expr":
         return df.withColumn(
-            out_col, pq_code(F.col(vec_col), codebooks, quantize_micro=quantize_micro)
+            out_col, pq_code(vec_col, codebooks, quantize_micro=quantize_micro)
         )
     if engine != "arrow":
         raise ValueError(f"engine must be 'expr' | 'arrow', got {engine!r}")
@@ -843,8 +905,23 @@ def pq_adc_distance(
     return total
 
 
+def _sql_ivf_cands(vec: str, centroids: list[tuple[int, list[float]]]) -> str:
+    """SQL text of the sorted (−cos_micro, cid) candidate array shared
+    by `ivf_cells` / `ivf_assign` — identical per-centroid expression
+    to the Column path (micro-quantized cosine, ties on lower cid)."""
+    cands = ", ".join(
+        "named_struct('nd', -CAST(round("
+        + _sql_cosine(vec, _sql_dlit(cv))
+        + " * 1000000.0D, 0) AS BIGINT), 'cid', CAST("
+        + str(int(cid))
+        + " AS BIGINT))"
+        for cid, cv in centroids
+    )
+    return f"array_sort(array({cands}))"
+
+
 def ivf_cells(
-    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+    vec: Column | str, centroids: list[tuple[int, list[float]]], nprobe: int
 ) -> Column:
     """The `nprobe` nearest IVF cells for a vector as an array<long>
     of cell ids — a PURE NARROW MAP against the centroid matrix as
@@ -868,6 +945,10 @@ def ivf_cells(
                 "(NaN/Inf cannot ride the plan as a literal and would "
                 "poison cell assignment)"
             )
+    if isinstance(vec, str):
+        return F.expr(
+            f"slice({_sql_ivf_cands(vec, centroids)}, 1, {int(nprobe)}).cid"
+        )
     cands = []
     for cid, cv in centroids:
         cvlit = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")")
@@ -878,7 +959,7 @@ def ivf_cells(
     return F.slice(F.array_sort(F.array(*cands)), 1, nprobe)["cid"]
 
 
-def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def ivf_assign(vec: Column | str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-cell assignment WITH the winning similarity: a
     struct(cell: long, cq_micro: long) per vector — `ivf_cells`'
     narrow-map shape (centroid matrix as plan literals, no crossJoin,
@@ -895,6 +976,11 @@ def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
                 "(NaN/Inf cannot ride the plan as a literal and would "
                 "poison cell assignment)"
             )
+    if isinstance(vec, str):
+        best = f"{_sql_ivf_cands(vec, centroids)}[0]"
+        return F.expr(
+            f"named_struct('cell', {best}.cid, 'cq_micro', -({best}.nd))"
+        )
     cands = []
     for cid, cv in centroids:
         cvlit = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")")
@@ -907,7 +993,7 @@ def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
 
 
 def pq_adc_rel_distance(
-    codes: Column, qvec: Column, codebooks: list[list[list[float]]]
+    codes: Column | str, qvec: Column | str, codebooks: list[list[list[float]]]
 ) -> Column:
     """ADC ranking score when the query is a ROW (a column), not a
     driver-side literal: Σ_s (||c_{s,code_s}||² − 2·q_s·c_{s,code_s})
@@ -920,6 +1006,21 @@ def pq_adc_rel_distance(
     pipelines like IVF-PQ where queries live in a DataFrame."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    if isinstance(codes, str) and isinstance(qvec, str):
+        # SQL-text fast path (one py4j call) — identical left-assoc
+        # sum of per-subspace ||c||² − 2·q_s·c terms.
+        terms = []
+        for s in range(m):
+            book = codebooks[s]
+            book_sql = _sql_dlit2(book)
+            cn2_sql = _sql_dlit([sum(x * x for x in c) for c in book])
+            j1 = f"(element_at({codes}, {s + 1}) + 1)"
+            qs = f"slice({qvec}, {s * dsub + 1}, {dsub})"
+            terms.append(
+                f"(element_at({cn2_sql}, {j1}) - 2.0D * "
+                f"{_sql_dot(qs, f'element_at({book_sql}, {j1})')})"
+            )
+        return F.expr(" + ".join(terms))
     total = None
     for s in range(m):
         book = codebooks[s]

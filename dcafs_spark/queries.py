@@ -1753,7 +1753,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     coded = emb.select(
-        "vec_id", pq_code(F.col("v"), books, quantize_micro=True).alias("_codes")
+        "vec_id", pq_code("v", books, quantize_micro=True).alias("_codes")
     )
     return coded.select(
         "vec_id",
@@ -1912,16 +1912,16 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = corpus.select(
         "vec_id",
-        F.element_at(ivf_cells(F.col("v"), cents, 1), 1).alias("cell"),
-        pq_code(F.col("v"), books, quantize_micro=True).alias("_codes"),
+        F.element_at(ivf_cells("v", cents, 1), 1).alias("cell"),
+        pq_code("v", books, quantize_micro=True).alias("_codes"),
     )
     q_cells = queries.select(
-        "query_id", "qv", F.explode(ivf_cells(F.col("qv"), cents, 2)).alias("cell")
+        "query_id", "qv", F.explode(ivf_cells("qv", cents, 2)).alias("cell")
     )
     scored = coded.join(F.broadcast(q_cells), "cell").select(
         "query_id",
         "vec_id",
-        F.round(pq_adc_rel_distance(F.col("_codes"), F.col("qv"), books) * 1e6)
+        F.round(pq_adc_rel_distance("_codes", "qv", books) * 1e6)
         .cast("long")
         .alias("adc_rel_micro"),
     )
@@ -1986,43 +1986,45 @@ def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, vec_id long, adc_res_micro long, rank int"
         )
 
-    def cent_lit(cell_col: Column) -> Column:
-        expr = None
-        for cid, cv in cents:
-            lit = F.expr(
-                "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
-            )
-            expr = (
-                F.when(cell_col == int(cid), lit)
-                if expr is None
-                else expr.when(cell_col == int(cid), lit)
-            )
-        return expr
+    def cent_lit_sql(cell_col: str) -> str:
+        # single CASE WHEN text (one py4j call when embedded) — the
+        # same F.when chain the Column form built
+        whens = " ".join(
+            f"WHEN {cell_col} = {int(cid)} THEN array("
+            + ",".join(repr(float(x)) + "D" for x in cv)
+            + ")"
+            for cid, cv in cents
+        )
+        return f"CASE {whens} END"
 
     corpus = emb.filter(F.col("vec_id") >= 16)
     queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     assigned = corpus.select(
-        "vec_id", "v", F.element_at(ivf_cells(F.col("v"), cents, 1), 1).alias("cell")
+        "vec_id", "v", F.element_at(ivf_cells("v", cents, 1), 1).alias("cell")
     )
     # residual in its own projection (referenced 128x by the encoder)
     staged = assigned.select(
         "vec_id",
         "cell",
-        F.zip_with(F.col("v"), cent_lit(F.col("cell")), lambda a, b: a - b).alias("rv"),
+        F.expr(
+            f"zip_with(v, {cent_lit_sql('cell')}, (a, b) -> a - b)"
+        ).alias("rv"),
     )
     coded = staged.select(
-        "vec_id", "cell", pq_code(F.col("rv"), books, quantize_micro=True).alias("_codes")
+        "vec_id", "cell", pq_code("rv", books, quantize_micro=True).alias("_codes")
     )
     q_cells = queries.select(
-        "query_id", "qv", F.explode(ivf_cells(F.col("qv"), cents, 2)).alias("cell")
+        "query_id", "qv", F.explode(ivf_cells("qv", cents, 2)).alias("cell")
     )
     # q' = q − centroid(cell), materialized for the same reason
     q_res = q_cells.select(
         "query_id",
         "cell",
-        F.zip_with(F.col("qv"), cent_lit(F.col("cell")), lambda a, b: a - b).alias("qp"),
+        F.expr(
+            f"zip_with(qv, {cent_lit_sql('cell')}, (a, b) -> a - b)"
+        ).alias("qp"),
     )
     scored = coded.join(F.broadcast(q_res), "cell").select(
         "query_id",
@@ -2030,7 +2032,7 @@ def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (
                 dot(F.col("qp"), F.col("qp"))
-                + pq_adc_rel_distance(F.col("_codes"), F.col("qp"), books)
+                + pq_adc_rel_distance("_codes", "qp", books)
             )
             * 1e6
         )
@@ -2198,16 +2200,16 @@ def q_similarity_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = corpus.select(
         "vec_id",
-        F.element_at(ivf_cells(F.col("v"), cents, 1), 1).alias("cell"),
-        pq_code(F.col("v"), books, quantize_micro=True).alias("_codes"),
+        F.element_at(ivf_cells("v", cents, 1), 1).alias("cell"),
+        pq_code("v", books, quantize_micro=True).alias("_codes"),
     )
     q_cells = queries.select(
-        "query_id", "qv", F.explode(ivf_cells(F.col("qv"), cents, 2)).alias("cell")
+        "query_id", "qv", F.explode(ivf_cells("qv", cents, 2)).alias("cell")
     )
     scored = coded.join(F.broadcast(q_cells), "cell").select(
         "query_id",
         "vec_id",
-        F.round(pq_adc_rel_distance(F.col("_codes"), F.col("qv"), books) * 1e6)
+        F.round(pq_adc_rel_distance("_codes", "qv", books) * 1e6)
         .cast("long")
         .alias("adc_rel_micro"),
     )
@@ -2335,7 +2337,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     assigned = (
         emb.filter(F.col("vec_id") >= 8)
-        .select("vec_id", ivf_assign(F.col("v"), cents).alias("a"))
+        .select("vec_id", ivf_assign("v", cents).alias("a"))
         .select("vec_id", F.col("a.cell").alias("cell"), F.col("a.cq_micro").alias("cq_micro"))
         .transform(checkpoint)
     )
@@ -7797,7 +7799,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     coded = emb.select(
-        "vec_id", "v", pq_code(F.col("v"), books, quantize_micro=True).alias("_codes")
+        "vec_id", "v", pq_code("v", books, quantize_micro=True).alias("_codes")
     )
     pairs = coded.crossJoin(F.broadcast(queries))
     qv, v = F.col("qv"), F.col("v")
@@ -7952,10 +7954,10 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     coded = emb.select(
-        "vec_id", "v", pq_code(F.col("v"), fixed, quantize_micro=True).alias("_cf")
+        "vec_id", "v", pq_code("v", fixed, quantize_micro=True).alias("_cf")
     ).transform(checkpoint)
     coded = coded.select(
-        "vec_id", "v", "_cf", pq_code(F.col("v"), trained, quantize_micro=True).alias("_ct")
+        "vec_id", "v", "_cf", pq_code("v", trained, quantize_micro=True).alias("_ct")
     )
     pairs = coded.crossJoin(F.broadcast(queries))
     qv, v = F.col("qv"), F.col("v")

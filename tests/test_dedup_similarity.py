@@ -1277,3 +1277,57 @@ def test_train_pq_pads_short_corpora_by_cycling(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     books0 = train_pq(empty, m=2, k=3, dim=8, iters=1)
     assert all(c == [0.0] * 4 for bs in books0 for c in bs)
+
+
+def test_sql_text_fast_paths_match_column_dsl(spark):
+    """Round-14 optimization: `ivf_cells` / `ivf_assign` / `pq_code` /
+    `pq_adc_rel_distance` accept a column-name STRING and build their
+    whole expression as one SQL text (one py4j call) instead of
+    hundreds of Column-DSL roundtrips — profiling showed 2.3-2.9 s of
+    driver-side plan-build per ivfpq bench query. Both paths must stay
+    BIT-IDENTICAL on every row (micro-quantized and raw), or the
+    oracle gates would drift."""
+    from dcafs_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cells,
+        pq_adc_rel_distance,
+        pq_code,
+        pq_codebooks_fixed,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    cents = sorted(
+        ((r["vec_id"], list(r["v"])) for r in emb.filter("vec_id < 8").collect()),
+        key=lambda t: t[0],
+    )
+    books = pq_codebooks_fixed(64, 8, 16, seed=7)
+    df = emb.select(
+        "vec_id",
+        "v",
+        ivf_cells(F.col("v"), cents, 2).alias("c_dsl"),
+        ivf_cells("v", cents, 2).alias("c_sql"),
+        ivf_assign(F.col("v"), cents).alias("a_dsl"),
+        ivf_assign("v", cents).alias("a_sql"),
+        pq_code(F.col("v"), books, quantize_micro=True).alias("pm_dsl"),
+        pq_code("v", books, quantize_micro=True).alias("pm_sql"),
+        pq_code(F.col("v"), books, quantize_micro=False).alias("pr_dsl"),
+        pq_code("v", books, quantize_micro=False).alias("pr_sql"),
+    )
+    assert (
+        df.filter(
+            "c_dsl != c_sql OR a_dsl != a_sql OR pm_dsl != pm_sql OR pr_dsl != pr_sql"
+        ).count()
+        == 0
+    )
+    staged = emb.select("vec_id", "v", pq_code("v", books, quantize_micro=True).alias("codes"))
+    adc = staged.select(
+        pq_adc_rel_distance(F.col("codes"), F.col("v"), books).alias("d_dsl"),
+        pq_adc_rel_distance("codes", "v", books).alias("d_sql"),
+    )
+    assert adc.filter("d_dsl != d_sql").count() == 0

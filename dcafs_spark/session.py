@@ -64,7 +64,9 @@ def get_spark(app_name: str = "dcafs_spark", shuffle_partitions: int | None = No
     return builder.getOrCreate()
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, path_hint: str | None = None
+) -> DataFrame:
     """Repartition iff the plan has fewer partitions than cores.
 
     Small single-row-group parquet files scan as 1-2 tasks, starving a
@@ -73,6 +75,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     a no-op there — the repartition (one pass over the projected
     columns) only fires on under-split inputs where the downstream
     per-row compute dominates it by 10-100x.
+
+    ``path_hint`` (round 14): the backing file/dir when the caller
+    knows it — skips the ``df.inputFiles()`` py4j roundtrip (~15-25 ms
+    per call, paid by every query build) for the same size estimate.
     """
     spark = df.sparkSession
     if min_parts is None:
@@ -82,7 +88,17 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     # reads misleading numbers under AQE). Non-file-backed plans (no
     # inputFiles) just repartition.
     try:
-        files = df.inputFiles()
+        if path_hint is not None and os.path.exists(path_hint):
+            if os.path.isdir(path_hint):
+                files = [
+                    os.path.join(path_hint, f)
+                    for f in os.listdir(path_hint)
+                    if not f.startswith(("_", "."))
+                ]
+            else:
+                files = [path_hint]
+        else:
+            files = df.inputFiles()
         max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
         splits = 0
         for f in files:

@@ -214,7 +214,7 @@ def normalize_centroids(centroids: list[list[float]]) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """H-bit bucket id: bit j = sign(dot(vec, plane_j)) ≥ 0.
 
     The planes ride as ONE nested 2-D literal (`array<array<double>>`,
@@ -236,6 +236,22 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     interpreted-HOF path because element access is positional, not
     computed."""
     n_planes = len(planes)
+    if isinstance(vec, str):
+        # SQL-text fast path (round 14): same transform/aggregate fold
+        # in one py4j call; bit weights, fold order and the CASE
+        # branches replicate the Column path node for node.
+        planes_sql = _sql_dlit2(planes)
+        weights_sql = "array(" + ",".join(f"{1 << j}L" for j in range(n_planes)) + ")"
+        vd_sql = f"CAST({vec} AS ARRAY<DOUBLE>)"
+        d_sql = _sql_dot(vd_sql, f"element_at({planes_sql}, CAST(j AS INT) + 1)")
+        bit_sql = (
+            f"CASE WHEN {d_sql} >= 0 THEN element_at({weights_sql}, "
+            f"CAST(j AS INT) + 1) ELSE CAST(0 AS BIGINT) END"
+        )
+        return F.expr(
+            f"aggregate(transform(sequence(0, {n_planes - 1}), j -> {bit_sql}), "
+            f"CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+        )
     planes2d = F.expr(
         "array("
         + ",".join(
@@ -487,16 +503,21 @@ def lsh_topk(
 
     else:
 
-        def _bv(col: Column) -> Column:
-            return col
+        def _bv(col):
+            # plain column name → lsh_bucket's SQL-text fast path
+            return col if isinstance(col, str) else col
 
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(_bv(F.col(vec_col)), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(_bv(F.col(vec_col) if center else vec_col), planes).alias("bucket"),
     )
     qsel = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        lsh_bucket(_bv(F.col(query_vec_col)), planes).alias("bucket"),
+        lsh_bucket(_bv(F.col(query_vec_col) if center else query_vec_col), planes).alias(
+            "bucket"
+        ),
     )
     if multiprobe:
         probes = F.array(

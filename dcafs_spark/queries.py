@@ -6180,25 +6180,27 @@ def q_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrap at ~2M rows) and the covariance is one identical double
     expression on both engines."""
     embs = _embs(spark, sf_dir)
+    # single-SQL-text builds (round 14): the 8 quantized dims and the
+    # 36-struct upper-triangle array cost ~400 py4j roundtrips as
+    # Column DSL (~1.2-1.5 s of driver plan-build per bench rep); the
+    # same expressions as two F.expr texts build in two calls.
     q = [
-        F.round(F.element_at("embedding", i + 1).cast("double") * 1_000_000)
-        .cast("long")
-        .alias(f"q{i}")
+        F.expr(
+            f"CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            f" * 1000000, 0) AS BIGINT)"
+        ).alias(f"q{i}")
         for i in range(8)
     ]
     wide = embs.select(*q)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("i"),
-                F.lit(j).cast("long").alias("j"),
-                (F.col(f"q{i}") * F.col(f"q{j}")).alias("xy"),
-                F.col(f"q{i}").alias("x"),
-                F.col(f"q{j}").alias("y"),
-            )
+    cells = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('i', CAST({i} AS BIGINT), 'j', CAST({j} AS BIGINT), "
+            f"'xy', q{i} * q{j}, 'x', q{i}, 'y', q{j})"
             for i in range(8)
             for j in range(i, 8)
-        ]
+        )
+        + ")"
     )
     flat = wide.select(F.explode(cells).alias("c")).select("c.*")
     n = F.count(F.lit(1)).cast("long")

@@ -41,6 +41,72 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+# --- SQL-text expression builders (round 14 optimization) ------------
+#
+# Same trick as operators/similarity.py: the minhash/shingle expression
+# trees cost a py4j roundtrip per Column-DSL node to BUILD —
+# `minhash_signature` alone measured ~0.25 s of pure driver time per
+# call at bench scale (the 16-term permutation array inside the fold
+# lambda), `_band_explode` ~0.17 s, `_band_join_pairs` ~0.21 s; the
+# LSH-family queries each pay that serially before any task runs, and
+# at 100 TB the same driver seconds delay every job submission. These
+# helpers emit the SAME tree as ONE SQL text parsed server-side in a
+# single `F.expr` call. Arithmetic shape, literal types (INT coeffs,
+# BIGINT casts), fold order and rounding are replicated node for node;
+# value parity with the Column path is pinned by
+# tests/test_dedup_similarity.py and the untouched oracle hashes of
+# every gated caller. A str argument to the public builders below means
+# an SQL expression fragment (a bare column name is one).
+
+
+def _qcol(name: str) -> str:
+    return f"`{name}`"
+
+
+def _sql_normalize(col_sql: str) -> str:
+    return f"regexp_replace(lower(trim({col_sql})), '\\\\s+', ' ')"
+
+
+def _sql_word_shingles(col_sql: str, n: int = 3) -> str:
+    words = f"split({_sql_normalize(col_sql)}, ' ')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')))"
+    )
+
+
+def _sql_shingle_hashes(sh_sql: str) -> str:
+    return f"transform({sh_sql}, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+
+
+def _sql_minhash_fold(base_sql: str, num_hashes: int) -> str:
+    a, b = minhash_coeffs(num_hashes)
+    terms = ", ".join(f"(h * {a[j]} + {b[j]}) % {_MINHASH_M}" for j in range(num_hashes))
+    return (
+        f"aggregate({base_sql}, array_repeat(CAST({_MINHASH_M} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, array({terms}), (x, y) -> least(x, y)))"
+    )
+
+
+def _sql_minhash_signature(sh_sql: str, num_hashes: int = 16) -> str:
+    base = (
+        f"transform({sh_sql}, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_MINHASH_M})"
+    )
+    return _sql_minhash_fold(base, num_hashes)
+
+
+def _sql_minhash_from_hashes(h_sql: str, num_hashes: int = 16) -> str:
+    return _sql_minhash_fold(f"transform({h_sql}, x -> x % {_MINHASH_M})", num_hashes)
+
+
+def _sql_band_bucket(sig_sql: str, band: int, rows: int) -> str:
+    """md5 bucket of one band's minhash slice (same '|' join as the
+    Column path)."""
+    elems = ", ".join(f"element_at({sig_sql}, {band * rows + r + 1})" for r in range(rows))
+    return f"md5(concat_ws('|', {elems}))"
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per distinct normalized text.
 
@@ -54,10 +120,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
+def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text (array<string>).
 
-    Pure Catalyst: split → sequence → transform/slice; no UDF."""
+    Pure Catalyst: split → sequence → transform/slice; no UDF. A str
+    argument is an SQL expression fragment (e.g. a column name): the
+    whole tree then crosses py4j as ONE parsed SQL text."""
+    if isinstance(col, str):
+        return F.expr(_sql_word_shingles(col, n))
     words = F.split(normalize_text(col), " ")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), k)
@@ -69,19 +139,25 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 _MINHASH_M = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
-def shingle_hashes(shingles: Column) -> Column:
+def shingle_hashes(shingles: Column | str) -> Column:
     """Distinct shingles → 60-bit md5-prefix longs (portable across
     engines). Downstream set ops (Jaccard, minhash) on 8-byte longs
     instead of ~30-byte shingle strings: the candidate-verify shuffle
-    shrinks ~4× and comparisons are integer equality."""
+    shrinks ~4× and comparisons are integer equality. A str argument is
+    the SQL fragment of the shingle array (single-`F.expr` build)."""
+    if isinstance(shingles, str):
+        return F.expr(_sql_shingle_hashes(shingles))
     return F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
 
 
-def minhash_from_hashes(hashes: Column, num_hashes: int = 16) -> Column:
+def minhash_from_hashes(hashes: Column | str, num_hashes: int = 16) -> Column:
     """K minhashes from pre-hashed shingles (same scheme as
-    :func:`minhash_signature`, md5 already applied)."""
+    :func:`minhash_signature`, md5 already applied). A str argument is
+    the SQL fragment of the hash array (single-`F.expr` build)."""
+    if isinstance(hashes, str):
+        return F.expr(_sql_minhash_from_hashes(hashes, num_hashes))
     a, b = minhash_coeffs(num_hashes)
     base = F.transform(hashes, lambda h: h % _MINHASH_M)
     init = F.array_repeat(F.lit(_MINHASH_M).cast("long"), num_hashes)
@@ -108,7 +184,7 @@ def minhash_coeffs(num_hashes: int, seed: int = 1) -> tuple[list[int], list[int]
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+def minhash_signature(shingles: Column | str, num_hashes: int = 16) -> Column:
     """K portable minhashes via one md5 per shingle + K universal-hash
     permutations: h = md5_60bit(s) mod M; h_j = (a_j*h + b_j) mod M.
 
@@ -122,7 +198,12 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     per shingle regardless of K.
 
     NB: single-arg lambdas only — F.transform dispatches on lambda
-    arity and would pass the element index into a second parameter."""
+    arity and would pass the element index into a second parameter.
+
+    A str argument is the SQL fragment of the shingle array (the whole
+    fold then crosses py4j as ONE parsed SQL text)."""
+    if isinstance(shingles, str):
+        return F.expr(_sql_minhash_signature(shingles, num_hashes))
     a, b = minhash_coeffs(num_hashes)
     base = F.transform(
         shingles,
@@ -141,7 +222,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
 
 def banded_signature(
-    col: Column, shingle_n: int = 3, num_hashes: int = 16, bands: int = 4
+    col: Column | str, shingle_n: int = 3, num_hashes: int = 16, bands: int = 4
 ) -> Column:
     """Full banded LSH signature as ONE string key: the per-band bucket
     hashes (same bands/buckets as `minhash_lsh_pairs`, so ingest and
@@ -151,6 +232,11 @@ def banded_signature(
     (`streaming/dedup.py`). Pure column expression; codegen CSE
     evaluates the underlying minhash fold once per row."""
     rows = num_hashes // bands
+    if isinstance(col, str):
+        # one SQL text for the whole normalize→shingle→minhash→band tree
+        sig_sql = _sql_minhash_signature(_sql_word_shingles(col, shingle_n), num_hashes)
+        buckets = ", ".join(_sql_band_bucket(sig_sql, b, rows) for b in range(bands))
+        return F.expr(f"concat_ws('#', {buckets})")
     sig = minhash_signature(word_shingles(col, shingle_n), num_hashes)
     return F.concat_ws(
         "#",
@@ -230,26 +316,16 @@ def approx_distinct_ratio(df: DataFrame, key: Column) -> float:
 
 def _band_explode(frame: DataFrame, key: str, num_hashes: int, bands: int) -> DataFrame:
     """(key, sig) → one row per (key, sig, band, bucket): bucket is the
-    md5 of the band's minhash slice. Shared by both collapse paths."""
+    md5 of the band's minhash slice. Shared by both collapse paths.
+    The band/bucket struct array is ONE parsed SQL text (~40 Column-DSL
+    nodes otherwise — py4j roundtrips at plan-build time)."""
     rows = num_hashes // bands
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_sql_band_bucket('sig', b, rows)})"
+        for b in range(bands)
+    )
     return frame.select(
-        key,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        key, "sig", F.explode(F.expr(f"array({structs})")).alias("bb")
     ).select(key, "sig", "bb.band", "bb.bucket")
 
 
@@ -260,15 +336,9 @@ def _band_join_pairs(
     positions, computed IN the join projection so the multi-band dedup
     shuffles only (key_a, key_b, est), never two K-long signatures)."""
     left, right = banded.alias("l"), banded.alias("r")
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("l.sig"), F.col("r.sig"), lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(num_hashes))
+    est = F.expr(
+        "(aggregate(zip_with(l.sig, r.sig, (a, b) -> CASE WHEN (a = b) THEN 1 ELSE 0 END), 0, "
+        f"(acc, x) -> acc + x) / {float(num_hashes)!r}D)"
     )
     return (
         left.join(
@@ -387,7 +457,7 @@ def minhash_lsh_pairs(
         # self-join consumes the shingle→hash pipeline on BOTH sides.
         sig = df.select(
             F.col(id_col).alias("id"),
-            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+            minhash_signature(_sql_word_shingles(_qcol(text_col), shingle_n), num_hashes).alias("sig"),
         ).transform(checkpoint)
         return _band_join_pairs(
             _band_explode(sig, "id", num_hashes, bands),
@@ -405,7 +475,7 @@ def minhash_lsh_pairs(
     sig_all = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        minhash_signature(_sql_word_shingles(_qcol(text_col), shingle_n), num_hashes).alias("sig"),
     ).transform(checkpoint)
     # (chash, id) per doc — the only per-copy state past the map stage;
     # feeds the within-group expansion and two cross-group expansion
@@ -482,10 +552,10 @@ def ngram_jaccard_pairs(
         # rare-duplicate fast path: bucket + verify per document
         sh = df.select(
             F.col(id_col).alias("id"),
-            shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+            shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n)).alias("sh"),
         ).transform(checkpoint)  # shared by both self-join sides
         sig = sh.select(
-            "id", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
+            "id", "sh", F.explode(minhash_from_hashes("sh", bucket_hashes)).alias("bucket")
         )
         return (
             sig.alias("l")
@@ -504,7 +574,7 @@ def ngram_jaccard_pairs(
     sh_all = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n)).alias("sh"),
     ).transform(checkpoint)
     members = sh_all.select("chash", "id")
     rep = (
@@ -513,7 +583,7 @@ def ngram_jaccard_pairs(
         .transform(checkpoint)  # shared by both self-join sides
     )
     sig = rep.select(
-        "chash", "sh", F.explode(minhash_from_hashes(F.col("sh"), bucket_hashes)).alias("bucket")
+        "chash", "sh", F.explode(minhash_from_hashes("sh", bucket_hashes)).alias("bucket")
     )
     cand = (
         sig.alias("l")
@@ -713,14 +783,21 @@ def connected_components(
         # node id: edges are symmetrized, so any min over ids occurs as a
         # src.) Halves the per-round join count vs separate
         # neighbor-min + jump joins.
-        combined = edges.unionByName(
-            labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
-        )
-        cand = (
-            combined.join(labels.withColumnRenamed("label", "dlabel"), combined.dst == F.col("node"))
-            .groupBy("src")
-            .agg(F.min("dlabel").alias("cand"))
-            .withColumnRenamed("src", "node")
+        #
+        # No join-back against the previous labels (r14: one fewer
+        # shuffle per round): the pseudo-edge guarantees every node
+        # appears in the aggregate, and since label(x) <= x invariantly,
+        # the pseudo-edge's dlabel = label(label(node)) <= label(node),
+        # so min(dlabel) alone IS least(old_label, neighbor mins) — the
+        # old label is implied. It also carries the old label in _self
+        # (null on real edges; min ignores nulls) so the chg flag needs
+        # no extra join either.
+        combined = edges.withColumn("_self", F.lit(None).cast("long")).unionByName(
+            labels.select(
+                F.col("node").alias("src"),
+                F.col("label").alias("dst"),
+                F.col("label").alias("_self"),
+            )
         )
         # lazy checkpoint: the convergence count below is the round's one
         # action and materializes it — an eager checkpoint would spend a
@@ -728,11 +805,13 @@ def connected_components(
         # The chg flag rides inside the checkpointed frame so the count
         # needs no extra join against the previous labels.
         stepped = (
-            labels.join(cand, "node", "left")
+            combined.join(labels.withColumnRenamed("label", "dlabel"), combined.dst == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("new_label"), F.min("_self").alias("_old"))
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("new_label"),
-                (F.coalesce("cand", F.col("label")) < F.col("label")).alias("chg"),
+                F.col("src").alias("node"),
+                "new_label",
+                (F.col("new_label") < F.col("_old")).alias("chg"),
             )
             .transform(checkpoint, require_cut=True)
         )
@@ -763,10 +842,10 @@ def decontaminate(
     plain hash join on the uniformly-distributed hash key."""
     c_sh = corpus.select(
         F.col(id_col),
-        F.explode(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias("_sh"),
+        F.explode(shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n))).alias("_sh"),
     )
     p_sh = probes.select(
-        F.explode(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias("_sh")
+        F.explode(shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n))).alias("_sh")
     ).distinct()
     if broadcast_probes:
         p_sh = F.broadcast(p_sh)
@@ -810,13 +889,13 @@ def contamination_fraction(
     needs (an inner join would silently report only dirty docs)."""
     c_sh = corpus.select(
         F.col(id_col),
-        F.explode_outer(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias(
+        F.explode_outer(shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n))).alias(
             "_sh"
         ),
     )
     p_sh = (
         probes.select(
-            F.explode(shingle_hashes(word_shingles(F.col(text_col), shingle_n))).alias("_sh")
+            F.explode(shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n))).alias("_sh")
         )
         .distinct()
         .withColumn("_hit", F.lit(1))
@@ -948,13 +1027,13 @@ def containment_pairs(
         # rare-duplicate fast path: sketch + verify per document
         sh = df.select(
             F.col(id_col).alias("id"),
-            shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+            shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n)).alias("sh"),
         ).transform(checkpoint)  # sketch explode + both verify sides read it
         return _verified(sh, "id", "id_a", "id_b")
     base = df.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text(F.col(text_col))).alias("chash"),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n)).alias("sh"),
     ).transform(checkpoint)
     members = base.select("chash", "id")
     rep = (
@@ -1559,11 +1638,11 @@ def cross_minhash_dedup(
         # election, whose group representative is the group min)
         sig_new = new_docs.select(
             F.col(id_col).alias("id"),
-            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+            minhash_signature(_sql_word_shingles(_qcol(text_col), shingle_n), num_hashes).alias("sig"),
         ).transform(checkpoint)
         sig_ref = ref_docs.select(
             F.col(id_col).alias("ref_id"),
-            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+            minhash_signature(_sql_word_shingles(_qcol(text_col), shingle_n), num_hashes).alias("sig"),
         ).transform(checkpoint)
         cand = (
             _banded(sig_new, "id", []).alias("n")
@@ -1591,7 +1670,7 @@ def cross_minhash_dedup(
         return df.select(
             F.col(id_col).alias("id"),
             F.md5(normalize_text(F.col(text_col))).alias("chash"),
-            minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+            minhash_signature(_sql_word_shingles(_qcol(text_col), shingle_n), num_hashes).alias("sig"),
         ).transform(checkpoint)
 
     nall = _collapsed(new_docs)

@@ -7315,15 +7315,15 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates by id (60-bit longs, bodies never move); the rollup is
     10 rows."""
     from dcafs_spark.operators.dedup import (
+        _sql_word_shingles,
         minhash_lsh_pairs,
         shingle_hashes,
-        word_shingles,
     )
 
     corpus = _near_dup_corpus(spark, sf_dir)
     est = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.0)
     sh = corpus.select(
-        "doc_id", shingle_hashes(word_shingles(F.col("text"), 3)).alias("sh")
+        "doc_id", shingle_hashes(_sql_word_shingles("text", 3)).alias("sh")
     ).transform(checkpoint)
     j = est.join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -7415,16 +7415,16 @@ def q_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (band × occupancy-class) result — never pairs, never
     bodies. Output is ≤ bands × distinct-occupancy rows."""
     from dcafs_spark.operators.dedup import (
+        _sql_word_shingles,
         minhash_signature,
         normalize_text,
-        word_shingles,
     )
 
     rows = 4  # 16 hashes / 4 bands — the pair operator's setting
     corpus = _near_dup_corpus(spark, sf_dir)
     sig_all = corpus.select(
         F.md5(normalize_text(F.col("text"))).alias("chash"),
-        minhash_signature(word_shingles(F.col("text"), 3), 16).alias("sig"),
+        minhash_signature(_sql_word_shingles("text", 3), 16).alias("sig"),
     )
     rep = sig_all.groupBy("chash").agg(F.first("sig").alias("sig"))
     banded = rep.select(

@@ -136,7 +136,7 @@ def streaming_minhash_bucket_dedup(
     """
     keyed = stream_df.withColumn(
         _SIGKEY,
-        banded_signature(F.col(text_col), shingle_n, num_hashes, bands),
+        banded_signature(text_col, shingle_n, num_hashes, bands),
     )
     return _first_wins(keyed, _SIGKEY, ts_col, watermark)
 

@@ -404,7 +404,42 @@ def code_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def hashed_token_bids(col: Column, n_buckets: int = 16) -> Column:
+# --- SQL-text expression builders (round 14 optimization) ------------
+# Same pattern as operators/similarity.py / operators/dedup.py: the
+# hashed-feature + linear-score chain costs ~0.34 s of driver-side py4j
+# Column-DSL construction per call (16 filter/size features + the
+# 16-term weighted sum). These emit the SAME tree as ONE parsed SQL
+# text; value parity pinned by the untouched oracle hashes of every
+# gated caller. A str argument means an SQL expression fragment.
+
+
+def _sql_words(col_sql: str) -> str:
+    return f"split(lower(trim({col_sql})), '\\\\s+')"
+
+
+def _sql_hashed_token_bids(col_sql: str, n_buckets: int = 16) -> str:
+    return (
+        f"transform({_sql_words(col_sql)}, "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {n_buckets})"
+    )
+
+
+def _sql_hashed_token_feature(bids_sql: str, i: int) -> str:
+    return (
+        f"(size(filter({bids_sql}, b -> b = {i})) / greatest(size({bids_sql}), 1))"
+    )
+
+
+def _sql_linear_z(bids_sql: str, weights: list[float], bias: float) -> str:
+    """The left-associated bias + Σ wᵢ·fᵢ chain as SQL text (same
+    fold order as the Column path — float add is not associative)."""
+    z = f"{float(bias)!r}D"
+    for i, w in enumerate(weights):
+        z = f"({z} + {float(w)!r}D * {_sql_hashed_token_feature(bids_sql, i)})"
+    return z
+
+
+def hashed_token_bids(col: Column | str, n_buckets: int = 16) -> Column:
     """Hashing-trick bucket id per token (one md5 each) — the feature
     substrate for `linear_quality_score`. Returned as ONE array column
     so the caller can MATERIALIZE it in its own projection before the
@@ -412,7 +447,11 @@ def hashed_token_bids(col: Column, n_buckets: int = 16) -> Column:
     CodegenFallback (no cross-expression subexpression sharing), so 16
     frequency expressions each embedding their own copy of this
     transform would pay the per-token md5 16× (measured at the 256×/128k-doc
-    rung: 7.0 s inlined → 0.96 s after splitting the projection)."""
+    rung: 7.0 s inlined → 0.96 s after splitting the projection).
+    A str argument is an SQL expression fragment (single-`F.expr`
+    build)."""
+    if isinstance(col, str):
+        return F.expr(_sql_hashed_token_bids(col, n_buckets))
     return F.transform(
         words(col),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
@@ -459,12 +498,11 @@ def linear_quality_score(
     inlined into the 16 frequency expressions) — the 16× md5 hazard
     `hashed_token_bids` documents."""
     bid_col = "__lqs_bids"
-    staged = df.withColumn(bid_col, hashed_token_bids(F.col(text_col), len(weights)))
-    feats = hashed_token_features(F.col(bid_col), len(weights))
-    z = F.lit(float(bias))
-    for w, f in zip(weights, feats):
-        z = z + F.lit(float(w)) * f
-    score = F.round(0.5 * (1.0 + z / (1.0 + F.abs(z))), 6)
+    staged = df.withColumn(bid_col, hashed_token_bids(f"`{text_col}`", len(weights)))
+    # whole z-chain + rational squash as ONE SQL text (same tree as the
+    # former Column-DSL loop: left-associated adds, f-i division order)
+    z = _sql_linear_z(f"`{bid_col}`", [float(w) for w in weights], float(bias))
+    score = F.expr(f"round((0.5D * (1.0D + ({z} / (1.0D + abs({z}))))), 6)")
     return (
         staged.withColumn("score", score)
         .withColumn("kept", F.col("score") >= threshold)

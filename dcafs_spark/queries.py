@@ -2436,7 +2436,6 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes where the fixed-weight scorer cannot."""
     from dcafs_spark.operators.textan import (
         hashed_token_bids,
-        hashed_token_features,
         train_quality_lr,
     )
 
@@ -2451,13 +2450,12 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, label int, score double, kept boolean"
         )
+    from dcafs_spark.operators.textan import _sql_linear_z
+
     bid_col = "__qct_bids"
-    staged = docs.withColumn(bid_col, hashed_token_bids(F.col("text"), len(w)))
-    feats = hashed_token_features(F.col(bid_col), len(w))
-    z = F.lit(float(b))
-    for wi, f in zip(w, feats):
-        z = z + F.lit(float(wi)) * f
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    staged = docs.withColumn(bid_col, hashed_token_bids("`text`", len(w)))
+    z = _sql_linear_z(f"`{bid_col}`", [float(wi) for wi in w], float(b))
+    score = F.expr(f"round((1.0D / (1.0D + exp(-({z})))), 6)")
     return staged.select(
         "doc_id",
         F.col("y").alias("label"),
@@ -8862,13 +8860,14 @@ FROM damaged
 
 def q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl URL pipeline END TO END as one composed DataFrame:
-    blocklist filter (`url_filter`) → first-wins canonical dedup
-    (`url_dedup`) → per-eTLD+1 quota (`bounded_topk`, k=8). One
-    checkpointed canonicalization feeds the dedup; everything else
-    stays narrow until the two tiny hash-keyed shuffles — the shape a
-    production frontier job has."""
+    blocklist filter (`url_filter`) → first-wins canonical dedup →
+    per-eTLD+1 quota (`bounded_topk`, k=8). ONE canonicalization pass
+    (url_filter's) feeds everything: the dedup is a single
+    min-aggregate on the 16-byte canonical md5 (no second url_parts
+    pass, no checkpoint, no join-back — r14), then the quota's two
+    bounded shuffles — the shape a production frontier job has."""
     from dcafs_spark.operators.similarity import bounded_topk
-    from dcafs_spark.operators.urls import registered_domain, url_dedup, url_filter
+    from dcafs_spark.operators.urls import url_filter
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", _synth_url_domains_spark().alias("url")
@@ -8879,13 +8878,20 @@ def q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_domains=["brand3.co.uk", "brand7.com", "brand1.net"],
         blocked_path_rules=[r"^/p/3$"],
     ).filter("kept")
-    surv = url_dedup(filtered.select("doc_id", "url"), "url", "doc_id").filter(
-        "kept"
+    # Fused first-wins dedup (r14): url_filter already computed the
+    # canonical form and the REGISTERED domain (idempotent under
+    # registered_domain, and functionally dependent on the canonical
+    # URL), and only survivors feed the quota — so the generic
+    # url_dedup's second url_parts pass, checkpoint and join-back are
+    # replaced by ONE min-aggregate on the 16-byte canonical md5.
+    # Same rows: min(doc_id) per canonical group is exactly
+    # url_dedup's kept=true set.
+    surv = (
+        filtered.groupBy(F.md5("canon_url").alias("_k"), F.col("domain"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "domain")
     )
-    reg = surv.select(
-        "doc_id", registered_domain(F.col("domain")).alias("domain")
-    )
-    ranked = bounded_topk(reg, "domain", F.struct(F.col("doc_id").alias("_i")), 8)
+    ranked = bounded_topk(surv, "domain", F.struct(F.col("doc_id").alias("_i")), 8)
     return ranked.select(
         "domain",
         F.col("_e._i").alias("doc_id"),

@@ -991,9 +991,11 @@ def containment_pairs(
     )
 
     def _sketch(frame: DataFrame, key: str) -> DataFrame:
-        sk = frame.select(
-            key, F.explode(F.slice(F.array_sort("sh"), 1, sketch_k)).alias("bk")
-        )
+        # `_bk` (the bottom-k slice) is precomputed INSIDE the
+        # checkpointed frame: both sides of the self-join formerly
+        # re-ran array_sort over the FULL shingle array past the
+        # checkpoint — O(shingles log shingles) per doc, twice (r14).
+        sk = frame.select(key, F.explode("_bk").alias("bk"))
         if sketch_cap is not None:
             sizes = sk.groupBy("bk").agg(F.count(F.lit(1)).alias("_occ"))
             # checkpointed: both self-join sides consume the capped
@@ -1023,12 +1025,19 @@ def containment_pairs(
             F.col("overlap") >= threshold
         )
 
+    bk_arr = F.slice(F.array_sort("sh"), 1, sketch_k).alias("_bk")
     if not collapse:
         # rare-duplicate fast path: sketch + verify per document
-        sh = df.select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n)).alias("sh"),
-        ).transform(checkpoint)  # sketch explode + both verify sides read it
+        sh = (
+            df.select(
+                F.col(id_col).alias("id"),
+                shingle_hashes(_sql_word_shingles(_qcol(text_col), shingle_n)).alias(
+                    "sh"
+                ),
+            )
+            .select("id", "sh", bk_arr)
+            .transform(checkpoint)
+        )  # sketch explode + both verify sides read it
         return _verified(sh, "id", "id_a", "id_b")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1037,7 +1046,10 @@ def containment_pairs(
     ).transform(checkpoint)
     members = base.select("chash", "id")
     rep = (
-        base.groupBy("chash").agg(F.first("sh").alias("sh")).transform(checkpoint)
+        base.groupBy("chash")
+        .agg(F.first("sh").alias("sh"))
+        .select("chash", "sh", bk_arr)
+        .transform(checkpoint)
     )  # sketch explode + both verify sides
     scored = _verified(rep, "chash", "ch_a", "ch_b")
     return expand_copy_groups(scored, members, "overlap", F.lit(1.0))

@@ -3747,8 +3747,9 @@ def q_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc share vs uniform target as exact integer ppm — one partial agg
     plus a broadcast of the single-row totals, no second scan."""
     docs = _docs(spark, sf_dir)
-    # checkpointed: the totals branch and the weight projection both
-    # consume the (tiny) per-lang rollup — one scan under a write
+    # checkpointed: the totals branch prunes n_chars away, so the two
+    # consumers' subtrees differ and ReuseExchange cannot share the
+    # rollup — the checkpoint keeps the corpus at one scan (r14)
     per = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
     ).transform(checkpoint)
@@ -3919,7 +3920,8 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass instead of three under a write
     tfw = toks.groupBy("doc_id", "w").agg(
         F.count("*").cast("long").alias("c")
-    ).transform(checkpoint)
+    ).transform(checkpoint)  # consumers prune different columns, so
+    # ReuseExchange cannot share the rollup; measured keeper (r14)
     vocab = (
         tfw.groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -4104,9 +4106,12 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w") >= 3  # drop stub tokens: keywords, not stopword glue
     )
     n_docs = docs.count()  # one scalar action on a metadata-cheap count
-    # df derives exactly from the checkpointed tf rollup (distinct docs
-    # per term == tf rows per term): one tokenize pass, not two
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).transform(checkpoint)
+    # df derives exactly from the shared tf rollup (distinct docs per
+    # term == tf rows per term); its shuffle is computed once and shared
+    # across consumers via ReuseExchange (r14: the former checkpoint ran
+    # the shuffle as a serial build-side job for no sharing AQE doesn't
+    # already do)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "w").select(
         "doc_id",
@@ -4291,10 +4296,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort table is one row per user id: small forever)."""
     ev = _events(spark, sf_dir)
     days = ev.select("user_id", F.expr("ts_ns DIV 86400000000000").alias("day"))
-    # the distinct (user, day) set is checkpointed and the cohort rollup
-    # DERIVES from it (min over distinct days == min over raw events):
-    # one events scan instead of two under a write
-    active = days.distinct().transform(checkpoint)
+    # the cohort rollup DERIVES from the distinct (user, day) set (min
+    # over distinct days == min over raw events); the distinct's shuffle
+    # is shared across both consumers via ReuseExchange (r14)
+    active = days.distinct().transform(checkpoint)  # consumers prune
+    # different columns - ReuseExchange misses; measured keeper (r14)
     cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         active.join(cohort, "user_id")
@@ -4526,17 +4532,17 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracketing observations instead of carried forward — what a plot
     or model-feature pipeline wants from irregular sensor data.
 
-    The backward neighbor comes from the union-window as-of join; the
-    FORWARD neighbor reuses the identical operator on negated
-    timestamps (asof(-t) == next(t)) — no second implementation, no
-    range join, still one shuffle+sort per pass. The grid spans
+    BOTH neighbors come from ONE union-window pass (r14): backward =
+    a running `last(obs) ignorenulls` in ascending time order, forward
+    = the same running frame over a DESCENDING re-sort of the same
+    partitioning — one shuffle for the whole resample instead of one
+    per direction (two in-partition sorts, no O(n²) following frame).
+    The grid spans
     (first_obs_hour, last_obs_hour], so both neighbors always exist;
     when a grid point lands exactly on an observation the two
     neighbors coincide and the guard returns that value exactly.
     Interpolation arithmetic is written identically on both engines
     (same IEEE double expression tree), rounded at 6dp."""
-    from dcafs_spark.operators.asof import asof_join
-
     HOUR = 3_600_000_000
     ev = (
         _events(spark, sf_dir)
@@ -4549,7 +4555,6 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
-        .transform(checkpoint)
     )
     span = obs.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
@@ -4563,32 +4568,70 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("grid_us", F.col("hour") * HOUR)
     )
-    obs_b = obs.withColumn("obs_ts", F.col("ts_us"))
-    prev = asof_join(grid, obs_b, on="user_id", left_ts="grid_us", right_ts="ts_us").select(
-        "user_id", "hour", "grid_us",
-        F.col("asof_value").alias("pv"),
-        F.col("asof_obs_ts").alias("pt"),
-    )
-    obs_neg = obs.select(
+    # r14: BOTH as-of directions in ONE union-window pass. The two
+    # asof_join calls each paid an Exchange + Sort + Window over the
+    # same (user_id, time) ordering; `last(…preceding)` and
+    # `first(…following)` over one shared sort produce the identical
+    # neighbors with a single shuffle (guide §2.4: window functions on
+    # the same key share one partitioning). Tie-handling is preserved:
+    # obs rows sort BEFORE grid rows at equal ts (side desc), so the
+    # backward fill matches <=; the forward frame starts at the grid
+    # row (strictly-later obs only) — when a grid point coincides with
+    # an observation the old path had nt == pt → pv, and here either
+    # the zero-weight interp (grid_us − pt = 0) or the nt-null guard
+    # (grid == last obs) returns that same pv exactly.
+    from pyspark.sql import Window
+
+    g_tag = grid.select(
         "user_id",
-        F.col("value").alias("nv"),
-        (-F.col("ts_us")).alias("neg_ts"),
-        F.col("ts_us").alias("nt0"),
+        F.col("grid_us").alias("_t"),
+        F.lit(0).alias("_side"),
+        "hour",
+        F.lit(None).cast("struct<ts:bigint,v:double>").alias("_obs"),
+    )
+    o_tag = obs.select(
+        "user_id",
+        F.col("ts_us").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(grid.schema["hour"].dataType).alias("hour"),
+        F.struct(
+            F.col("ts_us").alias("ts"), F.col("value").alias("v")
+        ).alias("_obs"),
+    )
+    # Both directions as RUNNING (unbounded-preceding) frames — the
+    # forward neighbor uses a DESCENDING re-sort of the same partition
+    # rather than an unbounded-FOLLOWING frame, because Spark evaluates
+    # a following frame by rescanning the remainder of the partition
+    # per row (O(n²) per user — measured 4.2 s vs 1.55 s at sf0.1).
+    # Same exchange serves both windows; only the in-partition sort
+    # runs twice. Tie order: ascending puts obs (side 1) BEFORE grid at
+    # equal ts (backward fill matches <=); descending puts grid first,
+    # so the forward fill sees strictly-later obs only.
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = (
-        prev.withColumn("neg_grid", -F.col("grid_us"))
-        .transform(
-            lambda d: asof_join(
-                d, obs_neg, on="user_id", left_ts="neg_grid", right_ts="neg_ts"
-            )
-        )
+        g_tag.unionByName(o_tag)
+        .withColumn("_p", F.last("_obs", ignorenulls=True).over(w_prev))
+        .withColumn("_n", F.last("_obs", ignorenulls=True).over(w_next))
+        .filter(F.col("_side") == 0)
+        .select("user_id", "hour", F.col("_t").alias("grid_us"), "_p", "_n")
         .select(
-            "user_id", "hour", "grid_us", "pv", "pt",
-            F.col("asof_nv").alias("nv"),
-            F.col("asof_nt0").alias("nt"),
+            "user_id", "hour", "grid_us",
+            F.col("_p.v").alias("pv"), F.col("_p.ts").alias("pt"),
+            F.col("_n.v").alias("nv"), F.col("_n.ts").alias("nt"),
         )
     )
-    interp = F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+    interp = F.when(
+        F.col("nt").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")
+    ).otherwise(
         F.col("pv")
         + (F.col("nv") - F.col("pv"))
         * (
@@ -4904,27 +4947,30 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     `2_minimum_cost_supplier.sql`): the correlated
     ``cost = (SELECT min(cost) ... WHERE same part)`` becomes a
     two-level aggregate — per-(part, supplier) best offer, then the
-    per-part minimum equi-joined back as the filter. No window over
-    the fact table (a per-part window would sort-shuffle every offer
-    row); both rollups are map-side-combinable groupBys and the join
-    keys are 8-byte part keys. Ties keep EVERY minimal supplier —
-    deterministic without an arbitrary first(). Offers compare as
-    STORED doubles (min + equality, no float arithmetic), so the
-    DuckDB oracle matches bit-for-bit. The offers rollup is lazily
-    checkpointed: the min table and the filter join both read it, and
-    under a write that would otherwise re-scan lineitem."""
+    per-part minimum compared per row as an ANALYTIC over the rollup
+    (r14 — the window runs over the already-collapsed (part, supplier)
+    rollup, never the fact table, so nothing sort-shuffles offer
+    rows). Ties keep EVERY minimal supplier — deterministic without an
+    arbitrary first(). Offers compare as STORED doubles (min +
+    equality, no float arithmetic), so the DuckDB oracle matches
+    bit-for-bit. Lineitem is scanned once."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )
     offers = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("best_offer"))
-        .transform(checkpoint)
     )
-    pm = offers.groupBy("l_partkey").agg(F.min("best_offer").alias("_pmin"))
+    # r14: the per-part minimum is an ANALYTIC over the rollup (same
+    # rows as the former min-table + equi-join-back: min over the
+    # partition compared against each row) — one lineitem scan, no
+    # checkpoint, no join, one exchange fewer. The window runs over
+    # the (part, supplier) ROLLUP, never the fact table.
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    win = offers.join(pm, "l_partkey").filter(F.col("best_offer") == F.col("_pmin"))
+    win = offers.withColumn(
+        "_pmin", F.min("best_offer").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("best_offer") == F.col("_pmin"))
     return (
         win.join(s, win.l_suppkey == s.s_suppkey)
         .join(p, win.l_partkey == p.p_partkey)
@@ -4962,13 +5008,16 @@ def q_laggard_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier on the order) / NOT EXISTS (another supplier equally
     late) pair becomes pure aggregates over a per-(order, supplier)
     rollup — n_supp ≥ 2 is the EXISTS, "exactly one supplier holds
-    the order's last ship date" is the NOT EXISTS (the sole laggard).
+    the order's last ship date" is the NOT EXISTS (the sole laggard);
+    both are analytics over the rollup's order partition (r14), so
+    nothing joins back.
     Adapted to the schema's columns: the fixture lacks
     receipt/commit dates, so "late" is the order's max l_shipdate;
     orders restricted to finished status like Q21's o_orderstatus='F'.
     Every comparison is on stored timestamps/integers — engine-exact.
-    Both intermediate frames fan out to two consumers each and are
-    lazily checkpointed, keeping lineitem at ONE scan under a write."""
+    Lineitem is scanned ONCE: downstream of the per-(order, supplier)
+    rollup everything is windows and filters on the same partition
+    key."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     fo = (
         _t(spark, sf_dir, "orders")
@@ -4979,20 +5028,23 @@ def q_laggard_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(fo, li.l_orderkey == fo.o_orderkey, "left_semi")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("_last"))
-        .transform(checkpoint)
     )
-    o = per.groupBy("l_orderkey").agg(
-        F.max("_last").alias("_olast"), F.count(F.lit(1)).alias("_nsupp")
-    )
+    # r14: both per-order rollups become ANALYTICS over `per` (max/count
+    # over the l_orderkey partition ≡ the former agg + join-back, row
+    # for row), and the solo-laggard count is a second window over the
+    # FILTERED set — which keeps the same partitioning, so it adds no
+    # exchange. One lineitem scan, no checkpoints, two joins fewer.
+    wo = Window.partitionBy("l_orderkey")
     at_last = (
-        per.join(o.filter(F.col("_nsupp") >= 2), "l_orderkey")
-        .filter(F.col("_last") == F.col("_olast"))
+        per.withColumn("_olast", F.max("_last").over(wo))
+        .withColumn("_nsupp", F.count(F.lit(1)).over(wo))
+        .filter((F.col("_nsupp") >= 2) & (F.col("_last") == F.col("_olast")))
         .select("l_orderkey", "l_suppkey")
-        .transform(checkpoint)
     )
-    solo = at_last.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_nlast"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    wait = at_last.join(solo.filter(F.col("_nlast") == 1), "l_orderkey")
+    wait = at_last.withColumn("_nlast", F.count(F.lit(1)).over(wo)).filter(
+        F.col("_nlast") == 1
+    )
     return (
         wait.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
@@ -5209,7 +5261,8 @@ def q_hourly_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("hr").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
-    ).transform(checkpoint)
+    ).transform(checkpoint)  # a/b prune opposite columns - ReuseExchange
+    # misses; measured keeper (r14)
     a = hourly.select(F.col("hr"), F.col("clicks").alias("x"))
     out = None
     for lag in (0, 1):
@@ -5704,7 +5757,7 @@ def q_cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both rollups derive exactly from the checkpointed distinct
     # (user, day) set (count_distinct per day == row count; first-seen
-    # == min day) — one events scan instead of two under a write
+    # == min day) — measured keeper vs the ReuseExchange alternative (r14)
     ud = ev.select("user_id", "day").distinct().transform(checkpoint)
     daily = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     news = (
@@ -6051,14 +6104,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(checkpoint)
     )
     totals = uni.agg(
         F.sum("c").cast("long").alias("u_total"),
     )
     pair_counts = pairs.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
-    ).transform(checkpoint)
+    )
     t_total = pair_counts.agg(F.sum("c_xy").cast("long").alias("t_total"))
     return (
         pair_counts.filter(F.col("c_xy") >= 5)
@@ -6129,7 +6181,6 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(checkpoint)
     )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
     scored = (
@@ -6416,7 +6467,6 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .transform(checkpoint)
     )
     totals = per.agg(F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k"))
     weights = per.crossJoin(F.broadcast(totals)).select(
@@ -6715,7 +6765,8 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         wins.groupBy("h", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("occ"))
-        .transform(checkpoint)
+        .transform(checkpoint)  # the two consumers prune differently -
+        # ReuseExchange misses; measured keeper (r14)
     )
     multi = (
         per_doc.groupBy("h")
@@ -6783,18 +6834,18 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.x", "p.y")
-    # same multi-consumer checkpoints as bigram_pmi: vocab + pair-vocab
+    # vocab/pair-count shuffles are shared across consumers via
+    # ReuseExchange (r14: dropped the former checkpoints — each ran its
+    # shuffle as a serial build-side job and blocked stage pipelining)
     uni = (
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(checkpoint)
     )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
     pc = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
-        .transform(checkpoint)
     )
     p = (
         F.lit(0.7) * (F.col("c_xy").cast("double") / F.col("c_x"))
@@ -7067,7 +7118,6 @@ def q_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         toks.groupBy("source", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
-        .transform(checkpoint)
     )
     ct = st.groupBy("t").agg(F.sum("c_st").cast("long").alias("c_t"))
     ts = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
@@ -8198,7 +8248,8 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
         .groupBy("l_partkey")
         .agg(_dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
-        .transform(checkpoint)
+        .transform(checkpoint)  # the scalar-threshold branch prunes the
+        # key, so ReuseExchange cannot share the rollup (r14)
     )
     tot = pv.agg(
         (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") * F.lit(0.001)).alias("_thr")
@@ -8344,11 +8395,12 @@ def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("_sq"))
-        .transform(checkpoint)
     )
-    tot = qty.groupBy("l_partkey").agg(F.sum("_sq").alias("_tq"))
+    # r14: the per-part total is an ANALYTIC over the rollup (sum over
+    # the l_partkey partition ≡ the former total table + join-back) —
+    # one lineitem scan, no checkpoint, one exchange+join fewer.
     dom = (
-        qty.join(tot, "l_partkey")
+        qty.withColumn("_tq", F.sum("_sq").over(Window.partitionBy("l_partkey")))
         .filter(F.col("_sq") > F.lit(0.5) * F.col("_tq"))
         .select("l_suppkey")
         .distinct()
@@ -9115,8 +9167,10 @@ def q_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     float interpolation (the oracle casts its 0.1 literals to DOUBLE
     so neither engine does decimal arithmetic).
 
-    Scale shape: reference counts are map-side-combinable groupBys
-    over the small reference slice; scoring joins are token-key
+    Scale shape: the reference slice aggregates ONCE into the bigram
+    count table; unigram counts and the vocabulary size derive exactly
+    from it (c_x = Σ_y c_xy, V = |{x}∪{y}| over its keys) instead of
+    re-scanning the slice; scoring joins are token-key
     equi-joins (serving vocabularies too big to broadcast — in
     production the trained LM usually broadcasts instead); V rides in
     as a broadcast 1-row cross join. The ntile runs on the DOC-STATS
@@ -9144,12 +9198,21 @@ def _lm_ppl_frame(docs: DataFrame) -> DataFrame:
         .select("doc_id", "p.x", "p.y")
         .transform(checkpoint)
     )
-    train = pairs.filter(F.col("doc_id") % 10 == 0).transform(checkpoint)
-    cx = train.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c_x"))
+    # r14: ONE aggregation pass over the reference slice. c_x is
+    # derivable exactly as Σ_y c_xy (both count train pairs with that
+    # x), and the vocabulary set {x}∪{y} over train equals the key/value
+    # sets of the (x, y) count table — so cx and voc aggregate the
+    # ALREADY-REDUCED cxy frame (|bigram types| rows) instead of
+    # re-scanning the train slice two more times (guide §2.3: aggregate
+    # before you shuffle; the three subtrees share cxy's Exchange via
+    # ReuseExchange). The former `train` checkpoint disappears with its
+    # materialization job: train is now consumed exactly once.
+    train = pairs.filter(F.col("doc_id") % 10 == 0)
     cxy = train.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_x"))
     voc = (
-        train.select(F.col("x").alias("t"))
-        .unionAll(train.select(F.col("y").alias("t")))
+        cxy.select(F.col("x").alias("t"))
+        .unionAll(cxy.select(F.col("y").alias("t")))
         .agg(F.countDistinct("t").cast("long").alias("v"))
     )
     p = (F.coalesce(F.col("c_xy"), F.lit(0)).cast("double") + F.lit(0.1)) / (

@@ -98,7 +98,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def bounded_topk(scored: DataFrame, key_col: str, sort_struct: Column, k: int) -> DataFrame:
+def bounded_topk(
+    scored: DataFrame, key_col: str | list[str], sort_struct: Column, k: int
+) -> DataFrame:
     """Per-key top-k WITHOUT a full per-key sort — the 100×-safe rank
     shape for the recall evals (round-11 review: `row_number()` over
     `partitionBy(query_id)` funnels N×|queries| scored rows into
@@ -119,7 +121,9 @@ def bounded_topk(scored: DataFrame, key_col: str, sort_struct: Column, k: int) -
     `sort_struct` must be an ASCENDING-comparable struct whose field
     order encodes the ranking (order key first, tie-break second,
     payload after). Returns (key_col, _pos, _e) with `_pos` the
-    0-based rank and `_e` the struct.
+    0-based rank and `_e` the struct. `key_col` may be a LIST of
+    column names (r14): a composite key ranks several independent
+    score families in ONE two-stage pass instead of one pass each.
 
     Caveat (r12 ADVICE): stage 1's `collect_list` buffers every row of
     a (key, input-partition) group in the aggregation buffer before
@@ -130,17 +134,18 @@ def bounded_topk(scored: DataFrame, key_col: str, sort_struct: Column, k: int) -
     or salt upstream so the per-partition per-key row count stays
     memory-sized. The recall evals satisfy this by construction
     (|queries| keys spread over all scan partitions)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     local = (
-        scored.groupBy(key_col, F.spark_partition_id().alias("__btk_part"))
+        scored.groupBy(*keys, F.spark_partition_id().alias("__btk_part"))
         .agg(F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("_top"))
         .drop("__btk_part")
     )
     merged = (
-        local.select(key_col, F.explode("_top").alias("_e"))
-        .groupBy(key_col)
+        local.select(*keys, F.explode("_top").alias("_e"))
+        .groupBy(*keys)
         .agg(F.slice(F.array_sort(F.collect_list("_e")), 1, k).alias("_top"))
     )
-    return merged.select(key_col, F.posexplode("_top").alias("_pos", "_e"))
+    return merged.select(*keys, F.posexplode("_top").alias("_pos", "_e"))
 
 
 def _cos_rank_key(id_col: str) -> Column:

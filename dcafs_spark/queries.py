@@ -7887,7 +7887,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = _pq_adc_micro(qv, F.col("_codes"), books)
     scored = pairs.select(
         "query_id", "vec_id", d2.alias("_d_exact"), adc.alias("_d_adc")
-    ).transform(checkpoint)
+    )  # single consumer since the fused rollup (r14) — no checkpoint
     return _pq_hits_rollup(scored, n_q=16)
 
 
@@ -7941,21 +7941,40 @@ def _pq_hits_rollup(
     fully sorted each to keep 5)."""
     from dcafs_spark.operators.similarity import bounded_topk
 
-    out = None
-    for method, dist in methods:
-        s = F.struct(F.col(dist).alias("_o"), F.col("vec_id").alias("_i"))
-        hits = (
-            bounded_topk(scored, "query_id", s, 5)
-            .filter(F.col("_e._i") == F.col("query_id") - 100000)
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .select(
-                F.lit(method).alias("method"),
-                F.col("hits").cast("long").alias("hits"),
-                (F.col("hits") / F.lit(float(n_q))).alias("recall5"),
-            )
+    # r14: ALL methods rank in ONE composite-key bounded_topk pass
+    # (key = (query_id, method) after a stack() explode) instead of one
+    # two-exchange pass per method — same per-(query, method) top-5 row
+    # for row, since the sort struct and grouping are identical within
+    # each method slice. Hit counts come back as conditional sums off
+    # one aggregate, so a zero-hit method still emits its row exactly
+    # like the former per-method count-over-empty did.
+    stack_args = ", ".join(f"'{m}', {d}" for m, d in methods)
+    stacked = scored.select(
+        "query_id",
+        "vec_id",
+        F.expr(f"stack({len(methods)}, {stack_args}) AS (method, _d)"),
+    ).select("query_id", "vec_id", "method", "_d")
+    s = F.struct(F.col("_d").alias("_o"), F.col("vec_id").alias("_i"))
+    counts = (
+        bounded_topk(stacked, ["query_id", "method"], s, 5)
+        .filter(F.col("_e._i") == F.col("query_id") - 100000)
+        .agg(
+            *[
+                F.sum(F.when(F.col("method") == m, 1).otherwise(0)).alias(f"_h{i}")
+                for i, (m, _d) in enumerate(methods)
+            ]
         )
-        out = hits if out is None else out.unionByName(hits)
-    return out
+    )
+    row_args = ", ".join(
+        f"'{m}', CAST(coalesce(_h{i}, 0) AS BIGINT)" for i, (m, _d) in enumerate(methods)
+    )
+    return counts.select(
+        F.expr(f"stack({len(methods)}, {row_args}) AS (method, hits)")
+    ).select(
+        "method",
+        F.col("hits").cast("long").alias("hits"),
+        (F.col("hits") / F.lit(float(n_q))).alias("recall5"),
+    )
 
 
 _TRAINED_PQ_MEMO: dict[str, list[list[list[float]]]] = {}
@@ -8046,7 +8065,7 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.alias("_d_exact"),
         _pq_adc_micro(qv, F.col("_cf"), fixed).alias("_d_fixed"),
         _pq_adc_micro(qv, F.col("_ct"), trained).alias("_d_trained"),
-    ).transform(checkpoint)
+    )  # single consumer since the fused rollup (r14) — no checkpoint
     return _pq_hits_rollup(
         scored,
         n_q=16,

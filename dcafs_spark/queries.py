@@ -4482,19 +4482,20 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
         .select("user_id", "ts_us", "event_id", "value")
     )
-    # checkpoint the deduped observations and derive the span FROM
-    # them (min/max ts_us is invariant under the (user, µs) dedup):
-    # the unreused alternative scans the events parquet once per
-    # consumer — measured 2 full scans here and 3 in resample_interp
-    # (AQE exchange reuse does not fire across the asof's union
-    # branches). One node-local materialization of the already-
-    # collapsed rollup replaces every rescan+re-agg at any SF.
+    # r14: the deduped observations have ONE consumer (the as-of fill),
+    # so no lineage cut is needed. The grid span derives from the RAW
+    # event stream — min/max are duplicate-insensitive, so the values
+    # are identical — as a second NARROW scan (user_id + ts_us only,
+    # column-pruned at the parquet reader, no dedup shuffle). The
+    # former checkpoint materialized obs, which is corpus-sized
+    # (deduped observations ≈ the event table): dearer than the
+    # 2-column re-scan at any SF. Budgeted events:2 (dual-role) in
+    # tests/scan_budgets.py.
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
-        .transform(checkpoint)
     )
-    span = obs.groupBy("user_id").agg(
+    span = ev.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
         F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
     )
@@ -4549,14 +4550,20 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
         .select("user_id", "ts_us", "event_id", "value")
     )
-    # same single-scan restructure as resample_gapfill: checkpoint the
-    # deduped observations (used by BOTH as-of passes), span derives
-    # from them — the events parquet is scanned exactly once
+    # r14: the deduped observations have ONE consumer (the window union
+    # leg), so no lineage cut is needed. The grid span derives from the
+    # RAW event stream instead — min/max are duplicate-insensitive, so
+    # the values are identical — as a second NARROW scan (user_id +
+    # ts_us only, column-pruned at the parquet reader). The alternative
+    # single-scan form checkpoints `obs`, but obs is corpus-sized
+    # (deduped observations ≈ the event table), so the materialization
+    # costs more than the 2-column re-scan at any SF; budgeted as the
+    # dual-role events:2 in tests/scan_budgets.py.
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
     )
-    span = obs.groupBy("user_id").agg(
+    span = ev.groupBy("user_id").agg(
         F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
         F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
     )
@@ -6079,37 +6086,44 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SINGLE identical double expression on both engines, so the 6dp
     round is deterministic.
 
-    Scale shape: pairs are built map-side by zipping each token array
-    with its own tail (no window, no self-join); pair and unigram
-    counts are map-side-combinable groupBys; the two count joins are
-    equi-joins on the token key (co-partitioned by AQE); the T/U
-    scalars ride in as a broadcast 1-row cross join. Nothing touches a
-    driver or a global sort at any SF. min-count 5 bounds the output
-    to the interesting head without a top-k."""
+    Scale shape (r14): unigram AND pair counts come from ONE unified
+    explode (each token emits struct(t, NULL), each adjacent pair
+    struct(x, y)) feeding ONE map-side-combinable groupBy — the corpus
+    is scanned and tokenized ONCE for all count rollups (the split
+    uni/pair form paid two full corpus passes, one per rollup leg; a
+    NULL y unambiguously marks unigram rows because tokens are
+    non-empty strings). The unified count table (vocab + pair-vocab,
+    zipf-headed, tiny vs the corpus) sits behind the checkpoint seam so
+    its five consumers (two scoring joins, two totals, the filter) read
+    the materialized rollup instead of diverging the plan back into
+    multiple scans. The two count joins are equi-joins on the token key
+    (co-partitioned by AQE); the T/U scalars ride in as a broadcast
+    1-row cross join. Nothing touches a driver or a global sort at any
+    SF. min-count 5 bounds the output to the interesting head without a
+    top-k."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(_toks_expr().alias("w"))
-    pairs = toks.select(
+    unified = toks.select(
         F.explode(
             F.expr(
+                "concat("
+                "transform(w, t -> struct(t AS x, CAST(NULL AS STRING) AS y)), "
                 "transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))"
+                ")"
             )
         ).alias("p")
     ).select("p.x", "p.y")
-    # uni (vocab) and pair_counts (pair-vocab) are each consumed by
-    # multiple branches (totals + the scoring joins); checkpointed so
-    # the corpus is tokenized once per rollup instead of once per
-    # consumer (measured 5 documents scans under a write — AQE stage
-    # reuse does not fire there). Both are reduced, zipf-headed data.
-    uni = (
-        toks.select(F.explode("w").alias("t"))
-        .groupBy("t")
+    counts = (
+        unified.groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(checkpoint)
+    )
+    uni = counts.filter(F.col("y").isNull()).select(F.col("x").alias("t"), "c")
+    pair_counts = counts.filter(F.col("y").isNotNull()).select(
+        "x", "y", F.col("c").alias("c_xy")
     )
     totals = uni.agg(
         F.sum("c").cast("long").alias("u_total"),
-    )
-    pair_counts = pairs.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("c_xy")
     )
     t_total = pair_counts.agg(F.sum("c_xy").cast("long").alias("t_total"))
     return (
@@ -6176,8 +6190,12 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc rollup shuffles doc_id once."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_toks_expr()).alias("t"))
-    # vocab rollup checkpointed: consumed by totals AND the scoring
-    # join — without it each consumer re-scans + re-tokenizes
+    # two corpus passes by design: the vocab rollup (shared at runtime
+    # by totals and the scoring join — exchange reuse fires, both prune
+    # (t, c)) and the raw token stream the scoring join consumes. A
+    # checkpoint on `uni` would not reduce passes (the rollup build IS
+    # pass one either way), it would only add a materialization —
+    # dropped r14. Budgeted as documents:2 in tests/scan_budgets.py.
     uni = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -6461,12 +6479,16 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dcafs_spark.operators.sampling import hash_bucket
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    # lang-count rollup checkpointed (a handful of rows): totals,
-    # weights, and the final audit join all consume it — measured 5
-    # documents scans under a write without the checkpoint
+    # lang-count rollup checkpointed (a handful of rows): totals and
+    # the two weights consumers prune DIFFERENT columns, so runtime
+    # exchange reuse cannot share the rollup — without the checkpoint
+    # the corpus is scanned 3x under a write (re-measured r14 on the
+    # runtime-final plan). 2 passes (rollup build + keep filter) is the
+    # docstring's design floor.
     per = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .transform(checkpoint)
     )
     totals = per.agg(F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k"))
     weights = per.crossJoin(F.broadcast(totals)).select(
@@ -6819,8 +6841,13 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed IEEE expression on exact int64 counts, identical on both
     engines — same trick as `unigram_surprisal`).
 
-    Scale shape: pair and unigram counts are map-side-combinable
-    groupBys; scoring joins are token-key equi-joins (vocab is
+    Scale shape (r14): unigram and pair counts come from ONE unified
+    explode + groupBy (NULL y marks unigram rows — same single-pass
+    trick as `bigram_pmi`), checkpointed so its four consumers read the
+    materialized rollup; the scoring join then makes a SECOND corpus
+    pass over the raw pair stream (fundamental — per-pair scores need
+    the pairs). Two corpus passes total, down from three in the
+    per-rollup form. Scoring joins are token-key equi-joins (vocab is
     corpus-sized, NOT broadcast); U rides in as a broadcast 1-row
     cross join; the per-doc rollup shuffles doc_id once."""
     docs = _docs(spark, sf_dir)
@@ -6834,19 +6861,26 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.x", "p.y")
-    # vocab/pair-count shuffles are shared across consumers via
-    # ReuseExchange (r14: dropped the former checkpoints — each ran its
-    # shuffle as a serial build-side job and blocked stage pipelining)
-    uni = (
-        toks.select(F.explode("w").alias("t"))
-        .groupBy("t")
+    unified = toks.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(w, t -> struct(t AS x, CAST(NULL AS STRING) AS y)), "
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))"
+                ")"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    counts = (
+        unified.groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(checkpoint)
+    )
+    uni = counts.filter(F.col("y").isNull()).select(F.col("x").alias("t"), "c")
+    pc = counts.filter(F.col("y").isNotNull()).select(
+        "x", "y", F.col("c").alias("c_xy")
     )
     totals = uni.agg(F.sum("c").cast("long").alias("u_total"))
-    pc = (
-        pairs.groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
-    )
     p = (
         F.lit(0.7) * (F.col("c_xy").cast("double") / F.col("c_x"))
         + F.lit(0.3) * (F.col("c_y").cast("double") / F.col("u_total"))

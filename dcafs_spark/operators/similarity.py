@@ -557,6 +557,49 @@ def kmeans_seeds(v: DataFrame, k: int) -> DataFrame:
     return v.orderBy("_id").limit(k)
 
 
+_ITER_FRAME_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def _iter_frame(v: DataFrame, row_bytes: int) -> DataFrame:
+    """Materialize a training frame ONCE for an iteration loop (r14).
+
+    Every Lloyd's/GD iteration is a fresh job over the same frame;
+    without a lineage cut each job re-runs the upstream scan AND the
+    ensure_parallelism repartition — iters full passes plus iters full
+    shuffles of the corpus for identical bytes (the MLlib idiom is
+    ``data.cache()`` before iterating, for exactly this reason). After
+    materializing, tasks are re-sized to ~64 MB from the MEASURED row
+    count: at bench SFs the loop then runs single-task jobs (scheduling
+    floor, not task count, dominates there); at 100 TB the formula
+    leaves the partitioning alone. Values are unchanged — only
+    aggregation grouping may reorder float partial sums, which is the
+    documented tolerance of every trained gate (rows-only + numpy
+    allclose replica).
+
+    Session-scoped by (application id, analyzed-plan semanticHash):
+    `similarity_ivfpq_trained` trains the coarse quantizer AND the
+    codebooks over the SAME frame — one materialization serves both
+    trainers. Bounded like the trainer memos (a handful of distinct
+    training frames per process); dropping an entry lets the
+    ContextCleaner reclaim the blocks."""
+    from dcafs_spark.runtime import checkpoint
+
+    key = (
+        v.sparkSession.sparkContext.applicationId,
+        int(v._jdf.queryExecution().analyzed().semanticHash()),
+    )
+    hit = _ITER_FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    v = v.transform(checkpoint, eager=True)
+    n = v.count()
+    want = int(n * row_bytes // (64 << 20)) + 1
+    if want < v.rdd.getNumPartitions():
+        v = v.coalesce(want)
+    _ITER_FRAME_CACHE[key] = v
+    return v
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 8,
@@ -575,6 +618,7 @@ def kmeans_train(
     centroid matrix ever reaches the driver. Deterministic init: the
     first k vectors by id (no RNG → reproducible plans)."""
     v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    v = _iter_frame(v, row_bytes=8 * dim + 16)
     first_k = kmeans_seeds(v, k).collect()
     cents = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
     for _ in range(iters):
@@ -584,14 +628,28 @@ def kmeans_train(
         # blowup: measured 227 s/3-iter train at k=12 vs 3 s for the
         # struct form in kmeans_train_l2 — round-12 anisotropy probe).
         # Ties: min(−d) = max(d), then min cid — same first-maximal
-        # winner as the strict-> chain.
-        cand = []
-        for cid, cv in enumerate(cents):
-            n = math.sqrt(sum(x * x for x in cv)) or 1.0
-            d = dot(F.col("_v"), dlit_array([x / n for x in cv]))
-            cand.append(F.struct((-d).alias("d"), F.lit(cid).alias("j")))
-        best_cid = F.array_min(F.array(*cand))["j"]
-        assigned = v.select(best_cid.alias("cid"), "_v")
+        # winner as the strict-> chain. r14: assignment as ONE
+        # flat-literal-matrix SQL text (train_pq's data-addressed form
+        # — the normalized centroids ride as a single k·dim array and
+        # j/i index into it): same products, same left fold, same
+        # bits, but the plan text and codegen stay O(1) in k·dim —
+        # measured 0.39 s/iter vs 0.98 (per-centroid Column HOFs) and
+        # 1.43 (inline-expanded text) at sf0.01.
+        flat = [
+            x / (math.sqrt(sum(y * y for y in cv)) or 1.0)
+            for cv in cents
+            for x in cv
+        ]
+        d_sql = (
+            f"aggregate(sequence(0, {dim - 1}), CAST(0.0D AS DOUBLE), "
+            f"(acc, i) -> acc + element_at(_v, i + 1)"
+            f" * element_at({_sql_dlit(flat)}, j * {dim} + i + 1))"
+        )
+        assigned = v.selectExpr(
+            f"array_min(transform(sequence(0, {k - 1}), "
+            f"j -> named_struct('d', -({d_sql}), 'j', CAST(j AS INT)))).j AS cid",
+            "_v",
+        )
         rows = (
             assigned.groupBy("cid")
             .agg(*[F.avg(F.element_at("_v", i + 1)).alias(f"d{i}") for i in range(dim)])
@@ -635,6 +693,7 @@ def kmeans_train_l2(
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    v = _iter_frame(v, row_bytes=8 * dim + 16)
     first_k = kmeans_seeds(v, k).collect()
     cents = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
     for _ in range(iters):
@@ -642,14 +701,21 @@ def kmeans_train_l2(
         # orders by d then cid, so ties take the FIRST minimal centroid
         # — and each distance expression appears exactly once (a nested
         # when-chain would re-embed the growing best_d tree twice per
-        # step: 2^k expression blowup at k=16)
-        cand = []
-        for cid, cv in enumerate(cents):
-            cn2 = sum(x * x for x in cv)
-            d = F.lit(cn2) - 2.0 * dot(F.col("_v"), dlit_array(cv))
-            cand.append(F.struct(d.alias("d"), F.lit(cid).alias("j")))
-        best_cid = F.array_min(F.array(*cand))["j"]
-        assigned = v.select(best_cid.alias("cid"), "_v")
+        # step: 2^k expression blowup at k=16). r14: the flat-literal-
+        # matrix SQL text (see kmeans_train) — same bits, O(1) plan.
+        flat = [x for cv in cents for x in cv]
+        cn2_sql = _sql_dlit([float(sum(x * x for x in cv)) for cv in cents])
+        d_sql = (
+            f"element_at({cn2_sql}, j + 1) - 2.0D * "
+            f"aggregate(sequence(0, {dim - 1}), CAST(0.0D AS DOUBLE), "
+            f"(acc, i) -> acc + element_at(_v, i + 1)"
+            f" * element_at({_sql_dlit(flat)}, j * {dim} + i + 1))"
+        )
+        assigned = v.selectExpr(
+            f"array_min(transform(sequence(0, {k - 1}), "
+            f"j -> named_struct('d', {d_sql}, 'j', CAST(j AS INT)))).j AS cid",
+            "_v",
+        )
         rows = (
             assigned.groupBy("cid")
             .agg(*[F.avg(F.element_at("_v", i + 1)).alias(f"d{i}") for i in range(dim)])
@@ -696,6 +762,7 @@ def train_pq(
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    v = _iter_frame(v, row_bytes=8 * dim + 16)
     first_k = kmeans_seeds(v, k).collect()
     seeds = [list(r["_v"]) for r in sorted(first_k, key=lambda r: r["_id"])]
     # corpora with fewer than k vectors (including EMPTY — the

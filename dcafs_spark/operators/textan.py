@@ -561,21 +561,47 @@ def train_quality_lr(
     n_pos, n = float(counts["np"] or 0), float(counts["n"] or 0)
     if n_pos == 0 or n_pos == n:
         raise ValueError("train_quality_lr: need both classes present")
+    # Scale-adaptive task sizing for the iteration loop (r14): each GD
+    # step is a full-frame aggregation JOB, so per-task scheduling
+    # overhead is paid iters× — coalesce the materialized (1 + n_buckets)-
+    # double rows to ~64 MB/task. At bench SFs that is ONE task per
+    # step (measured ~3x faster per step); at 100 TB the formula keeps
+    # every core busy (n·136 B ≫ 64 MB·cores), so this is a no-op there.
+    row_bytes = 8 * (1 + n_buckets)
+    want = int(n * row_bytes // (64 << 20)) + 1
+    nparts = frame.rdd.getNumPartitions()
+    if want < nparts:
+        frame = frame.coalesce(want)
     pos_w = (n - n_pos) / n_pos
     w = [0.0] * n_buckets
     b = 0.0
     for _ in range(iters):
-        z = F.lit(b)
-        for wi, i in zip(w, range(n_buckets)):
-            z = z + F.lit(wi) * F.col(f"f{i}")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        sw = F.when(F.col("y") > 0, F.lit(pos_w)).otherwise(F.lit(1.0))
-        r = sw * (p - F.col("y"))
-        row = frame.agg(
-            F.sum(sw).alias("sw"),
-            F.sum(r).alias("gb"),
-            *[F.sum(r * F.col(f"f{i}")).alias(f"g{i}") for i in range(n_buckets)],
-        ).collect()[0]
+        # per-step expressions as SQL text (one selectExpr instead of
+        # ~600 py4j Column calls per step — the round-14 build-latency
+        # pattern). The residual r = sw·(p−y) is projected ONCE per row
+        # and the 18 aggregates reference the projected columns: the
+        # former form re-embedded the full z tree in every gradient
+        # column, so each step paid whole-stage-codegen compilation of
+        # a ~17x larger source (weights are fresh literals every step —
+        # no codegen cache hit possible). Sums are bit-identical: r
+        # evaluates to the same double either way.
+        z = f"{float(b)!r}D"
+        for i, wi in enumerate(w):
+            z = f"({z} + {float(wi)!r}D * f{i})"
+        p = f"(1.0D / (1.0D + exp(-{z})))"
+        sw = f"(CASE WHEN y > 0 THEN {float(pos_w)!r}D ELSE 1.0D END)"
+        r = f"({sw} * ({p} - y))"
+        row = (
+            frame.selectExpr(
+                f"{sw} AS _sw", f"{r} AS _r", *[f"f{i}" for i in range(n_buckets)]
+            )
+            .selectExpr(
+                "sum(_sw) AS sw",
+                "sum(_r) AS gb",
+                *[f"sum(_r * f{i}) AS g{i}" for i in range(n_buckets)],
+            )
+            .collect()[0]
+        )
         denom = float(row["sw"])
         b -= lr * float(row["gb"]) / denom
         w = [

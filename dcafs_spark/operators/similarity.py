@@ -82,6 +82,15 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / ({_sql_l2(a)} * {_sql_l2(b)}))"
 
 
+# NOTE (r14, measured): do NOT unroll pair dots into element_at chains.
+# A 64-term multiply-add chain in a join filter ran 3.4x SLOWER than the
+# aggregate(zip_with(...)) HOF on a 570k-pair join (the generated method
+# blows past JIT inlining limits and executes as interpreted bytecode,
+# worse than Catalyst's interpreted HOF loop). The winning lever for
+# pair predicates is evaluating FEWER folds per pair (hoist the per-row
+# norms), not changing the dot's form.
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -1307,6 +1316,7 @@ def semantic_dedup(
                 F.min("_id").alias("_gmin"),
                 F.count(F.lit(1)).alias("_gn"),
                 F.first("_v").alias("_v"),  # copies are bit-identical
+                F.first("_norm").alias("_nrm"),  # so are their norms
                 F.first("c_sim_micro").alias("_cs"),
             )
             .transform(checkpoint)
@@ -1322,6 +1332,7 @@ def semantic_dedup(
             F.col("cluster").alias("_cl"),
             F.col("_ch").alias("_cha"),
             F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"),
             F.col("_cs").alias("_csa"),
             F.col("_gmin").alias("_gma"),
         )
@@ -1329,13 +1340,20 @@ def semantic_dedup(
             F.col("cluster").alias("_cl"),
             F.col("_ch").alias("_chb"),
             F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
             F.col("_cs").alias("_csb"),
             F.col("_gmin").alias("_gmb"),
         )
         crossdom = (
             gl.join(gr, "_cl")
             .filter(F.col("_cha") != F.col("_chb"))
-            .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+            .filter(
+                F.round(
+                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                    6,
+                )
+                >= threshold
+            )
             .filter(
                 (F.col("_csb") < F.col("_csa"))
                 | ((F.col("_csb") == F.col("_csa")) & (F.col("_gmb") < F.col("_gma")))
@@ -1358,18 +1376,28 @@ def semantic_dedup(
         F.col("cluster").alias("_cl"),
         F.col("_id").alias("_ida"),
         F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
         F.col("c_sim_micro").alias("_csa"),
     )
     right = side.select(
         F.col("cluster").alias("_cl"),
         F.col("_id").alias("_idb"),
         F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
         F.col("c_sim_micro").alias("_csb"),
+    )
+    # r14: the pair cosine reuses the PER-ROW norms `scored` already
+    # carries — the former `cosine()` re-ran BOTH l2 folds per PAIR, so
+    # each candidate pair paid three interpreted 64-element folds where
+    # one suffices. Same floats, same fold order (dot unchanged; the
+    # norm product is the identical l2(a)*l2(b) value).
+    pair_cos = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
     )
     pairs = (
         left.join(right, "_cl")
         .filter(F.col("_ida") != F.col("_idb"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(pair_cos >= threshold)
     )
     # x (= _ida) is dominated when the neighbor sits closer to the
     # cluster fringe: lower c_sim, ties to the lower id.

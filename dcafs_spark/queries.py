@@ -9238,19 +9238,23 @@ def _lm_ppl_frame(docs: DataFrame) -> DataFrame:
     shared by the gate above and scripts/round14_spans_ppl_probe.py's
     SCALE rungs."""
     toks = docs.select("doc_id", _toks_expr().alias("w"))
-    pairs = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-                    " (t, i) -> struct(t AS x, w[i + 1] AS y))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.x", "p.y")
-        .transform(checkpoint)
-    )
+    # r14: NO lineage cut on the pair stream. Its two consumers are the
+    # train slice (doc_id % 10 — the filter pushes below the explode to
+    # the SCAN, so that pass tokenizes only the 10% reference slice)
+    # and the scoring join (one full tokenize). Dropping the former
+    # checkpoint trades a corpus-sized materialization of the exploded
+    # pairs (~1.3x corpus bytes written + read back twice) for
+    # re-tokenizing 10% — cheaper at every SF. Budgeted documents:2
+    # (two-pass rollup+score) in tests/scan_budgets.py.
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (t, i) -> struct(t AS x, w[i + 1] AS y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.x", "p.y")
     # r14: ONE aggregation pass over the reference slice. c_x is
     # derivable exactly as Σ_y c_xy (both count train pairs with that
     # x), and the vocabulary set {x}∪{y} over train equals the key/value

@@ -1057,7 +1057,7 @@ def _corpus_curation_frame(docs: DataFrame) -> DataFrame:
         linear_quality_score,
         term_blocklist_stats,
     )
-    from dcafs_spark.operators.urls import registered_domain, url_parts
+    from dcafs_spark.operators.urls import registered_domain, with_url_parts
 
     staged = encoding_qc(docs, min_ascii_ratio=0.995, passthrough=True)
     staged = staged.withColumnRenamed("kept", "enc_kept").drop(
@@ -1072,9 +1072,10 @@ def _corpus_curation_frame(docs: DataFrame) -> DataFrame:
     staged = linear_quality_score(
         staged, _quality_weights(), bias=0.25, threshold=0.7492
     ).withColumnRenamed("kept", "q_kept")
+    staged = with_url_parts(staged, "url", "__canon", "__host")
     narrow = staged.select(
         "doc_id",
-        registered_domain(url_parts(F.col("url")).getField("domain")).alias("domain"),
+        registered_domain(F.col("__host")).alias("domain"),
         "enc_kept",
         "blk_kept",
         "q_kept",
@@ -8982,7 +8983,7 @@ def q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         blocked_domains=["brand3.co.uk", "brand7.com", "brand1.net"],
         blocked_path_rules=[r"^/p/3$"],
-    ).filter("kept")
+    )
     # Fused first-wins dedup (r14): url_filter already computed the
     # canonical form and the REGISTERED domain (idempotent under
     # registered_domain, and functionally dependent on the canonical
@@ -8991,9 +8992,18 @@ def q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced by ONE min-aggregate on the 16-byte canonical md5.
     # Same rows: min(doc_id) per canonical group is exactly
     # url_dedup's kept=true set.
+    # The blocklist verdict is applied ABOVE the aggregate (it is
+    # constant within a canonical group: domain and path both derive
+    # from the canonical URL, so max(kept) IS the group's verdict —
+    # identical rows to filtering first). Filtering below would let
+    # predicate pushdown substitute the whole canonicalization chain
+    # into the filter condition with multiplicative alias fan-out — a
+    # measured ~64 KB optimized plan the driver re-optimizes every
+    # execution, and a second evaluation of every regex per row.
     surv = (
         filtered.groupBy(F.md5("canon_url").alias("_k"), F.col("domain"))
-        .agg(F.min("doc_id").alias("doc_id"))
+        .agg(F.min("doc_id").alias("doc_id"), F.max("kept").alias("_kept"))
+        .filter("_kept")
         .select("doc_id", "domain")
     )
     ranked = bounded_topk(surv, "domain", F.struct(F.col("doc_id").alias("_i")), 8)

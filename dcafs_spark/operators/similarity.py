@@ -204,12 +204,15 @@ def cosine_topk(
     `queries` is broadcast — never do this with a large query set;
     split it and union instead."""
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col)))
+    # SQL-text cosine (r14): same tree as cosine(cast, cast) in ONE
+    # py4j call — the Column-DSL HOF lambdas cost ~100 py4j roundtrips
+    cos_sql = _sql_cosine(
+        f"CAST({vec_col} AS ARRAY<DOUBLE>)", f"CAST({query_vec_col} AS ARRAY<DOUBLE>)"
+    )
     scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")), 6).alias(
-            "cos_sim"
-        ),
+        F.round(F.expr(cos_sql), 6).alias("cos_sim"),
     )
     return bounded_topk(scored, query_id_col, _cos_rank_key(id_col), k).select(
         query_id_col,
@@ -558,14 +561,15 @@ def lsh_topk(
         )
         qsel = qsel.withColumn("bucket", F.explode(probes))
     q = F.broadcast(qsel)
+    cos_sql = _sql_cosine(
+        f"CAST({vec_col} AS ARRAY<DOUBLE>)", f"CAST({query_vec_col} AS ARRAY<DOUBLE>)"
+    )
     scored = (
         c.join(q, "bucket")
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")), 6
-            ).alias("cos_sim"),
+            F.round(F.expr(cos_sql), 6).alias("cos_sim"),
         )
         .dropDuplicates([query_id_col, id_col])
     )

@@ -4551,91 +4551,65 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
         .select("user_id", "ts_us", "event_id", "value")
     )
-    # r14: the deduped observations have ONE consumer (the window union
-    # leg), so no lineage cut is needed. The grid span derives from the
-    # RAW event stream instead — min/max are duplicate-insensitive, so
-    # the values are identical — as a second NARROW scan (user_id +
-    # ts_us only, column-pruned at the parquet reader). The alternative
-    # single-scan form checkpoints `obs`, but obs is corpus-sized
-    # (deduped observations ≈ the event table), so the materialization
-    # costs more than the 2-column re-scan at any SF; budgeted as the
-    # dual-role events:2 in tests/scan_budgets.py.
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
     )
-    span = ev.groupBy("user_id").agg(
-        F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
-        F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
-    )
-    grid = (
-        span.filter(F.col("h1") > F.col("h0"))
-        .select(
-            "user_id",
-            F.explode(F.sequence(F.col("h0") + 1, F.col("h1"))).alias("hour"),
-        )
-        .withColumn("grid_us", F.col("hour") * HOUR)
-    )
-    # r14: BOTH as-of directions in ONE union-window pass. The two
-    # asof_join calls each paid an Exchange + Sort + Window over the
-    # same (user_id, time) ordering; `last(…preceding)` and
-    # `first(…following)` over one shared sort produce the identical
-    # neighbors with a single shuffle (guide §2.4: window functions on
-    # the same key share one partitioning). Tie-handling is preserved:
-    # obs rows sort BEFORE grid rows at equal ts (side desc), so the
-    # backward fill matches <=; the forward frame starts at the grid
-    # row (strictly-later obs only) — when a grid point coincides with
-    # an observation the old path had nt == pt → pv, and here either
-    # the zero-weight interp (grid_us − pt = 0) or the nt-null guard
-    # (grid == last obs) returns that same pv exactly.
+    # r14 (second pass): PAIR-EMISSION form. The union-window form
+    # sorted grid+obs together — the hourly grid is ~10× the
+    # observation count here, so the window exchange sorted 1.15 M rows
+    # to place 100 k observations. Instead, one lag window over the
+    # OBSERVATIONS alone yields each consecutive bracket (pt, nt], and
+    # the grid hours inside each bracket are GENERATED in place by
+    # explode(sequence(...)) — a narrow map, never shuffled or sorted.
+    # The span rollup disappears too: h0 is first_value over the same
+    # window sort, so the raw event stream is scanned ONCE
+    # (tests/scan_budgets.py drops to the default budget).
+    # Neighbor identity with the union-window form: for a grid hour g,
+    # pt = max obs ts ≤ g (the bracket start: pt ≤ g·H < nt), nt = min
+    # obs ts > g (the bracket end) — the exact pair the two running
+    # frames produced, including g exactly ON an observation (that obs
+    # starts its own bracket → zero-weight interp → pv). The final
+    # observation row (lead null) emits its own hour only when it sits
+    # exactly on the grid (ts % HOUR == 0, above h0) — the nt-null
+    # guard returns pv, as before. The interp expression below is
+    # untouched, so identical (pt, pv, nt, nv, grid) inputs give
+    # bit-identical doubles.
     from pyspark.sql import Window
 
-    g_tag = grid.select(
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    pairs = obs.select(
         "user_id",
-        F.col("grid_us").alias("_t"),
-        F.lit(0).alias("_side"),
-        "hour",
-        F.lit(None).cast("struct<ts:bigint,v:double>").alias("_obs"),
-    )
-    o_tag = obs.select(
-        "user_id",
-        F.col("ts_us").alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(grid.schema["hour"].dataType).alias("hour"),
-        F.struct(
-            F.col("ts_us").alias("ts"), F.col("value").alias("v")
-        ).alias("_obs"),
-    )
-    # Both directions as RUNNING (unbounded-preceding) frames — the
-    # forward neighbor uses a DESCENDING re-sort of the same partition
-    # rather than an unbounded-FOLLOWING frame, because Spark evaluates
-    # a following frame by rescanning the remainder of the partition
-    # per row (O(n²) per user — measured 4.2 s vs 1.55 s at sf0.1).
-    # Same exchange serves both windows; only the in-partition sort
-    # runs twice. Tie order: ascending puts obs (side 1) BEFORE grid at
-    # equal ts (backward fill matches <=); descending puts grid first,
-    # so the forward fill sees strictly-later obs only.
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("_t").asc(), F.col("_side").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("_t").desc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    both = (
-        g_tag.unionByName(o_tag)
-        .withColumn("_p", F.last("_obs", ignorenulls=True).over(w_prev))
-        .withColumn("_n", F.last("_obs", ignorenulls=True).over(w_next))
-        .filter(F.col("_side") == 0)
-        .select("user_id", "hour", F.col("_t").alias("grid_us"), "_p", "_n")
+        F.col("ts_us").alias("pt"),
+        F.col("value").alias("pv"),
+        F.lead("ts_us").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+        F.first("ts_us").over(w).alias("_t0"),
+    ).withColumn("_h0", F.expr(f"_t0 DIV {HOUR}"))
+    lo = F.greatest(F.col("_h0") + 1, F.expr(f"(pt + {HOUR} - 1) DIV {HOUR}"))
+    hi = F.expr(f"(nt - 1) DIV {HOUR}")
+    interior = (
+        pairs.filter(F.col("nt").isNotNull())
+        .withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .filter(F.col("_hi") >= F.col("_lo"))
         .select(
-            "user_id", "hour", "grid_us",
-            F.col("_p.v").alias("pv"), F.col("_p.ts").alias("pt"),
-            F.col("_n.v").alias("nv"), F.col("_n.ts").alias("nt"),
+            "user_id",
+            F.explode(F.sequence("_lo", "_hi")).alias("hour"),
+            "pt", "pv", "nt", "nv",
         )
+    )
+    final_pt = pairs.filter(
+        F.col("nt").isNull()
+        & (F.expr(f"pt % {HOUR}") == 0)
+        & (F.expr(f"pt DIV {HOUR}") > F.col("_h0"))
+    ).select(
+        "user_id",
+        F.expr(f"pt DIV {HOUR}").alias("hour"),
+        "pt", "pv", "nt", "nv",
+    )
+    both = interior.unionByName(final_pt).withColumn(
+        "grid_us", F.col("hour") * HOUR
     )
     interp = F.when(
         F.col("nt").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")

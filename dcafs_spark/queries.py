@@ -4466,53 +4466,63 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/io/forward/MathForward.java:619-701) and the shape every
     sensor dashboard resamples to.
 
-    Grid generation is sequence+explode over each key's hour span (no
-    driver loop, no cross join); the fill reuses the union-window
-    as-of join — one shuffle+sort per side, no range cross-product.
     Observations are first collapsed to one row per (user, µs) with
     max_by(event_id) so the fill is tie-free on any data; the grid
     starts one hour after each user's first observation, so every grid
     point has a preceding value (no NULL branch to diverge on). All
     hour arithmetic is bigint integer division — no double rounding
-    can move a grid boundary."""
-    from dcafs_spark.operators.asof import asof_join
+    can move a grid boundary.
 
+    r14 (second pass): PAIR-EMISSION form, exactly the
+    `resample_interp` rewrite — the LOCF value of a grid hour g IS the
+    bracket start pt = max obs ts ≤ g·H, so one lag window over the
+    observations yields each bracket (pt, nt] and the grid hours
+    inside it are generated in place (`explode(sequence(...))`, never
+    shuffled, never sorted — the hourly grid is ~10× the observation
+    count). h0 is first_value over the same sort, so the raw stream is
+    scanned ONCE. The final observation emits its own hour only when
+    it sits exactly on the grid above h0 (the asof fill of that point
+    is itself — pv)."""
     HOUR = 3_600_000_000
     ev = (
         _events(spark, sf_dir)
         .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
         .select("user_id", "ts_us", "event_id", "value")
     )
-    # r14: the deduped observations have ONE consumer (the as-of fill),
-    # so no lineage cut is needed. The grid span derives from the RAW
-    # event stream — min/max are duplicate-insensitive, so the values
-    # are identical — as a second NARROW scan (user_id + ts_us only,
-    # column-pruned at the parquet reader, no dedup shuffle). The
-    # former checkpoint materialized obs, which is corpus-sized
-    # (deduped observations ≈ the event table): dearer than the
-    # 2-column re-scan at any SF. Budgeted events:2 (dual-role) in
-    # tests/scan_budgets.py.
     obs = (
         ev.groupBy("user_id", "ts_us")
         .agg(F.max_by("value", "event_id").alias("value"))
     )
-    span = ev.groupBy("user_id").agg(
-        F.expr(f"min(ts_us) DIV {HOUR}").alias("h0"),
-        F.expr(f"max(ts_us) DIV {HOUR}").alias("h1"),
-    )
-    grid = (
-        span.filter(F.col("h1") > F.col("h0"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    pairs = obs.select(
+        "user_id",
+        F.col("ts_us").alias("pt"),
+        F.col("value").alias("pv"),
+        F.lead("ts_us").over(w).alias("nt"),
+        F.first("ts_us").over(w).alias("_t0"),
+    ).withColumn("_h0", F.expr(f"_t0 DIV {HOUR}"))
+    lo = F.greatest(F.col("_h0") + 1, F.expr(f"(pt + {HOUR} - 1) DIV {HOUR}"))
+    hi = F.expr(f"(nt - 1) DIV {HOUR}")
+    interior = (
+        pairs.filter(F.col("nt").isNotNull())
+        .withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .filter(F.col("_hi") >= F.col("_lo"))
         .select(
-            "user_id",
-            F.explode(F.sequence(F.col("h0") + 1, F.col("h1"))).alias("hour"),
+            "user_id", F.explode(F.sequence("_lo", "_hi")).alias("hour"), "pv"
         )
-        .withColumn("grid_us", F.col("hour") * HOUR)
     )
-    filled = asof_join(grid, obs, on="user_id", left_ts="grid_us", right_ts="ts_us")
-    return filled.select(
+    final_pt = pairs.filter(
+        F.col("nt").isNull()
+        & (F.expr(f"pt % {HOUR}") == 0)
+        & (F.expr(f"pt DIV {HOUR}") > F.col("_h0"))
+    ).select("user_id", F.expr(f"pt DIV {HOUR}").alias("hour"), "pv")
+    return interior.unionByName(final_pt).select(
         "user_id",
         F.col("hour").cast("bigint").alias("hour"),
-        F.round("asof_value", 6).alias("value"),
+        F.round("pv", 6).alias("value"),
     )
 
 

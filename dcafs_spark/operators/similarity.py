@@ -59,6 +59,27 @@ def dlit_array(vals: list[float]) -> Column:
 # by the untouched DuckDB oracle hashes of every gated caller.
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column NAME for SQL-text interpolation so
+    reserved words / special characters resolve exactly as F.col(name)
+    would (r14 advice). Only for identifiers — expression strings must
+    not pass through here."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_double_lit(v: float) -> str:
+    """One double literal as SQL text. Finite values use repr (shortest
+    round-trip decimal; Double.parseDouble is correctly rounded so the
+    value is bit-exact). Non-finite values are not valid `<x>D` literal
+    syntax — emit the documented string-cast forms instead (r14 advice:
+    the old repr path produced unparseable 'infD'/'nanD')."""
+    if math.isfinite(v):
+        return repr(v) + "D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return "CAST('Infinity' AS DOUBLE)" if v > 0 else "CAST('-Infinity' AS DOUBLE)"
+
+
 def _sql_dlit(vals: list[float]) -> str:
     vals = [float(v) for v in vals]
     if len(vals) >= 16 and all(math.isfinite(v) for v in vals):
@@ -73,7 +94,7 @@ def _sql_dlit(vals: list[float]) -> str:
         # rounded, same contract as the repr(x)+'D' path below. NaN/Inf
         # are not JSON — those (and tiny arrays) keep the array() text.
         return "from_json('" + json.dumps(vals) + "', 'array<double>')"
-    return "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+    return "array(" + ",".join(_sql_double_lit(v) for v in vals) + ")"
 
 
 def _sql_dlit2(book: list[list[float]]) -> str:
@@ -205,9 +226,12 @@ def cosine_topk(
     split it and union instead."""
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(query_vec_col)))
     # SQL-text cosine (r14): same tree as cosine(cast, cast) in ONE
-    # py4j call — the Column-DSL HOF lambdas cost ~100 py4j roundtrips
+    # py4j call — the Column-DSL HOF lambdas cost ~100 py4j roundtrips.
+    # Identifiers are backtick-quoted so names F.col would accept
+    # (reserved words, dots, spaces) parse identically here (r14 advice)
     cos_sql = _sql_cosine(
-        f"CAST({vec_col} AS ARRAY<DOUBLE>)", f"CAST({query_vec_col} AS ARRAY<DOUBLE>)"
+        f"CAST({_qident(vec_col)} AS ARRAY<DOUBLE>)",
+        f"CAST({_qident(query_vec_col)} AS ARRAY<DOUBLE>)",
     )
     scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
         query_id_col,
@@ -540,8 +564,9 @@ def lsh_topk(
     else:
 
         def _bv(col):
-            # plain column name → lsh_bucket's SQL-text fast path
-            return col if isinstance(col, str) else col
+            # plain column name → lsh_bucket's SQL-text fast path,
+            # backtick-quoted so reserved-word names resolve (r14 advice)
+            return _qident(col) if isinstance(col, str) else col
 
     c = corpus.select(
         F.col(id_col),
@@ -561,8 +586,10 @@ def lsh_topk(
         )
         qsel = qsel.withColumn("bucket", F.explode(probes))
     q = F.broadcast(qsel)
+    # backtick-quoted identifiers: see cosine_topk (r14 advice)
     cos_sql = _sql_cosine(
-        f"CAST({vec_col} AS ARRAY<DOUBLE>)", f"CAST({query_vec_col} AS ARRAY<DOUBLE>)"
+        f"CAST({_qident(vec_col)} AS ARRAY<DOUBLE>)",
+        f"CAST({_qident(query_vec_col)} AS ARRAY<DOUBLE>)",
     )
     scored = (
         c.join(q, "bucket")
@@ -611,9 +638,10 @@ def _iter_frame(v: DataFrame, row_bytes: int) -> DataFrame:
     Session-scoped by (application id, analyzed-plan semanticHash):
     `similarity_ivfpq_trained` trains the coarse quantizer AND the
     codebooks over the SAME frame — one materialization serves both
-    trainers. Bounded like the trainer memos (a handful of distinct
-    training frames per process); dropping an entry lets the
-    ContextCleaner reclaim the blocks."""
+    trainers. Structurally bounded (oldest entry evicted past 8, and
+    `queries.clear_training_memos` empties it between bench reps);
+    dropping an entry releases the localCheckpoint blocks to the
+    ContextCleaner once the Python/JVM references are gone."""
     from dcafs_spark.runtime import checkpoint
 
     key = (
@@ -628,6 +656,8 @@ def _iter_frame(v: DataFrame, row_bytes: int) -> DataFrame:
     want = int(n * row_bytes // (64 << 20)) + 1
     if want < v.rdd.getNumPartitions():
         v = v.coalesce(want)
+    while len(_ITER_FRAME_CACHE) >= 8:
+        _ITER_FRAME_CACHE.pop(next(iter(_ITER_FRAME_CACHE)))
     _ITER_FRAME_CACHE[key] = v
     return v
 

@@ -97,6 +97,18 @@ def with_url_parts(
     byte-identical (the streaming dedup tier keeps keying on
     `url_parts` itself — value identity is what the stream-vs-batch
     tests pin)."""
+    # r14 advice: `select('*', alias)` would silently duplicate (and
+    # `drop` then remove) a caller column named like a temp stage, and
+    # an existing canon/domain output name would become ambiguous —
+    # refuse loudly instead of corrupting the frame.
+    taken = {"__up_nf", "__up_s", "__up_hp", "__up_r", "__up_h", "__up_p", "__up_q",
+             canon_col, domain_col}
+    clash = sorted(taken.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"with_url_parts: input already has column(s) {clash}; rename "
+            "them or pass different canon_col/domain_col"
+        )
     u = F.col(url_col)
     l0 = df.select("*", F.regexp_replace(u, r"#.*$", "").alias("__up_nf"))
     nofrag = F.col("__up_nf")

@@ -62,6 +62,27 @@ _SCHEMA_MEMO: dict[tuple[str, str], object] = {}
 _NANOS_CONF_SET: set[int] = set()
 
 
+def clear_training_memos() -> None:
+    """Reset every per-sf_dir trained-model memo: LR weights
+    (`operators/textan._LR_MEMO`), IVF coarse centroids
+    (`_TRAINED_IVF_MEMO`), PQ codebooks (`_TRAINED_PQ_MEMO`) and the
+    trainers' shared materialized iteration frames
+    (`operators/similarity._ITER_FRAME_CACHE`). The bench calls this
+    before each timed rep of a ``*_trained`` query so its row includes
+    the training cost instead of a memo-warm replay (r14 verdict item
+    2). Query semantics are unchanged — the memos are pure recompute
+    caches keyed on the immutable parquet snapshot; dropping the
+    iteration frames also releases their localCheckpoint blocks to the
+    ContextCleaner."""
+    from dcafs_spark.operators.similarity import _ITER_FRAME_CACHE
+    from dcafs_spark.operators.textan import _LR_MEMO
+
+    _LR_MEMO.clear()
+    _ITER_FRAME_CACHE.clear()
+    _TRAINED_IVF_MEMO.clear()
+    _TRAINED_PQ_MEMO.clear()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet carries INT64 TIMESTAMP(NANOS). Depending on the Spark
     # runtime this loads as bigint (legacy nanosAsLong conf, <=3.x/4.0),
@@ -4503,23 +4524,23 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts_us").over(w).alias("nt"),
         F.first("ts_us").over(w).alias("_t0"),
     ).withColumn("_h0", F.expr(f"_t0 DIV {HOUR}"))
+    # r15: interior + final-observation legs fused into ONE conditional
+    # hours array (explode of NULL emits nothing) — `pairs` has a
+    # single consumer, making the 1-scan shape structural instead of
+    # relying on AQE exchange reuse (see q_resample_interp)
     lo = F.greatest(F.col("_h0") + 1, F.expr(f"(pt + {HOUR} - 1) DIV {HOUR}"))
     hi = F.expr(f"(nt - 1) DIV {HOUR}")
-    interior = (
-        pairs.filter(F.col("nt").isNotNull())
-        .withColumn("_lo", lo)
-        .withColumn("_hi", hi)
-        .filter(F.col("_hi") >= F.col("_lo"))
-        .select(
-            "user_id", F.explode(F.sequence("_lo", "_hi")).alias("hour"), "pv"
-        )
-    )
-    final_pt = pairs.filter(
+    hours = F.when(
+        F.col("nt").isNotNull() & (hi >= lo), F.sequence(lo, hi)
+    ).when(
         F.col("nt").isNull()
         & (F.expr(f"pt % {HOUR}") == 0)
-        & (F.expr(f"pt DIV {HOUR}") > F.col("_h0"))
-    ).select("user_id", F.expr(f"pt DIV {HOUR}").alias("hour"), "pv")
-    return interior.unionByName(final_pt).select(
+        & (F.expr(f"pt DIV {HOUR}") > F.col("_h0")),
+        F.array(F.expr(f"pt DIV {HOUR}")),
+    )
+    return pairs.select(
+        "user_id", F.explode(hours).alias("hour"), "pv"
+    ).select(
         "user_id",
         F.col("hour").cast("bigint").alias("hour"),
         F.round("pv", 6).alias("value"),
@@ -4596,31 +4617,31 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("nv"),
         F.first("ts_us").over(w).alias("_t0"),
     ).withColumn("_h0", F.expr(f"_t0 DIV {HOUR}"))
+    # r15 (r14 ADVICE follow-up): the interior and final-observation
+    # legs fuse into ONE conditional hours array per pair row —
+    # explode of a NULL array emits nothing — so `pairs` has a single
+    # consumer and the 1-scan shape is STRUCTURAL, not dependent on
+    # AQE runtime exchange reuse firing (the union form re-ran the
+    # whole scan→dedup→window pipeline per leg wherever reuse is off).
+    # Row set identical: the first branch emits sequence(lo, hi)
+    # exactly when nt exists and hi ≥ lo (the old interior filters);
+    # the second emits the final observation's single on-grid hour
+    # under the same three conditions the old final_pt leg filtered on.
     lo = F.greatest(F.col("_h0") + 1, F.expr(f"(pt + {HOUR} - 1) DIV {HOUR}"))
     hi = F.expr(f"(nt - 1) DIV {HOUR}")
-    interior = (
-        pairs.filter(F.col("nt").isNotNull())
-        .withColumn("_lo", lo)
-        .withColumn("_hi", hi)
-        .filter(F.col("_hi") >= F.col("_lo"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("_lo", "_hi")).alias("hour"),
-            "pt", "pv", "nt", "nv",
-        )
-    )
-    final_pt = pairs.filter(
+    hours = F.when(
+        F.col("nt").isNotNull() & (hi >= lo), F.sequence(lo, hi)
+    ).when(
         F.col("nt").isNull()
         & (F.expr(f"pt % {HOUR}") == 0)
-        & (F.expr(f"pt DIV {HOUR}") > F.col("_h0"))
-    ).select(
+        & (F.expr(f"pt DIV {HOUR}") > F.col("_h0")),
+        F.array(F.expr(f"pt DIV {HOUR}")),
+    )
+    both = pairs.select(
         "user_id",
-        F.expr(f"pt DIV {HOUR}").alias("hour"),
+        F.explode(hours).alias("hour"),
         "pt", "pv", "nt", "nv",
-    )
-    both = interior.unionByName(final_pt).withColumn(
-        "grid_us", F.col("hour") * HOUR
-    )
+    ).withColumn("grid_us", F.col("hour") * HOUR)
     interp = F.when(
         F.col("nt").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")
     ).otherwise(

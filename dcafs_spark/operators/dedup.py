@@ -30,7 +30,7 @@ degrades recall explicitly instead of melting a reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from dcafs_spark.runtime import checkpoint
@@ -770,11 +770,18 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(checkpoint)
+    # Initial labels are NOT checkpointed (r15): their only two
+    # consumers are round 1's union branch and join build side, both
+    # pruning the same (node, label) columns, so AQE stage reuse shares
+    # the aggregate's exchange inside round 1's single action — the
+    # separate materialization job bought nothing. Measured with
+    # scripts/r15_cc_probe.py on the dedup_clusters pairs at sf0.1:
+    # 0.536 s / 8 jobs (r14 form) → 0.393 s / 5 jobs with this + the
+    # observe() fold below, identical rows.
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "node")
-        .transform(checkpoint)
     )
     for _ in range(max_iters):
         # One join does both propagation steps: real edges pull neighbor
@@ -799,11 +806,13 @@ def connected_components(
                 F.col("label").alias("_self"),
             )
         )
-        # lazy checkpoint: the convergence count below is the round's one
-        # action and materializes it — an eager checkpoint would spend a
-        # second job per round on mostly-fixed overhead at small scale.
-        # The chg flag rides inside the checkpointed frame so the count
-        # needs no extra join against the previous labels.
+        # The convergence test rides the SAME action that materializes
+        # the round (r15, verdict item 3): an Observation sums the chg
+        # flags while the eager checkpoint computes the round — the r14
+        # form's separate `filter(chg).count()` job per round is gone
+        # (observe() completes under Dataset.checkpoint/localCheckpoint
+        # because they run through withAction — probed explicitly).
+        obs = Observation()
         stepped = (
             combined.join(labels.withColumnRenamed("label", "dlabel"), combined.dst == F.col("node"))
             .groupBy("src")
@@ -813,12 +822,19 @@ def connected_components(
                 "new_label",
                 (F.col("new_label") < F.col("_old")).alias("chg"),
             )
-            .transform(checkpoint, require_cut=True)
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("chg"))
+            .transform(checkpoint, require_cut=True, eager=True)
         )
-        changed = stepped.filter("chg").count()
+        changed = int(obs.get["chg"] or 0)
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+        # NOT a speculative double-round (measured r15): every gated
+        # corpus converges with rounds == 1 — the first round IS the
+        # convergence check (labels0 is already the fixpoint on
+        # clique-shaped LSH components), so fusing two propagation
+        # steps per materialization would add a full wasted round of
+        # exchanges to the common case.
     return labels.select("node", F.col("label").alias("cluster"))
 
 

@@ -3029,7 +3029,15 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5)
     condemned = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return corpus.join(condemned, "doc_id", "left_anti").select("doc_id")
+    # r15 (verdict item 6): broadcast the condemned id-set. It comes
+    # off a checkpointed pair frame whose LogicalRDD stats the planner
+    # can't size, so it fell to SortMergeJoin — shuffling the whole
+    # corpus to anti-join a set that is by construction ≤ the near-dup
+    # pair count (8-byte ids; a dedup pass condemning more ids than a
+    # broadcast holds means the corpus is mostly copies and the
+    # detect side has melted long before this join). Same measured
+    # decision as decontaminate's broadcast_probes default.
+    return corpus.join(F.broadcast(condemned), "doc_id", "left_anti").select("doc_id")
 
 
 def _sql_dedup_apply() -> str:

@@ -1034,7 +1034,18 @@ def containment_pairs(
             .select(F.col(f"l.{key}").alias(out_a), F.col(f"r.{key}").alias(out_b))
             .distinct()
         )
-        j = cand.join(
+        # r15 (verdict item 5, measured scripts/r15_containment_probe.py
+        # at sf0.1): candidate pairs are bare 16-byte id rows — the
+        # DECISION-sized side — while `frame` carries the full shingle
+        # arrays. Broadcasting the pairs keeps the array frame out of
+        # the verify shuffles entirely (guide §8: attach decisions to
+        # the payload without re-shuffling it): verify 0.905 s (SMJ off
+        # unknown LogicalRDD stats) → 0.315 s. Holds while candidates
+        # fit a broadcast (~1e8 pairs); a corpus past that needs the
+        # prior SMJ form back — the join is otherwise unchanged.
+        # Sketch-key skew measured and dismissed in the same probe: max
+        # bucket occupancy 24 docs (p50 3, p99 16) — no salting target.
+        j = F.broadcast(cand).join(
             frame.select(F.col(key).alias(out_a), F.col("sh").alias("sh_a")), out_a
         ).join(frame.select(F.col(key).alias(out_b), F.col("sh").alias("sh_b")), out_b)
         return j.select(out_a, out_b, ov.alias("overlap")).filter(

@@ -653,7 +653,18 @@ def _iter_frame(v: DataFrame, row_bytes: int) -> DataFrame:
         return hit
     v = v.transform(checkpoint, eager=True)
     n = v.count()
-    want = int(n * row_bytes // (64 << 20)) + 1
+    # Task sizing (r15 revision): ~64 MB of rows per task as before,
+    # but with a PARALLELISM FLOOR of min(cores, n/128) — the r14
+    # pure-bytes rule coalesced bench-SF frames to ONE task, and the
+    # iteration jobs turned out compute-bound (interpreted HOF argmin
+    # folds), not scheduling-floor-bound: one train_pq update measured
+    # 0.93 s at 1 partition vs 0.24 s at 16 on the same 2000-row frame.
+    # At scale the byte term dominates the max() and nothing changes.
+    cores = v.sparkSession.sparkContext.defaultParallelism
+    want = max(
+        int(n * row_bytes // (64 << 20)) + 1,
+        min(cores, int(n // 128) or 1),
+    )
     if want < v.rdd.getNumPartitions():
         v = v.coalesce(want)
     while len(_ITER_FRAME_CACHE) >= 8:
@@ -712,14 +723,26 @@ def kmeans_train(
             f"j -> named_struct('d', -({d_sql}), 'j', CAST(j AS INT)))).j AS cid",
             "_v",
         )
+        # Update step as ONE avg over posexploded (cid, dim, x) rows
+        # (r15): the former dim-wide agg built `dim` Column-DSL avg
+        # aggregates (~0.29 s of py4j per iteration at dim=64) and its
+        # 64-buffer hash-agg planned/executed in ~0.6 s on 2000 rows —
+        # the exploded rollup measures 0.06 s build + 0.32-0.51 s exec
+        # for the same means (still map-side combined; the shuffle
+        # carries k×dim (sum,count) cells either way). Partial-sum
+        # GROUPING changes (per (cid,i) key instead of per cid), which
+        # is within the trained gates' documented tolerance — the
+        # numpy differential (atol=1e-9) and rows-only driver gate, the
+        # same class as r14's trainer changes.
         rows = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.element_at("_v", i + 1)).alias(f"d{i}") for i in range(dim)])
+            assigned.select("cid", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("cid", "_i")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
-        new_cents = list(cents)
+        new_cents = [list(c) for c in cents]
         for r in rows:
-            new_cents[r["cid"]] = [r[f"d{i}"] for i in range(dim)]
+            new_cents[r["cid"]][r["_i"]] = r["_m"]
         if new_cents == cents:
             break
         cents = new_cents
@@ -778,14 +801,16 @@ def kmeans_train_l2(
             f"j -> named_struct('d', {d_sql}, 'j', CAST(j AS INT)))).j AS cid",
             "_v",
         )
+        # exploded single-avg update — see kmeans_train (r15)
         rows = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.element_at("_v", i + 1)).alias(f"d{i}") for i in range(dim)])
+            assigned.select("cid", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("cid", "_i")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
-        new_cents = list(cents)
+        new_cents = [list(c) for c in cents]
         for r in rows:
-            new_cents[r["cid"]] = [r[f"d{i}"] for i in range(dim)]
+            new_cents[r["cid"]][r["_i"]] = r["_m"]
         if new_cents == cents:
             break
         cents = new_cents
@@ -844,33 +869,38 @@ def train_pq(
         ).alias("_s", "_sub")
     )
     for _ in range(iters):
-        cn2_flat = dlit_array([sum(x * x for x in c) for bs in books for c in bs])
-        book_flat = dlit_array([x for bs in books for c in bs for x in c])
-
-        def _cand(j: Column) -> Column:
-            # d(s, j) = ||c||² − 2·sub·c, row-constant ||sub||² dropped
-            # (same compare as kmeans_train_l2 / pq_code)
-            slot = F.col("_s") * k + j
-            base = slot * dsub
-            d = F.element_at(cn2_flat, (slot + 1).cast("int")) - 2.0 * F.aggregate(
-                F.sequence(F.lit(0), F.lit(dsub - 1)),
-                F.lit(0.0),
-                lambda acc, i: acc
-                + F.element_at(F.col("_sub"), (i + 1).cast("int"))
-                * F.element_at(book_flat, (base + i + 1).cast("int")),
-            )
-            return F.struct(d.alias("d"), j.alias("j"))
-
-        best = F.array_min(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _cand))["j"]
+        # assignment as ONE SQL text (r15 — the kmeans_train treatment):
+        # the Column-DSL _cand lambda cost ~100 py4j roundtrips per
+        # iteration rebuilding the same fold. Same tree node for node:
+        # d(s, j) = ||c||² − 2·sub·c with the row-constant ||sub||²
+        # dropped (same compare as kmeans_train_l2 / pq_code), first-min
+        # tie via the (d, j) struct — bit-identical distances.
+        cn2_sql = _sql_dlit([sum(x * x for x in c) for bs in books for c in bs])
+        book_sql = _sql_dlit([x for bs in books for c in bs for x in c])
+        d_sql = (
+            f"element_at({cn2_sql}, CAST(_s * {k} + j + 1 AS INT)) - 2.0D * "
+            f"aggregate(sequence(0, {dsub - 1}), CAST(0.0D AS DOUBLE), "
+            f"(acc, i) -> acc + element_at(_sub, CAST(i + 1 AS INT)) "
+            f"* element_at({book_sql}, CAST((_s * {k} + j) * {dsub} + i + 1 AS INT)))"
+        )
+        best_sql = (
+            f"array_min(transform(sequence(0, {k - 1}), "
+            f"j -> named_struct('d', {d_sql}, 'j', CAST(j AS INT)))).j"
+        )
+        # exploded single-avg update — see kmeans_train (r15). The
+        # posexplode sits in its OWN projection: ExtractGenerator's
+        # rewrite of a mixed generator+struct-lambda select drops the
+        # lambda struct's field aliases (FIELD_NOT_FOUND on `.j`).
         rows = (
-            subs.select("_s", best.alias("_cid"), "_sub")
-            .groupBy("_s", "_cid")
-            .agg(*[F.avg(F.element_at("_sub", i + 1)).alias(f"d{i}") for i in range(dsub)])
+            subs.selectExpr("_s", f"{best_sql} AS _cid", "_sub")
+            .select("_s", "_cid", F.posexplode("_sub").alias("_i", "_x"))
+            .groupBy("_s", "_cid", "_i")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
         new_books = [[list(c) for c in bs] for bs in books]
         for r in rows:
-            new_books[r["_s"]][r["_cid"]] = [r[f"d{i}"] for i in range(dsub)]
+            new_books[r["_s"]][r["_cid"]][r["_i"]] = r["_m"]
         if new_books == books:
             break
         books = new_books

@@ -8,7 +8,7 @@ with zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from dcafs_spark.runtime import checkpoint
@@ -552,12 +552,16 @@ def train_quality_lr(
     bid_col = "__lr_bids"
     staged = df.withColumn(bid_col, hashed_token_bids(F.col(text_col), n_buckets))
     feats = hashed_token_features(F.col(bid_col), n_buckets)
-    frame = staged.select(
-        F.col(label_col).cast("double").alias("y"), *feats
-    ).transform(checkpoint, eager=True)
-    counts = frame.agg(
-        F.sum("y").alias("np"), F.count(F.lit(1)).cast("double").alias("n")
-    ).collect()[0]
+    # class counts ride the checkpoint's own action as an Observation
+    # (r15 — the connected_components treatment): one job instead of
+    # materialize + a separate counts aggregate
+    obs = Observation()
+    frame = (
+        staged.select(F.col(label_col).cast("double").alias("y"), *feats)
+        .observe(obs, F.sum("y").alias("np"), F.count(F.lit(1)).cast("double").alias("n"))
+        .transform(checkpoint, eager=True)
+    )
+    counts = obs.get
     n_pos, n = float(counts["np"] or 0), float(counts["n"] or 0)
     if n_pos == 0 or n_pos == n:
         raise ValueError("train_quality_lr: need both classes present")

@@ -56,58 +56,82 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
+_OUT_COLS = [f.name for f in OUTPUT_SCHEMA.fields]
+
+
 def _update_fn(history_n: int):
+    import numpy as np
+
     def update(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             last, vmin, vmax, cnt, total, hist, last_ts = state.get
             hist = list(hist)
         else:
             last, vmin, vmax, cnt, total, hist, last_ts = None, math.inf, -math.inf, 0, 0.0, [], -math.inf
-        # drop NULL value/ts rows up front: a NaN value would make
-        # cnt disagree with the skipna sum (wrong avg), poison the
-        # history ring (NaN hist_avg/stdev once it enters), and a
-        # NaN ts sorts last, freezing last_value.
-        # Concat ALL chunks before the ts sort: a key whose batch spans
-        # several Arrow chunks arrives in arbitrary cross-chunk order,
-        # and sorting per chunk would interleave the history ring out
-        # of event-time order (round-11 review). Memory is bounded by
-        # one key's rows in one micro-batch — the rtvals regime is many
-        # keys × few rows each.
-        frames = [p.dropna(subset=["value", "ts"]) for p in pdfs]
-        frames = [p for p in frames if len(p)]
-        if frames:
-            pdf = pd.concat(frames).sort_values("ts") if len(frames) > 1 else frames[0].sort_values("ts")
-            vals = pdf["value"].astype(float)
-            ts = pdf["ts"].astype(float)
-            vmin = min(vmin, vals.min())
-            vmax = max(vmax, vals.max())
-            cnt += len(vals)
-            total += float(vals.sum())
-            if ts.iloc[-1] >= last_ts:
-                last = float(vals.iloc[-1])
-                last_ts = float(ts.iloc[-1])
-            hist = (hist + list(vals))[-history_n:]
+        # This function runs once per KEY per micro-batch — with a few
+        # thousand keys the per-call constant IS the addBatch knee
+        # (r15 profile: pandas dropna 1011 µs + sort_values 165 µs +
+        # Series min/max/sum 86 µs per call vs 15 µs for the numpy
+        # forms below; output-frame construction 316 µs is the pandas
+        # floor). NULL value/ts rows are still dropped up front (a NaN
+        # value would make cnt disagree with the sum, poison the
+        # history ring, and a NaN ts sorts last, freezing last_value) —
+        # as a numpy mask with a no-copy fast path instead of dropna.
+        # All chunks still concatenate before ONE event-time sort (a
+        # key spanning several Arrow chunks arrives in arbitrary
+        # cross-chunk order — round-11 review); the stable argsort
+        # additionally makes tied-timestamp order deterministic where
+        # sort_values' quicksort was not. Values are bit-identical:
+        # numpy min/max/sum on the same float64 data are the same
+        # kernels pandas dispatches to (no bottleneck in this env).
+        vlist, tlist = [], []
+        for p in pdfs:
+            v = p["value"].to_numpy(dtype=float, copy=False)
+            t = p["ts"].to_numpy(dtype=float, copy=False)
+            keep = ~(np.isnan(v) | np.isnan(t))
+            if not keep.all():
+                v, t = v[keep], t[keep]
+            if len(v):
+                vlist.append(v)
+                tlist.append(t)
+        if vlist:
+            v = np.concatenate(vlist) if len(vlist) > 1 else vlist[0]
+            t = np.concatenate(tlist) if len(tlist) > 1 else tlist[0]
+            order = np.argsort(t, kind="stable")
+            v, t = v[order], t[order]
+            vmin = min(vmin, v.min())
+            vmax = max(vmax, v.max())
+            cnt += len(v)
+            total += float(v.sum())
+            if t[-1] >= last_ts:
+                last = float(v[-1])
+                last_ts = float(t[-1])
+            hist = (hist + v.tolist())[-history_n:]
         state.update((last, vmin, vmax, cnt, total, hist, last_ts))
         full = len(hist) >= history_n
         mean = sum(hist) / len(hist) if hist else None
         stdev = None
         if full and len(hist) > 1:
             stdev = math.sqrt(sum((x - mean) ** 2 for x in hist) / (len(hist) - 1))
-        yield pd.DataFrame(
-            [
-                {
-                    "group": key[0],
-                    "name": key[1],
-                    "last_value": last,
-                    "min_value": vmin,
-                    "max_value": vmax,
-                    "avg_value": round(total / cnt, 3) if cnt else None,
-                    "hist_avg": round(mean, 3) if mean is not None else None,
-                    "hist_stdev": stdev,
-                    "n_updates": cnt,
-                }
-            ]
+        # one-row output via a pre-shaped object ndarray: 121 µs vs
+        # 255-316 µs for the list-of-tuples constructor (×~2000 keys
+        # per batch that difference is ~0.4 s of addBatch). Object
+        # dtype keeps None → NULL for the nullable double fields — a
+        # typed template would coerce None to NaN, which Arrow ships
+        # as NaN, not NULL.
+        out = np.empty((1, 9), dtype=object)
+        out[0] = (
+            key[0],
+            key[1],
+            last,
+            vmin,
+            vmax,
+            round(total / cnt, 3) if cnt else None,
+            round(mean, 3) if mean is not None else None,
+            stdev,
+            cnt,
         )
+        yield pd.DataFrame(out, columns=_OUT_COLS)
 
     return update
 

@@ -25,7 +25,7 @@ import json
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from dcafs_spark.runtime import checkpoint
@@ -651,8 +651,11 @@ def _iter_frame(v: DataFrame, row_bytes: int) -> DataFrame:
     hit = _ITER_FRAME_CACHE.get(key)
     if hit is not None:
         return hit
-    v = v.transform(checkpoint, eager=True)
-    n = v.count()
+    # row count rides the checkpoint's own action as an Observation
+    # (r15 — one job instead of materialize + a separate count)
+    obs = Observation()
+    v = v.observe(obs, F.count(F.lit(1)).alias("n")).transform(checkpoint, eager=True)
+    n = int(obs.get["n"] or 0)
     # Task sizing (r15 revision): ~64 MB of rows per task as before,
     # but with a PARALLELISM FLOOR of min(cores, n/128) — the r14
     # pure-bytes rule coalesced bench-SF frames to ONE task, and the

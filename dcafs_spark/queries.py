@@ -8392,18 +8392,21 @@ def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     `16_parts_supplier_relationship.sql`): how many DISTINCT suppliers
     can deliver each (brand, type, size) combination, excluding one
     brand, one type and the complaint suppliers. The part-supplier
-    relation derives from lineitem (no partsupp in the schema) via a
-    distinct on the two 8-byte keys; "customer complaints" maps to
+    relation derives from lineitem (no partsupp in the schema);
+    "customer complaints" maps to
     negative account balance. The NOT IN subquery is a left-anti join
-    (never materializes matches); part attributes attach AFTER the
-    distinct so the dedup shuffles 16 bytes per row, not part strings;
-    count(DISTINCT) then runs on already-distinct pairs — Spark
-    plans the two-level expand without a second dedup pass."""
+    (never materializes matches). r15: NO pre-distinct on the
+    (partkey, suppkey) pairs — count(DISTINCT suppkey) performs its
+    own two-phase dedup (map-side partial on (brand, type, size,
+    suppkey), then one exchange), so the former `.distinct()` added a
+    whole extra shuffle + aggregate pass over the same cardinality for
+    an identical result (plan: 3 shuffle exchanges → 2; both dim
+    joins broadcast, so the raw pairs reach the partial dedup without
+    moving)."""
     rel = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
-        .distinct()
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     p = (

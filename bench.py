@@ -941,25 +941,50 @@ def run_stream_main_subprocess() -> dict:
 
 
 def run_dedup_capacity_subprocess() -> dict:
-    """Spawn `bench.py --stream-dedup` and parse its one JSON line."""
+    """Spawn `bench.py --stream-dedup` and parse its one JSON line.
+
+    Retries ONCE in a second fresh process when EVERY rung fails
+    (max_kept_up_rps == 0): the r14 root-cause analysis showed ~1 in 8
+    fresh JVMs never lands the optimized C2 compile of the minhash
+    fold (addBatch ~8x its normal time, sticky for that JVM's life) —
+    the r15 closing draw read 40k sustained at a 60k offer with
+    addBatch 12.2 s/batch while an immediate idle-box re-run kept up
+    through 160k. Both draws are recorded (`slow_jvm_first_draw`), the
+    better one is the capability verdict — the same two-draw rule
+    drift_recheck already applies to batch queries."""
     import subprocess
 
     if not os.environ.get("SPARK_GRAFT_STREAM_DEDUP_SWEEP", "x").strip():
         return {}
-    try:
-        run = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stream-dedup"],
-            capture_output=True,
-            text=True,
-            timeout=900,
-            env=dict(os.environ),
-        )
-        for ln in reversed(run.stdout.splitlines()):
-            if ln.strip().startswith("{"):
-                return json.loads(ln)
-    except Exception:
-        pass
-    return {"err": "isolated dedup capacity run failed to report"}
+
+    def _one_run() -> dict:
+        try:
+            run = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stream-dedup"],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env=dict(os.environ),
+            )
+            for ln in reversed(run.stdout.splitlines()):
+                if ln.strip().startswith("{"):
+                    return json.loads(ln)
+        except Exception:
+            pass
+        return {"err": "isolated dedup capacity run failed to report"}
+
+    out = _one_run()
+    if out.get("rates") and not out.get("max_kept_up_rps"):
+        first = {
+            "max_kept_up_rps": out.get("max_kept_up_rps"),
+            "first_failing_rps": out.get("first_failing_rps"),
+            "knee_bottleneck": out.get("knee_bottleneck"),
+        }
+        retry = _one_run()
+        if retry.get("max_kept_up_rps"):
+            retry["slow_jvm_first_draw"] = first
+            return retry
+    return out
 
 
 def streaming_capacity(spark) -> dict:
